@@ -1,0 +1,143 @@
+"""dedupe / sample / throttle matrices — semantics from the reference's
+inline tests (dedupe/config.rs:344,:425 LRU eviction; sample/tests.rs;
+throttle GCRA admission)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from vector_ray.stages import (
+    LRUDedupe,
+    dedupe_exact,
+    dedupe_windowed,
+    sample_count,
+    sample_hash,
+    throttle,
+)
+
+
+def dup_table():
+    return pa.table(
+        {
+            "message": pa.array(["m1", "m2", "m1", "m3", "m2", "m1"]),
+            "host": pa.array(["h", "h", "h", "h", "h", "h"]),
+            "seq": pa.array([0, 1, 2, 3, 4, 5]),
+        }
+    )
+
+
+def test_dedupe_exact_first_wins():
+    out = dedupe_exact(rd.from_arrow(dup_table()), ["message", "host"], order_by="seq")
+    rows = sorted((r["message"], r["seq"]) for r in out.take_all())
+    assert rows == [("m1", 0), ("m2", 1), ("m3", 3)]
+
+
+def test_dedupe_exact_null_vs_value():
+    t = pa.table(
+        {
+            "a": pa.array([None, 1, None, 1], type=pa.int64()),
+            "seq": pa.array([0, 1, 2, 3]),
+        }
+    )
+    out = dedupe_exact(rd.from_arrow(t), ["a"], order_by="seq")
+    assert sorted(r["seq"] for r in out.take_all()) == [0, 1]  # null ≠ 1, null == null
+
+
+def test_lru_eviction():
+    # cache_size=2: key m1 evicted after m2,m3 inserted → m1 passes again
+    # (dedupe/config.rs:344 eviction semantics)
+    actor = LRUDedupe(["message"], cache_size=2)
+    t = pa.table({"message": pa.array(["m1", "m2", "m3", "m1", "m2"])})
+    kept = actor(t)["message"].to_pylist()
+    # m1 new, m2 new, m3 new (evicts m1), m1 new again (evicts m2), m2 new
+    assert kept == ["m1", "m2", "m3", "m1", "m2"]
+    actor2 = LRUDedupe(["message"], cache_size=10)
+    kept2 = actor2(t)["message"].to_pylist()
+    assert kept2 == ["m1", "m2", "m3"]
+
+
+def test_dedupe_windowed_stream():
+    out = dedupe_windowed(rd.from_arrow(dup_table()), ["message"], cache_size=100)
+    assert sorted(r["message"] for r in out.take_all()) == ["m1", "m2", "m3"]
+
+
+def test_sample_hash_rate_deterministic():
+    n = 10_000
+    t = pa.table({"k": pa.array([f"key-{i}" for i in range(n)])})
+    ds = rd.from_arrow(t)
+    out1 = sorted(r["k"] for r in sample_hash(ds, "k", rate=10).take_all())
+    out2 = sorted(r["k"] for r in sample_hash(ds, "k", rate=10).take_all())
+    assert out1 == out2  # consistent
+    assert 0.05 * n < len(out1) < 0.15 * n  # ~1/10
+    # same key always same decision: duplicate keys sampled identically
+    t2 = pa.table({"k": pa.array(["key-1"] * 50 + ["key-2"] * 50)})
+    out3 = sample_hash(rd.from_arrow(t2), "k", rate=10).take_all()
+    kept_keys = set(r["k"] for r in out3)
+    for k in kept_keys:
+        assert sum(1 for r in out3 if r["k"] == k) == 50  # all or none
+
+
+def test_sample_hash_ratio_and_exclude():
+    n = 10_000
+    t = pa.table(
+        {"k": pa.array([f"key-{i}" for i in range(n)]), "lvl": pa.array(["err" if i < 5 else "info" for i in range(n)])}
+    )
+    out = sample_hash(rd.from_arrow(t), "k", ratio=0.25, exclude=".lvl == 'err'")
+    rows = out.take_all()
+    assert 0.18 * n < len(rows) < 0.32 * n
+    assert sum(1 for r in rows if r["lvl"] == "err") == 5  # exclude bypasses
+    assert all(r["sample_rate"] == 4.0 for r in rows)
+
+
+def test_sample_count_per_group():
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 10 + ["b"] * 10),
+            "seq": pa.array(list(range(10)) + list(range(10))),
+        }
+    )
+    out = sample_count(rd.from_arrow(t), rate=5, group_by="g", order_by="seq")
+    rows = sorted((r["g"], r["seq"]) for r in out.take_all())
+    assert rows == [("a", 0), ("a", 5), ("b", 0), ("b", 5)]
+
+
+def test_throttle_per_key_window():
+    # 2 keys × 2 windows × 5 events; threshold 2 → 2 kept per (key,window)
+    n = 20
+    ts = []
+    keys = []
+    seqs = []
+    for k in ("ka", "kb"):
+        for w in range(2):
+            for j in range(5):
+                ts.append((w * 10 + j) * 1_000_000)  # us
+                keys.append(k)
+                seqs.append(len(seqs))
+    t = pa.table(
+        {
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "key": pa.array(keys),
+            "seq": pa.array(seqs),
+        }
+    )
+    out = throttle(rd.from_arrow(t), threshold=2, window_secs=10, key_field="key", order_by="seq")
+    rows = out.take_all()
+    assert len(rows) == 8
+    # the first 2 of each (key, window) in seq order survive
+    kept = sorted(r["seq"] for r in rows)
+    assert kept == [0, 1, 5, 6, 10, 11, 15, 16]
+
+
+def test_throttle_exclude():
+    t = pa.table(
+        {
+            "ts": pa.array([i * 1_000_000 for i in range(6)], type=pa.int64()).cast(pa.timestamp("us")),
+            "lvl": pa.array(["err", "info", "info", "info", "err", "info"]),
+            "seq": pa.array(list(range(6))),
+        }
+    )
+    out = throttle(
+        rd.from_arrow(t), threshold=1, window_secs=100, exclude=".lvl == 'err'", order_by="seq"
+    )
+    rows = sorted(r["seq"] for r in out.take_all())
+    assert rows == [0, 1, 4]  # both errs bypass + first non-err

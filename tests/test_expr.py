@@ -1,0 +1,69 @@
+import pyarrow as pa
+import pytest
+
+from vector_ray.expr import Condition, parse
+
+
+def tbl():
+    return pa.table(
+        {
+            "status": pa.array([200, 404, 500, None], type=pa.int64()),
+            "msg": pa.array(["ok here", "not found", "server err", None]),
+            "host": pa.array(["a", "b", "a", "c"]),
+        }
+    )
+
+
+def m(cond):
+    return Condition(cond)(tbl()).to_pylist()
+
+
+def test_comparisons():
+    assert m(".status == 500") == [False, False, True, False]
+    assert m(".status >= 404") == [False, True, True, False]
+    assert m(".status != 200") == [False, True, True, False]  # null → false
+
+
+def test_bool_ops():
+    assert m(".status == 200 || .status == 404") == [True, True, False, False]
+    assert m(".status > 100 && .host == 'a'") == [True, False, True, False]
+    assert m("!(.status == 200)") == [False, True, True, True]
+
+
+def test_in_list():
+    assert m(".host in ['a', 'c']") == [True, False, True, True]
+
+
+def test_string_fns():
+    assert m("contains(.msg, 'err')") == [False, False, True, False]
+    assert m("starts_with(.msg, 'not')") == [False, True, False, False]
+    assert m("ends_with(.msg, 'here')") == [True, False, False, False]
+    assert m("match(.msg, 'f.und')") == [False, True, False, False]
+
+
+def test_exists_null():
+    assert m("exists(.status)") == [True, True, True, False]
+    assert m(".status == null") == [False, False, False, True]
+    assert m(".status != null") == [True, True, True, False]
+    assert m("exists(.nope)") == [False, False, False, False]
+
+
+def test_length():
+    assert m("length(.msg) > 7") == [False, True, True, False]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse(".a === 1")
+    with pytest.raises(ValueError):
+        Condition("bogus_fn(.host)")(tbl())
+
+
+def test_precedence():
+    # && binds tighter than ||
+    assert m(".host == 'b' || .host == 'a' && .status == 200") == [
+        True,
+        True,
+        False,
+        False,
+    ]

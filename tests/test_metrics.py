@@ -1,0 +1,166 @@
+"""log_to_metric / aggregate / incremental_to_absolute /
+tag_cardinality_limit / metric_to_log semantics."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from vector_ray.stages import (
+    aggregate,
+    incremental_to_absolute,
+    log_to_metric,
+    metric_to_log,
+    tag_cardinality_limit,
+)
+
+
+def log_table():
+    n = 12
+    i = np.arange(n)
+    return pa.table(
+        {
+            "status": pa.array((200 + (i % 3) * 100).astype(np.int64)),
+            "duration_ms": pa.array(i.astype(np.float64) * 2),
+            "host": pa.array([f"h{k % 2}" for k in i]),
+            "ts": pa.array(i * 1_000_000).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def test_log_to_metric_counter_and_gauge():
+    ds = rd.from_arrow(log_table())
+    out = log_to_metric(
+        ds,
+        [
+            {"type": "counter", "field": "status", "name": "status_total", "tags": {"status": "{{status}}"}},
+            {"type": "gauge", "field": "duration_ms", "name": "dur", "tags": {"host": "{{host}}"}},
+        ],
+        ts_field="ts",
+    )
+    rows = out.take_all()
+    counters = [r for r in rows if r["name"] == "status_total"]
+    gauges = [r for r in rows if r["name"] == "dur"]
+    assert len(counters) == 12 and len(gauges) == 12
+    assert all(r["value"] == 1.0 for r in counters)
+    assert all(r["kind"] == "incremental" for r in counters)
+    assert all(r["kind"] == "absolute" for r in gauges)
+    assert {r["tags"] for r in counters} == {"status=200", "status=300", "status=400"}
+    assert {r["tags"] for r in gauges} == {"host=h0", "host=h1"}
+
+
+def test_log_to_metric_increment_by_value_and_canonical_tags():
+    ds = rd.from_arrow(log_table())
+    out = log_to_metric(
+        ds,
+        [
+            {
+                "type": "counter",
+                "field": "duration_ms",
+                "name": "dur_sum",
+                "increment_by_value": True,
+                "tags": {"z": "fixed", "a": "{{host}}"},  # keys sort a,z
+            }
+        ],
+        ts_field="ts",
+    )
+    rows = out.take_all()
+    assert rows[0]["tags"].startswith("a=h")
+    assert all(",z=fixed" in r["tags"] for r in rows)
+    assert sum(r["value"] for r in rows) == sum(float(i * 2) for i in range(12))
+
+
+def metric_table():
+    # 2 series × 6 points, windows of 10s
+    rows = []
+    for s, kind in (("cpu", "incremental"), ("mem", "absolute")):
+        for j in range(6):
+            rows.append(
+                {
+                    "name": s,
+                    "namespace": "app",
+                    "tags": "host=h0",
+                    "kind": kind,
+                    "value_type": "counter" if kind == "incremental" else "gauge",
+                    "value": float(j + 1),
+                    "ts": j * 5_000_000,  # 5s apart → 2 windows of 10s (j=0,1 | 2,3 | 4,5)
+                }
+            )
+    t = pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]})
+    return t.set_column(t.column_names.index("ts"), "ts", t["ts"].cast(pa.timestamp("us")))
+
+
+def test_aggregate_sum_mode():
+    out = aggregate(rd.from_arrow(metric_table()), mode="sum", interval_ms=10_000)
+    rows = {(r["name"], str(r["window_start"])): r for r in out.take_all()}
+    assert len(rows) == 6  # 2 series × 3 windows
+    cpu0 = [r for (n, _), r in rows.items() if n == "cpu"]
+    assert sorted(r["value"] for r in cpu0) == [3.0, 7.0, 11.0]
+    assert all(r["count"] == 2 for r in rows.values())
+
+
+def test_aggregate_auto_mode():
+    out = aggregate(rd.from_arrow(metric_table()), mode="auto", interval_ms=10_000)
+    rows = out.take_all()
+    cpu = sorted(r["value"] for r in rows if r["name"] == "cpu")
+    mem = sorted(r["value"] for r in rows if r["name"] == "mem")
+    assert cpu == [3.0, 7.0, 11.0]  # incremental → sum
+    assert mem == [2.0, 4.0, 6.0]  # absolute → latest
+
+
+def test_aggregate_stdev_and_mean():
+    out = aggregate(rd.from_arrow(metric_table()), mode="mean", interval_ms=30_000)
+    rows = {r["name"]: r for r in out.take_all()}
+    assert rows["cpu"]["value"] == 3.5
+    out2 = aggregate(rd.from_arrow(metric_table()), mode="stdev", interval_ms=30_000)
+    rows2 = {r["name"]: r for r in out2.take_all()}
+    assert abs(rows2["cpu"]["value"] - np.std([1, 2, 3, 4, 5, 6], ddof=1)) < 1e-9
+
+
+def test_aggregate_diff_mode():
+    out = aggregate(rd.from_arrow(metric_table()), mode="diff", interval_ms=10_000)
+    rows = [r for r in out.take_all() if r["name"] == "mem"]
+    assert sorted(r["value"] for r in rows) == [2.0, 2.0]  # 4-2, 6-4
+
+
+def test_incremental_to_absolute():
+    out = incremental_to_absolute(rd.from_arrow(metric_table()))
+    cpu = sorted(
+        (str(r["ts"]), r["value"]) for r in out.take_all() if r["name"] == "cpu"
+    )
+    assert [v for _, v in cpu] == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0]
+    assert all(r["kind"] == "absolute" for r in out.take_all())
+
+
+def test_tag_cardinality_drop_event():
+    t = pa.table(
+        {
+            "tag_user": pa.array([f"u{i}" for i in [0, 1, 2, 0, 3, 1]]),
+            "seq": pa.array([0, 1, 2, 3, 4, 5]),
+        }
+    )
+    out = tag_cardinality_limit(
+        rd.from_arrow(t), ["tag_user"], value_limit=2, order_by="seq", limit_exceeded_action="drop_event"
+    )
+    rows = sorted(r["seq"] for r in out.take_all())
+    assert rows == [0, 1, 3, 5]  # u0,u1 accepted (first two); u2,u3 dropped
+
+
+def test_tag_cardinality_drop_tag():
+    t = pa.table(
+        {
+            "tag_user": pa.array([f"u{i}" for i in [0, 1, 2, 0]]),
+            "seq": pa.array([0, 1, 2, 3]),
+        }
+    )
+    out = tag_cardinality_limit(
+        rd.from_arrow(t), ["tag_user"], value_limit=2, order_by="seq", limit_exceeded_action="drop_tag"
+    )
+    rows = {r["seq"]: r["tag_user"] for r in out.take_all()}
+    assert rows == {0: "u0", 1: "u1", 2: None, 3: "u0"}
+
+
+def test_metric_to_log():
+    out = metric_to_log(rd.from_arrow(metric_table()))
+    r = out.take(1)[0]
+    assert set(r) >= {"message", "metric_name", "value", "timestamp"}
+    assert r["message"] == "cpu=1"  # Arrow float→string renders 1.0 as "1"

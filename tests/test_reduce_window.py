@@ -1,0 +1,141 @@
+"""reduce (merge strategies + sessionization) and window (context
+buffer) — semantics from reduce/merge_strategy.rs:17-55,
+reduce/transform.rs:223-254, window/transform.rs:50-96."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from vector_ray.stages import reduce_stage, window_stage
+
+
+def txn_table():
+    return pa.table(
+        {
+            "request_id": pa.array(["r1"] * 3 + ["r2"] * 2),
+            "message": pa.array(["start", "mid", "end", "a", "b"]),
+            "bytes": pa.array([10, 20, 30, 5, 7], type=pa.int64()),
+            "timestamp": pa.array([0, 1, 2, 10, 11], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "seq": pa.array([0, 1, 2, 3, 4]),
+        }
+    )
+
+
+def test_reduce_defaults():
+    out = reduce_stage(rd.from_arrow(txn_table()), ["request_id"], order_by="seq")
+    rows = {r["request_id"]: r for r in out.take_all()}
+    r1 = rows["r1"]
+    assert r1["message"] == "start"  # string → first (discard)
+    assert r1["bytes"] == 60  # numeric → sum
+    assert r1["_reduce_count"] == 3
+    assert str(r1["timestamp"]).startswith("1970-01-01 00:00:00")
+    assert r1["timestamp_end"] > r1["timestamp"]  # <ts>_end carries the last
+    assert rows["r2"]["bytes"] == 12
+
+
+def test_reduce_strategies():
+    out = reduce_stage(
+        rd.from_arrow(txn_table()),
+        ["request_id"],
+        merge_strategies={
+            "message": "concat",
+            "bytes": "max",
+        },
+        order_by="seq",
+    )
+    rows = {r["request_id"]: r for r in out.take_all()}
+    assert rows["r1"]["message"] == "start mid end"
+    assert rows["r1"]["bytes"] == 30
+
+
+def test_reduce_array_and_flat_unique():
+    t = pa.table(
+        {
+            "g": pa.array(["g"] * 4),
+            "v": pa.array(["a", "b", "a", "c"]),
+            "seq": pa.array([0, 1, 2, 3]),
+        }
+    )
+    out = reduce_stage(
+        rd.from_arrow(t), ["g"], merge_strategies={"v": "array"}, order_by="seq"
+    ).take_all()
+    assert out[0]["v"] == ["a", "b", "a", "c"]
+    out2 = reduce_stage(
+        rd.from_arrow(t), ["g"], merge_strategies={"v": "flat_unique"}, order_by="seq"
+    ).take_all()
+    assert out2[0]["v"] == ["a", "b", "c"]
+
+
+def test_reduce_ends_when_sessionizes():
+    t = pa.table(
+        {
+            "g": pa.array(["g"] * 6),
+            "message": pa.array(["a", "b", "END", "c", "END", "d"]),
+            "n": pa.array([1, 1, 1, 1, 1, 1], type=pa.int64()),
+            "seq": pa.array(range(6)),
+        }
+    )
+    out = reduce_stage(
+        rd.from_arrow(t),
+        ["g"],
+        order_by="seq",
+        ends_when=".message == 'END'",
+    )
+    sizes = sorted(r["_reduce_count"] for r in out.take_all())
+    assert sizes == [1, 2, 3]  # [a,b,END] [c,END] [d]
+
+
+def test_reduce_starts_when_and_max_events():
+    t = pa.table(
+        {
+            "g": pa.array(["g"] * 6),
+            "message": pa.array(["S", "x", "S", "y", "z", "w"]),
+            "seq": pa.array(range(6)),
+        }
+    )
+    out = reduce_stage(
+        rd.from_arrow(t), ["g"], order_by="seq", starts_when=".message == 'S'"
+    )
+    sizes = sorted(r["_reduce_count"] for r in out.take_all())
+    assert sizes == [2, 4]  # [S,x] [S,y,z,w]
+    out2 = reduce_stage(rd.from_arrow(t), ["g"], order_by="seq", max_events=2)
+    sizes2 = sorted(r["_reduce_count"] for r in out2.take_all())
+    assert sizes2 == [2, 2, 2]
+
+
+def test_window_context_buffer():
+    t = pa.table(
+        {
+            "k": pa.array(["k"] * 10),
+            "lvl": pa.array(["i", "i", "i", "e", "i", "i", "i", "i", "i", "i"]),
+            "seq": pa.array(range(10)),
+        }
+    )
+    out = window_stage(
+        rd.from_arrow(t),
+        flush_when=".lvl == 'e'",
+        group_by=["k"],
+        order_by="seq",
+        num_events_before=2,
+        num_events_after=1,
+    )
+    assert sorted(r["seq"] for r in out.take_all()) == [1, 2, 3, 4]
+
+
+def test_window_forward_when():
+    t = pa.table(
+        {
+            "k": pa.array(["k"] * 5),
+            "lvl": pa.array(["keep", "x", "x", "x", "x"]),
+            "seq": pa.array(range(5)),
+        }
+    )
+    out = window_stage(
+        rd.from_arrow(t),
+        flush_when=".lvl == 'never'",
+        forward_when=".lvl == 'keep'",
+        group_by=["k"],
+        order_by="seq",
+    )
+    assert [r["seq"] for r in out.take_all()] == [0]

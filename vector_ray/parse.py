@@ -1,0 +1,199 @@
+"""Grok / regex parse kernels over zero-copy Arrow string columns.
+
+The analog of Vector's ``remap`` parse functions ``parse_grok`` /
+``parse_regex`` / ``parse_apache_log`` (reference VRL stdlib,
+website/cue/reference/remap/functions/parse_grok.cue etc.).  Grok
+patterns compile ONCE to a named-group regex; per batch we run
+``pyarrow.compute.extract_regex`` (RE2 under the hood) over the string
+column — no Python per row — and unpack the resulting StructArray into
+typed columns.
+
+Rows that fail to parse get nulls in every extracted column plus
+``__error = True`` so the caller can split them to a ``dropped``
+dataset — the remap error-routing semantics (reference
+src/transforms/remap.rs:564-646, DROPPED port remap.rs:46).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# A useful subset of the standard grok pattern library (the public
+# logstash/grok base patterns, reproduced from their well-known
+# definitions — these are conventional regex idioms, not reference code).
+GROK_PATTERNS: Dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "POSINT": r"\d+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]*(?:\.[0-9A-Za-z][0-9A-Za-z-]*)*\b",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|\b[0-9A-Za-z][0-9A-Za-z-]*(?:\.[0-9A-Za-z][0-9A-Za-z-]*)*\b)",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)",
+    "QS": r"\"(?:[^\"\\]|\\.)*\"",
+    "QUOTEDSTRING": r"\"(?:[^\"\\]|\\.)*\"",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+
+_TYPE_MAP = {
+    "int": pa.int64(),
+    "long": pa.int64(),
+    "float": pa.float64(),
+    "double": pa.float64(),
+}
+
+
+def grok_to_regex(pattern: str, extra_patterns: Optional[Dict[str, str]] = None):
+    """Compile a grok pattern to (regex_string, {group_name: arrow_type}).
+
+    ``%{SYNTAX:name:type}`` → named group ``(?P<name>...)`` with a cast
+    to ``type`` (int/float) after extraction.
+    """
+    library = dict(GROK_PATTERNS)
+    if extra_patterns:
+        library.update(extra_patterns)
+    types: Dict[str, pa.DataType] = {}
+
+    def sub(m: re.Match) -> str:
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in library:
+            raise ValueError(f"unknown grok pattern %{{{syntax}}}")
+        body = _GROK_REF.sub(sub, library[syntax])  # nested references
+        if name is None:
+            return f"(?:{body})"
+        if typ is not None:
+            types[name] = _TYPE_MAP.get(typ, pa.string())
+        return f"(?P<{name}>{body})"
+
+    regex = _GROK_REF.sub(sub, pattern)
+    return regex, types
+
+
+class RegexParser:
+    """Compiled named-group regex parser applied per Arrow batch.
+
+    parse(batch_column) -> (struct_of_extracted, error_mask)
+    """
+
+    def __init__(self, regex: str, types: Optional[Dict[str, pa.DataType]] = None):
+        self.regex = regex
+        self.types = types or {}
+        # validate eagerly (extract_regex errors are late otherwise)
+        self._py = re.compile(regex)
+        if not self._py.groupindex:
+            raise ValueError("regex needs at least one named group")
+        self.group_names = list(self._py.groupindex)
+
+    def parse(self, col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        extracted = pc.extract_regex(col, pattern=self.regex)
+        err = pc.is_null(extracted)
+        cols = {}
+        for name in self.group_names:
+            field = pc.struct_field(extracted, name)
+            want = self.types.get(name)
+            if want is not None and want != pa.string():
+                field = field.cast(want)
+            cols[name] = field
+        return cols, err
+
+    def apply(self, batch: pa.Table, field: str, drop_failed: bool = False) -> pa.Table:
+        """Append extracted columns (+ ``__error``) to the batch."""
+        cols, err = self.parse(batch[field])
+        for name, arr in cols.items():
+            batch = batch.append_column(name, arr)
+        if drop_failed:
+            return batch.filter(pc.invert(err))
+        return batch.append_column("__error", err)
+
+
+class GrokParser(RegexParser):
+    def __init__(self, pattern: str, extra_patterns: Optional[Dict[str, str]] = None):
+        regex, types = grok_to_regex(pattern, extra_patterns)
+        super().__init__(regex, types)
+
+
+# ----------------------------------------------------------------------
+# Deterministic message rendering for the token table (flagship input).
+# Mirrors Vector's demo_logs apache_common format generation (reference
+# src/sources/demo_logs.rs:106-141) so the parse stage does real work
+# that an oracle can recompute from (doc_id, source, n_tok, tokens).
+
+ACCESS_GROK = (
+    '%{NOTSPACE:client_id} %{WORD:src} - \\[%{POSINT:epoch:int}\\] '
+    '"%{WORD:method} /seq/%{NOTSPACE:path_id} HTTP/1.1" '
+    '%{POSINT:status:int} %{POSINT:bytes:int} first=%{INT:first_tok:int} last=%{INT:last_tok:int}'
+)
+
+
+def status_for(i: np.ndarray) -> np.ndarray:
+    """Deterministic status code per row index: 70% 200, 20% 404, 10% 500."""
+    m = i % 10
+    return np.where(m < 7, 200, np.where(m < 9, 404, 500)).astype(np.int64)
+
+
+def render_messages(batch: pa.Table) -> pa.Table:
+    """Append a ``message`` column rendered from the token-table row.
+
+    Vectorized with pyarrow binary_join_element_wise — zero Python per
+    row.  status/epoch derive from the numeric doc index (the trailing
+    digits of doc_id).
+    """
+    doc_id = batch["doc_id"]
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    idx = pc.utf8_slice_codeunits(doc_id, 4).cast(pa.int64())
+    i = idx.to_numpy()
+    status = pa.array(status_for(i)).cast(pa.string())
+    epoch = pa.array(1_700_000_000 + (i % 86_400)).cast(pa.string())
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    first = pc.list_element(toks, 0).cast(pa.string())
+    n = batch["n_tok"]
+    if isinstance(n, pa.ChunkedArray):
+        n = n.combine_chunks()
+    last_idx = pc.subtract(n, 1)
+    flat = pc.list_flatten(toks)
+    offsets = toks.offsets
+    abs_idx = pc.add(offsets.slice(0, len(toks)).cast(pa.int64()), last_idx.cast(pa.int64()))
+    last = flat.take(abs_idx).cast(pa.string())
+    method = pc.if_else(pc.equal(pa.array((i % 2).astype(np.int64)), 0), "GET", "POST")
+    msg = pc.binary_join_element_wise(
+        doc_id,
+        " ",
+        batch["source"].combine_chunks() if isinstance(batch["source"], pa.ChunkedArray) else batch["source"],
+        " - [",
+        epoch,
+        '] "',
+        method,
+        " /seq/",
+        doc_id,
+        ' HTTP/1.1" ',
+        status,
+        " ",
+        n.cast(pa.string()),
+        " first=",
+        first,
+        " last=",
+        last,
+        "",
+    )
+    return batch.append_column("message", msg)

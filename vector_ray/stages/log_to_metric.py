@@ -1,0 +1,174 @@
+"""log_to_metric / metric_to_log — log ⇄ metric schema projections.
+
+Reference: src/transforms/log_to_metric.rs:45-79 (config), :140-160
+(metric types), :375-520 (conversion).  Each configured metric spec
+emits one metric row per matching input row:
+
+    {"type": "counter", "field": "status", "name": "status_total",
+     "namespace": "app", "increment_by_value": False,
+     "tags": {"status": "{{status}}", "host": "{{host}}"}}
+
+- counter: value = 1.0, or the field's numeric value when
+  ``increment_by_value`` (log_to_metric.rs:375-420).
+- gauge / histogram / summary / distribution: value = field value.
+- set: value column carries the field's string value (set member).
+- rows where ``field`` is null emit nothing (field-not-found skip).
+- tag templates ``{{col}}`` render vectorized from columns; tags
+  serialize to the canonical sorted ``k=v,k=v`` string so series
+  identity matches Vector's sorted ObjectMap keys.
+
+Output columns: (name, namespace, tags, kind, value_type, value,
+set_value, ts) — METRIC_SCHEMA + set_value.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TPL = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+_KIND = {  # MetricKind per metric type, log_to_metric.rs conversion
+    "counter": "incremental",
+    "histogram": "incremental",
+    "summary": "incremental",
+    "distribution": "incremental",
+    "gauge": "absolute",
+    "set": "incremental",
+}
+
+
+def _render_template(tpl: str, batch: pa.Table) -> pa.Array:
+    """Render '{{col}}' templates vectorized; literal-only → constant."""
+    parts = _TPL.split(tpl)  # [lit, col, lit, col, ..., lit]
+    n = batch.num_rows
+    if len(parts) == 1:
+        return pa.array([tpl] * n, type=pa.string())
+    pieces = []
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            if p:
+                pieces.append(pa.array([p] * n, type=pa.string()))
+        else:
+            col = batch[p]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            pieces.append(col)
+    if len(pieces) == 1:
+        return pieces[0]
+    return pc.binary_join_element_wise(*pieces, "")
+
+
+def _canonical_tags(tags: Dict[str, str], batch: pa.Table) -> pa.Array:
+    """Sorted-key 'k=v,k=v' canonical encoding (MetricSeries identity)."""
+    n = batch.num_rows
+    if not tags:
+        return pa.array([""] * n, type=pa.string())
+    pieces = []
+    for i, k in enumerate(sorted(tags)):
+        v = _render_template(tags[k], batch)
+        prefix = ("," if i else "") + k + "="
+        pieces.append(pa.array([prefix] * n, type=pa.string()))
+        pieces.append(v)
+    return pc.binary_join_element_wise(*pieces, "")
+
+
+class LogToMetric:
+    def __init__(self, metrics: List[dict], ts_field: Optional[str] = None):
+        self.metrics = metrics
+        self.ts_field = ts_field
+        for m in metrics:
+            if m["type"] not in _KIND:
+                raise ValueError(f"unknown metric type {m['type']!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        n = batch.num_rows
+        ts = None
+        if self.ts_field and self.ts_field in batch.column_names:
+            ts = batch[self.ts_field]
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+        for spec in self.metrics:
+            typ = spec["type"]
+            field = spec.get("field")
+            fcol = None
+            valid = None
+            if field is not None:
+                fcol = batch[field]
+                if isinstance(fcol, pa.ChunkedArray):
+                    fcol = fcol.combine_chunks()
+                valid = pc.is_valid(fcol)
+            name = _render_template(spec.get("name", field or typ), batch)
+            namespace = _render_template(spec.get("namespace", ""), batch)
+            tags = _canonical_tags(spec.get("tags", {}), batch)
+            if typ == "counter" and not spec.get("increment_by_value"):
+                value = pa.array(np.ones(n))
+            elif typ == "set":
+                value = pa.array(np.ones(n))
+            else:
+                value = fcol.cast(pa.float64()) if fcol is not None else pa.array(np.ones(n))
+            set_value = (
+                fcol.cast(pa.string())
+                if typ == "set" and fcol is not None
+                else pa.array([None] * n, type=pa.string())
+            )
+            tbl = pa.table(
+                {
+                    "name": name,
+                    "namespace": namespace,
+                    "tags": tags,
+                    "kind": pa.array([_KIND[typ]] * n, type=pa.string()),
+                    "value_type": pa.array([typ] * n, type=pa.string()),
+                    "value": value,
+                    "set_value": set_value,
+                    "ts": ts if ts is not None else pa.array([None] * n, type=pa.timestamp("us")),
+                }
+            )
+            if valid is not None:
+                tbl = tbl.filter(valid)  # null field → no metric emitted
+            out.append(tbl)
+        return pa.concat_tables(out) if out else pa.table({})
+
+
+def log_to_metric(ds, metrics: List[dict], ts_field: Optional[str] = None, **kw):
+    return ds.map_batches(LogToMetric(metrics, ts_field), batch_format="pyarrow", **kw)
+
+
+def metric_to_log(ds, **kw):
+    """Inverse projection: metric rows → flat log rows.
+
+    Reference src/transforms/metric_to_log.rs:29-60 — the metric's
+    series/data fields become log fields; tags unpack to ``tag_<k>``
+    columns is deferred to a remap step (tags stay canonical here).
+    """
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        cols = {
+            "message": pc.binary_join_element_wise(
+                batch["name"].combine_chunks()
+                if isinstance(batch["name"], pa.ChunkedArray)
+                else batch["name"],
+                pa.array(["="] * batch.num_rows),
+                batch["value"].cast(pa.string())
+                if not isinstance(batch["value"], pa.ChunkedArray)
+                else batch["value"].combine_chunks().cast(pa.string()),
+                "",
+            ),
+            "metric_name": batch["name"],
+            "namespace": batch["namespace"],
+            "tags": batch["tags"],
+            "kind": batch["kind"],
+            "value_type": batch["value_type"],
+            "value": batch["value"],
+            "timestamp": batch["ts"],
+        }
+        return pa.table(cols)
+
+    return ds.map_batches(_proj, batch_format="pyarrow", **kw)

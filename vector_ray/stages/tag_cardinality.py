@@ -1,0 +1,86 @@
+"""tag_cardinality_limit transform — cap distinct values per tag key.
+
+Reference: src/transforms/tag_cardinality_limit/ — per tag key, accept
+at most ``value_limit`` distinct values (exact HashSet or probabilistic
+bloom, tag_value_set.rs:3-20); on exceed either ``drop_tag`` (null the
+tag on the offending event) or ``drop_event`` (config.rs:56-96).
+
+Batch restatement (two-phase, shuffle-free on the data path):
+1. AGGREGATE: per tag key, find the accepted value set = the first
+   ``value_limit`` distinct values in first-seen order (min order_by
+   per value, take the value_limit smallest).  Small result.
+2. BROADCAST + FILTER: ship the accepted sets to a stateless
+   map_batches that drops events / nulls tags whose value is outside
+   its key's accepted set.
+
+``tag_columns`` are real columns here (one column per tag key) —
+the columnar projection of Vector's tag map.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def accepted_value_sets(
+    ds, tag_columns: List[str], value_limit: int, order_by: str
+) -> Dict[str, set]:
+    """Phase 1: first-seen-order accepted set per tag column (driver-side,
+    result size ≤ value_limit per key)."""
+    out: Dict[str, set] = {}
+    for col in tag_columns:
+        firsts = (
+            ds.select_columns([col, order_by])
+            .groupby(col)
+            .min(order_by)
+        )
+        pdf = firsts.to_pandas()
+        mcol = [c for c in pdf.columns if c != col][0]
+        pdf = pdf.dropna(subset=[col]).sort_values(mcol, kind="mergesort")
+        out[col] = set(pdf[col].head(value_limit))
+    return out
+
+
+def tag_cardinality_limit(
+    ds,
+    tag_columns: List[str],
+    value_limit: int,
+    order_by: str,
+    limit_exceeded_action: str = "drop_tag",
+):
+    accepted = accepted_value_sets(ds, tag_columns, value_limit, order_by)
+    # broadcast: the sets ride in the task closure (small by construction)
+    accepted_arrays = {k: pa.array(sorted(v)) for k, v in accepted.items()}
+
+    if limit_exceeded_action == "drop_event":
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            keep = None
+            for col, vals in accepted_arrays.items():
+                ok = pc.fill_null(pc.is_in(batch[col], value_set=vals), True)
+                keep = ok if keep is None else pc.and_(keep, ok)
+            if isinstance(keep, pa.ChunkedArray):
+                keep = keep.combine_chunks()
+            return batch.filter(keep)
+
+    elif limit_exceeded_action == "drop_tag":
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            for col, vals in accepted_arrays.items():
+                c = batch[col]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                ok = pc.fill_null(pc.is_in(c, value_set=vals), True)
+                nulled = pc.if_else(ok, c, pa.scalar(None, type=c.type))
+                batch = batch.set_column(batch.column_names.index(col), col, nulled)
+            return batch
+
+    else:
+        raise ValueError(f"unknown action {limit_exceeded_action!r}")
+
+    return ds.map_batches(_apply, batch_format="pyarrow")
