@@ -1,0 +1,133 @@
+"""Topology compile/build (config graph validation, port addressing,
+fan-out) and checkpoint/resume (kill after k partitions → rerun skips)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from vector_ray.checkpoint import PartitionCheckpointer, run_partitioned
+from vector_ray.topology import Topology, build
+
+
+def events_path(tmp_path):
+    p = os.path.join(str(tmp_path), "ev.parquet")
+    t = pa.table(
+        {
+            "id": pa.array(range(10)),
+            "status": pa.array([200, 500, 200, 404, 500, 200, 200, 404, 500, 200]),
+        }
+    )
+    pq.write_table(t, p)
+    return p
+
+
+def test_topology_end_to_end(tmp_path):
+    cfg = {
+        "sources": {"in": {"type": "parquet", "path": events_path(tmp_path)}},
+        "transforms": {
+            "errs": {"type": "filter", "inputs": ["in"], "condition": ".status >= 400"},
+            "split": {
+                "type": "route",
+                "inputs": ["errs"],
+                "routes": {"s5": ".status == 500", "s4": ".status == 404"},
+            },
+        },
+        "sinks": {
+            "five": {"type": "blackhole", "inputs": ["split.s5"]},
+            "four": {"type": "blackhole", "inputs": ["split.s4"]},
+        },
+    }
+    sinks = build(cfg)
+    assert sinks["five"].count() == 3
+    assert sinks["four"].count() == 2
+
+
+def test_topology_validation_errors(tmp_path):
+    p = events_path(tmp_path)
+    with pytest.raises(ValueError, match="unknown input"):
+        Topology(
+            {
+                "sources": {"in": {"type": "parquet", "path": p}},
+                "sinks": {"out": {"type": "blackhole", "inputs": ["nope"]}},
+            }
+        )
+    with pytest.raises(ValueError, match="needs at least one input"):
+        Topology({"sinks": {"out": {"type": "blackhole", "inputs": []}}})
+    with pytest.raises(ValueError, match="cycle"):
+        Topology(
+            {
+                "transforms": {
+                    "a": {"type": "filter", "inputs": ["b"], "condition": ".x > 1"},
+                    "b": {"type": "filter", "inputs": ["a"], "condition": ".x > 1"},
+                },
+            }
+        )
+
+
+def test_topology_union_inputs(tmp_path):
+    p = events_path(tmp_path)
+    cfg = {
+        "sources": {"a": {"type": "parquet", "path": p}, "b": {"type": "parquet", "path": p}},
+        "sinks": {"out": {"type": "blackhole", "inputs": ["a", "b"]}},
+    }
+    assert build(cfg)["out"].count() == 20
+
+
+def test_demo_source_topology():
+    cfg = {
+        "sources": {"gen": {"type": "demo_logs", "count": 100, "format": "json"}},
+        "transforms": {
+            "parsed": {
+                "type": "remap",
+                "inputs": ["gen"],
+                "steps": [("parse_json", "message", ["level", "code"], {"code": pa.int64()})],
+                "drop_on_error": True,
+            },
+            "errors": {"type": "filter", "inputs": ["parsed"], "condition": ".code == 500"},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["errors"]}},
+    }
+    assert build(cfg)["out"].count() == 10  # k%10==9 of 100
+
+
+def test_checkpoint_resume(tmp_path):
+    base = str(tmp_path / "out")
+    inputs = [f"shard-{i}" for i in range(5)]
+    calls = []
+    fail_once = {"shard-3": True}
+
+    def process(f, outdir):
+        calls.append(f)
+        if fail_once.pop(f, False):
+            raise RuntimeError("killed")
+        with open(os.path.join(outdir, "data.txt"), "w") as fh:
+            fh.write(f)
+        return {"rows": 1}
+
+    with pytest.raises(RuntimeError):
+        run_partitioned(inputs, process, base, partition_of=lambda f: f)
+    ck = PartitionCheckpointer(base)
+    assert ck.pending(inputs) == ["shard-3", "shard-4"]
+    # no partial output directory left behind for the failed shard
+    assert not os.path.exists(os.path.join(base, "shard-3"))
+    # resume: only the missing two run
+    calls.clear()
+    done = run_partitioned(inputs, process, base, partition_of=lambda f: f)
+    assert calls == ["shard-3", "shard-4"]
+    assert set(done) == {"shard-3", "shard-4"}
+    assert ck.pending(inputs) == []
+    m = ck.manifests()
+    assert len(m) == 5 and all("wall_secs" in v for v in m.values())
+
+
+def test_sink_type_collides_with_source_type(tmp_path):
+    # regression: a sink of type "parquet" must not resolve to the
+    # parquet *source* builder
+    cfg = {
+        "sources": {"in": {"type": "parquet", "path": events_path(tmp_path)}},
+        "sinks": {"out": {"type": "parquet", "inputs": ["in"]}},
+    }
+    assert build(cfg)["out"].count() == 10

@@ -1,0 +1,107 @@
+"""Per-partition checkpoint manifests — resumable batch runs.
+
+The batch analog of Vector's source checkpointing + delivery acks
+(lib/file-source-common/src/checkpointer.rs:21-49 persists offsets to
+checkpoints.json; finalization.rs:320-334 gates checkpoint advance on
+sink acknowledgement).  For a bounded Parquet→Parquet run the same
+guarantee is: a partition is "acknowledged" once its output directory
+is fully written and its manifest committed atomically; a rerun
+processes only partitions without a manifest.
+
+Layout::
+
+    out_dir/
+      part-00000/ ... parquet files ...
+      part-00001/ ...
+      _manifest/part-00000.json   {"partition", "inputs", "rows",
+                                   "wall_secs", "stage_metrics", ...}
+
+Commit protocol: write outputs to ``part-X.tmp/`` → fsync-free atomic
+``os.replace`` to ``part-X/`` → write manifest ``.tmp`` → replace.
+A crash between the two leaves a completed directory without a
+manifest: the rerun re-does that partition idempotently (overwrite),
+which is the documented at-least-once guarantee.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+
+class PartitionCheckpointer:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.manifest_dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _mpath(self, pid: str) -> str:
+        return os.path.join(self.manifest_dir, f"{pid}.json")
+
+    def is_done(self, pid: str) -> bool:
+        return os.path.exists(self._mpath(pid))
+
+    def pending(self, pids: Sequence[str]) -> List[str]:
+        return [p for p in pids if not self.is_done(p)]
+
+    def load(self, pid: str) -> dict:
+        with open(self._mpath(pid)) as f:
+            return json.load(f)
+
+    def manifests(self) -> Dict[str, dict]:
+        out = {}
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.endswith(".json"):
+                out[f[:-5]] = json.load(open(os.path.join(self.manifest_dir, f)))
+        return out
+
+    def partition_dir(self, pid: str) -> str:
+        return os.path.join(self.out_dir, pid)
+
+    def commit(self, pid: str, meta: dict) -> None:
+        """Atomically record a completed partition (tmp + rename)."""
+        path = self._mpath(pid)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"partition": pid, "completed_at": time.time(), **meta}, f)
+        os.replace(tmp, path)
+
+
+def run_partitioned(
+    input_files: Sequence[str],
+    process: Callable,
+    out_dir: str,
+    partition_of: Optional[Callable[[str], str]] = None,
+) -> Dict[str, dict]:
+    """Process each input shard as one resumable partition.
+
+    ``process(input_file, out_partition_dir) -> dict`` runs the Ray
+    pipeline for one shard and returns metrics for the manifest (must
+    include "rows").  Completed partitions (manifest present) are
+    SKIPPED — the resume guarantee.  Output lands in ``part dir.tmp``
+    then renames, so partial writes never count as done.
+
+    Returns {pid: manifest} for this run's newly completed partitions.
+    """
+    ckpt = PartitionCheckpointer(out_dir)
+    partition_of = partition_of or (lambda f: "part-" + os.path.splitext(os.path.basename(f))[0])
+    done: Dict[str, dict] = {}
+    for f in input_files:
+        pid = partition_of(f)
+        if ckpt.is_done(pid):
+            continue
+        pdir = ckpt.partition_dir(pid)
+        tmp = pdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)  # idempotent overwrite
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.time()
+        metrics = process(f, tmp)
+        os.replace(tmp, pdir)
+        meta = {"inputs": [f], "wall_secs": round(time.time() - t0, 3), **(metrics or {})}
+        ckpt.commit(pid, meta)
+        done[pid] = meta
+    return done

@@ -1,0 +1,198 @@
+"""Enrichment tables — broadcast hash joins + stateful actor-pool tables.
+
+Reference surface (lib/enrichment/src/lib.rs:51-90): a ``Table`` answers
+``find_table_row(case, conditions, select, index)`` where conditions are
+Equals / BetweenDates / FromDate / ToDate, all ANDed (:22-41), with
+Case::Sensitive/Insensitive (:44-47).  "More than one match" is an
+error (:56).  The ``file`` table pre-builds a hash index over the
+equality columns (src/enrichment_tables/file.rs:425-451) and falls back
+to a scan for date-range conditions (:453-472).
+
+Ray-native mapping:
+
+- ``EnrichTable``: an immutable pyarrow-backed table built once on the
+  driver, ``ray.put`` once, probed inside stateless ``map_batches``
+  with a vectorized ``pc.index_in`` hash probe — the broadcast hash
+  join.  Case-insensitive keys fold both sides with utf8_lower, and
+  date-range rows resolve by probe-then-validate (equality first,
+  range filter second).
+- ``MemoryTableActor`` (state/memory_table.py): the writable TTL'd
+  ``memory`` table semantics as an actor pool.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+class EnrichTable:
+    """Immutable lookup table with find_table_row semantics.
+
+    key_columns: the equality-join key (the pre-built index).
+    Duplicate keys are allowed at build; a probe that matches >1 row
+    raises unless ``multi_ok`` (lib.rs:56 single-match rule) — except
+    when date-range columns disambiguate to exactly one row.
+    """
+
+    def __init__(
+        self,
+        table: pa.Table,
+        key_columns: List[str],
+        case_sensitive: bool = True,
+        valid_from: Optional[str] = None,
+        valid_to: Optional[str] = None,
+    ):
+        self.key_columns = list(key_columns)
+        self.case_sensitive = case_sensitive
+        self.valid_from = valid_from
+        self.valid_to = valid_to
+        self.table = table.combine_chunks()
+        self._key = self._fold(self._composite_key(self.table))
+        # detect duplicate keys (legal only when a date range splits them)
+        vc = pa.table({"k": self._key}).group_by("k").aggregate([("k", "count")])
+        self._has_dups = pc.max(vc["k_count"]).as_py() > 1 if vc.num_rows else False
+
+    @classmethod
+    def from_csv(cls, path: str, key_columns: List[str], **kw) -> "EnrichTable":
+        from pyarrow import csv as pa_csv
+
+        return cls(pa_csv.read_csv(path), key_columns, **kw)
+
+    def _composite_key(self, t: pa.Table) -> pa.Array:
+        cols = []
+        for c in self.key_columns:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            cols.append(col)
+        if len(cols) == 1:
+            return cols[0]
+        parts = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(pa.array(["\x1f"] * len(c), type=pa.string()))
+            parts.append(c)
+        return pc.binary_join_element_wise(*parts, "")
+
+    def _fold(self, arr: pa.Array) -> pa.Array:
+        return arr if self.case_sensitive else pc.utf8_lower(arr)
+
+    def probe(
+        self,
+        batch: pa.Table,
+        on: List[str],
+        select: Optional[List[str]] = None,
+        date_field: Optional[str] = None,
+        strict_single: bool = True,
+    ) -> pa.Table:
+        """Left-join enrichment columns onto ``batch``.
+
+        on: batch columns aligned with key_columns.  date_field: batch
+        timestamp column checked against [valid_from, valid_to].
+        strict_single: raise if any probe key matches >1 table row
+        after range filtering (the reference's single-match rule).
+        """
+        probe_key = self._fold(
+            self._composite_key(batch.select(on).rename_columns(self.key_columns))
+            if on != self.key_columns
+            else self._composite_key(batch)
+        )
+        select = select or [c for c in self.table.column_names if c not in self.key_columns]
+
+        if not self._has_dups and date_field is None:
+            idx = pc.index_in(probe_key, value_set=self._key)
+            out = batch
+            for c in select:
+                out = out.append_column(c, self.table[c].take(idx))
+            return out
+
+        # dup keys and/or date ranges: expand matches then validate
+        import pandas as pd
+
+        left = pd.DataFrame({"__k": probe_key.to_pandas(), "__row": np.arange(batch.num_rows)})
+        right_cols = {"__k": self._key.to_pandas(), "__ridx": np.arange(self.table.num_rows)}
+        right = pd.DataFrame(right_cols)
+        merged = left.merge(right, on="__k", how="left")
+        if date_field is not None:
+            ts = batch[date_field]
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            ts_np = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            merged["__ts"] = ts_np[merged["__row"].to_numpy()]
+            ridx = merged["__ridx"].to_numpy()
+            valid = ~np.isnan(ridx)
+            ridx_i = np.where(valid, ridx, 0).astype(np.int64)
+            if self.valid_from:
+                vf = self.table[self.valid_from].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                valid &= merged["__ts"].to_numpy() >= vf[ridx_i]
+            if self.valid_to:
+                vt = self.table[self.valid_to].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                valid &= merged["__ts"].to_numpy() <= vt[ridx_i]
+            merged = merged[valid | merged["__ridx"].isna()]
+            merged = merged.drop_duplicates("__row", keep=False) if strict_single else merged
+            # rows that lost all candidates need a null placeholder
+            have = set(merged["__row"])
+            missing = [r for r in range(batch.num_rows) if r not in have]
+            if missing:
+                merged = pd.concat(
+                    [merged, pd.DataFrame({"__row": missing, "__ridx": np.nan})],
+                    ignore_index=True,
+                )
+        else:
+            counts = merged.groupby("__row").size()
+            if strict_single and (counts > 1).any():
+                bad = counts[counts > 1].index[0]
+                raise ValueError(
+                    f"enrichment key matched {counts[bad]} rows (single-match rule): "
+                    f"batch row {bad}"
+                )
+        merged = merged.sort_values("__row").drop_duplicates("__row", keep="first")
+        ridx = merged["__ridx"].to_numpy()
+        take_idx = pa.array(
+            [None if np.isnan(r) else int(r) for r in ridx], type=pa.int64()
+        )
+        out = batch
+        for c in select:
+            out = out.append_column(c, self.table[c].take(take_idx))
+        return out
+
+
+def broadcast(table: EnrichTable):
+    """ray.put the table once; tasks read it zero-copy from the store."""
+    return ray.put(table)
+
+
+def enrich(
+    ds,
+    table_ref,
+    on: List[str],
+    select: Optional[List[str]] = None,
+    date_field: Optional[str] = None,
+    strict_single: bool = True,
+    **kw,
+):
+    """Broadcast-hash-join enrichment as a stateless map_batches stage.
+
+    table_ref: an EnrichTable or an ObjectRef from broadcast() — the
+    scale path ships the ref (one object-store copy per node), never
+    re-serializing the table per task.
+    """
+
+    class _Enricher:
+        def __init__(self):
+            self.table = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return self.table.probe(
+                batch, on, select=select, date_field=date_field, strict_single=strict_single
+            )
+
+    kw.setdefault("concurrency", 4)
+    return ds.map_batches(_Enricher, batch_format="pyarrow", **kw)

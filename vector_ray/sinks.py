@@ -1,0 +1,56 @@
+"""Sinks — partitioned Parquet fan-out + per-sink aggregate counters.
+
+Reference machinery being re-expressed (src/sinks/util/): batching,
+partition batching by templated key (partitioner.rs:6-30), retries,
+and the ``file`` sink's dynamic path partitioning
+(src/sinks/file/mod.rs:278 partition_event).  On Ray Data all of that
+collapses to ``write_parquet`` with partition columns — batching,
+backpressure and retry are the streaming executor's job; idempotent
+partition overwrite + the checkpoint manifest supply at-least-once
+delivery (finalization.rs analog, see checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import pyarrow as pa
+
+
+def write_sinks(sinks: Dict[str, "ray.data.Dataset"], base_dir: str, **kw) -> Dict[str, str]:
+    """Write each routed dataset to base_dir/<sink-name>/ as Parquet."""
+    out = {}
+    for name, ds in sinks.items():
+        path = os.path.join(base_dir, name.lstrip("_"))
+        ds.write_parquet(path, **kw)
+        out[name] = path
+    return out
+
+
+def write_routed(tagged_ds, base_dir: str, **kw) -> str:
+    """Single-pass fan-out: a ``__route``-tagged dataset lands as
+    hive-partitioned Parquet (one subdir per sink) without materializing
+    the parent — the 100 TB path."""
+    tagged_ds.write_parquet(base_dir, partition_cols=["__route"], **kw)
+    return base_dir
+
+
+def sink_counts(sinks: Dict[str, "ray.data.Dataset"]) -> Dict[str, int]:
+    """Per-sink row counts (the log_to_metric counter at the sink edge)."""
+    return {name: ds.count() for name, ds in sinks.items()}
+
+
+def console_sink(ds, limit: int = 20) -> None:
+    """Debug sink (src/sinks/console analog)."""
+    for row in ds.take(limit):
+        print(row)
+
+
+def blackhole_sink(ds) -> int:
+    """Consume and count without writing (src/sinks/blackhole analog) —
+    used by benchmarks to measure pure pipeline throughput."""
+    total = 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        total += b.num_rows
+    return total

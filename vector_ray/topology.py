@@ -1,0 +1,331 @@
+"""Topology — config dict → validated DAG → Ray Dataset plan.
+
+The analog of Vector's config compile + topology build
+(src/config/compiler.rs:9 compile, src/config/graph.rs:242/:267
+typecheck + cycle rejection, src/topology/builder.rs:124 build):
+
+    config = {
+      "sources":    {name: {"type": "parquet", "path": ...}},
+      "transforms": {name: {"type": "filter", "inputs": [...], ...}},
+      "sinks":      {name: {"type": "parquet", "inputs": [...], "path": ...}},
+    }
+
+Multi-output transforms (route, exclusive_route, remap with
+reroute_dropped) expose named ports addressed as ``node.port`` —
+Vector's output-port syntax (route.rs outputs).  Fan-out edges
+(one node consumed by N>1 downstreams) materialize the parent once,
+mirroring Fanout's clone (lib/vector-core/src/fanout.rs:45).
+
+The registry is the plugin surface (analog of Vector's typetag +
+inventory component registry, route.rs:124-129): ``register("type")``
+decorates a builder ``fn(node_cfg, upstream_ds) -> Dataset | dict``.
+User UDF hook: type "python" calls a user-supplied callable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+import ray.data as rd
+
+from . import stages
+from .enrich import EnrichTable, enrich
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(type_name: str):
+    def deco(fn):
+        _REGISTRY[type_name] = fn
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------- builders
+
+@register("parquet")
+def _src_parquet(cfg, _inputs):
+    return rd.read_parquet(cfg["path"], columns=cfg.get("columns"))
+
+
+@register("demo_logs")
+def _src_demo(cfg, _inputs):
+    from .sources.demo import demo_logs
+
+    return demo_logs(cfg.get("count", 1000), fmt=cfg.get("format", "apache_common"))
+
+
+@register("tokens")
+def _src_tokens(cfg, _inputs):
+    from .schema import token_table_path
+
+    return rd.read_parquet(token_table_path(cfg["rows"]))
+
+
+@register("filter")
+def _t_filter(cfg, inputs):
+    return stages.filter_stage(inputs, cfg["condition"])
+
+
+@register("route")
+def _t_route(cfg, inputs):
+    return stages.route(inputs, cfg["routes"], cfg.get("reroute_unmatched", True))
+
+
+@register("exclusive_route")
+def _t_xroute(cfg, inputs):
+    return stages.exclusive_route(inputs, cfg["routes"])
+
+
+@register("remap")
+def _t_remap(cfg, inputs):
+    if cfg.get("reroute_dropped"):
+        ok, dropped = stages.remap_with_drops(inputs, cfg["steps"])
+        return {"": ok, "dropped": dropped}
+    return stages.remap(inputs, cfg["steps"], drop_on_error=cfg.get("drop_on_error", False))
+
+
+@register("dedupe")
+def _t_dedupe(cfg, inputs):
+    if cfg.get("cache_size"):
+        return stages.dedupe_windowed(
+            inputs, cfg["fields"], cfg["cache_size"], cfg.get("concurrency", 1)
+        )
+    return stages.dedupe_exact(inputs, cfg["fields"], order_by=cfg.get("order_by"))
+
+
+@register("sample")
+def _t_sample(cfg, inputs):
+    if cfg.get("key_field"):
+        return stages.sample_hash(
+            inputs,
+            cfg["key_field"],
+            rate=cfg.get("rate"),
+            ratio=cfg.get("ratio"),
+            exclude=cfg.get("exclude"),
+        )
+    return stages.sample_count(
+        inputs, cfg["rate"], group_by=cfg.get("group_by"), order_by=cfg.get("order_by")
+    )
+
+
+@register("throttle")
+def _t_throttle(cfg, inputs):
+    return stages.throttle(
+        inputs,
+        cfg["threshold"],
+        cfg["window_secs"],
+        ts_field=cfg.get("ts_field", "ts"),
+        key_field=cfg.get("key_field"),
+        exclude=cfg.get("exclude"),
+        order_by=cfg.get("order_by"),
+    )
+
+
+@register("log_to_metric")
+def _t_l2m(cfg, inputs):
+    return stages.log_to_metric(inputs, cfg["metrics"], ts_field=cfg.get("ts_field"))
+
+
+@register("metric_to_log")
+def _t_m2l(cfg, inputs):
+    return stages.metric_to_log(inputs)
+
+
+@register("aggregate")
+def _t_agg(cfg, inputs):
+    return stages.aggregate(
+        inputs, mode=cfg.get("mode", "auto"), interval_ms=cfg.get("interval_ms", 10_000)
+    )
+
+
+@register("reduce")
+def _t_reduce(cfg, inputs):
+    return stages.reduce_stage(
+        inputs,
+        cfg["group_by"],
+        merge_strategies=cfg.get("merge_strategies"),
+        order_by=cfg.get("order_by"),
+        starts_when=cfg.get("starts_when"),
+        ends_when=cfg.get("ends_when"),
+        max_events=cfg.get("max_events"),
+    )
+
+
+@register("window")
+def _t_window(cfg, inputs):
+    return stages.window_stage(
+        inputs,
+        cfg["flush_when"],
+        cfg["group_by"],
+        cfg["order_by"],
+        num_events_before=cfg.get("num_events_before", 5),
+        num_events_after=cfg.get("num_events_after", 5),
+        forward_when=cfg.get("forward_when"),
+    )
+
+
+@register("tag_cardinality_limit")
+def _t_tagcard(cfg, inputs):
+    return stages.tag_cardinality_limit(
+        inputs,
+        cfg["tag_columns"],
+        cfg["value_limit"],
+        cfg["order_by"],
+        limit_exceeded_action=cfg.get("limit_exceeded_action", "drop_tag"),
+    )
+
+
+@register("incremental_to_absolute")
+def _t_inc2abs(cfg, inputs):
+    return stages.incremental_to_absolute(inputs, ts_field=cfg.get("ts_field", "ts"))
+
+
+@register("enrich")
+def _t_enrich(cfg, inputs):
+    table = cfg.get("_table")
+    if table is None:
+        table = EnrichTable.from_csv(
+            cfg["path"], cfg["key_columns"], case_sensitive=cfg.get("case_sensitive", True)
+        )
+    return enrich(
+        inputs,
+        table,
+        on=cfg["on"],
+        select=cfg.get("select"),
+        date_field=cfg.get("date_field"),
+        strict_single=cfg.get("strict_single", True),
+    )
+
+
+@register("python")
+def _t_python(cfg, inputs):
+    """User-extension hook (lua-transform analog): a callable operating
+    on the Dataset or per batch."""
+    fn = cfg["fn"]
+    if cfg.get("per_batch", True):
+        return inputs.map_batches(fn, batch_format=cfg.get("batch_format", "pyarrow"))
+    return fn(inputs)
+
+
+# ------------------------------------------------------------ compile
+
+class Topology:
+    def __init__(self, config: dict):
+        self.config = config
+        self.nodes: Dict[str, dict] = {}
+        for section in ("sources", "transforms", "sinks"):
+            for name, cfg in config.get(section, {}).items():
+                if name in self.nodes:
+                    raise ValueError(f"duplicate component name {name!r}")
+                self.nodes[name] = {"section": section, "cfg": cfg}
+        self._validate()
+        self.datasets: Dict[str, object] = {}
+
+    def _validate(self):
+        """DAG checks (graph.rs:242 typecheck analog: inputs exist, no
+        cycles, sources have no inputs, sinks have no consumers)."""
+        for name, node in self.nodes.items():
+            cfg = node["cfg"]
+            inputs = cfg.get("inputs", [])
+            if node["section"] == "sources" and inputs:
+                raise ValueError(f"source {name!r} cannot have inputs")
+            if node["section"] != "sources" and not inputs:
+                raise ValueError(f"{name!r} needs at least one input")
+            for inp in inputs:
+                base = inp.split(".")[0]
+                if base not in self.nodes:
+                    raise ValueError(f"{name!r} references unknown input {base!r}")
+                if self.nodes[base]["section"] == "sinks":
+                    raise ValueError(f"{name!r} cannot consume from sink {base!r}")
+        # cycle detection (DFS)
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {n: WHITE for n in self.nodes}
+
+        def visit(n):
+            color[n] = GRAY
+            for inp in self.nodes[n]["cfg"].get("inputs", []):
+                b = inp.split(".")[0]
+                if color[b] == GRAY:
+                    raise ValueError(f"cycle through {b!r}")
+                if color[b] == WHITE:
+                    visit(b)
+            color[n] = BLACK
+
+        for n in self.nodes:
+            if color[n] == WHITE:
+                visit(n)
+
+    def _consumers(self) -> Dict[str, int]:
+        out: Dict[str, int] = {}
+        for node in self.nodes.values():
+            for inp in node["cfg"].get("inputs", []):
+                base = inp.split(".")[0]
+                out[base] = out.get(base, 0) + 1
+        return out
+
+    def _input_ds(self, name: str):
+        cfg = self.nodes[name]["cfg"]
+        inputs = cfg.get("inputs", [])
+        parts = []
+        for inp in inputs:
+            base, _, port = inp.partition(".")
+            built = self._build(base)
+            if isinstance(built, dict):
+                if port not in built:
+                    raise ValueError(f"{base!r} has no output port {port!r} (ports: {list(built)})")
+                parts.append(built[port])
+            else:
+                if port:
+                    raise ValueError(f"{base!r} has no named ports")
+                parts.append(built)
+        if len(parts) == 1:
+            return parts[0]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
+    def _build(self, name: str):
+        if name in self.datasets:
+            return self.datasets[name]
+        node = self.nodes[name]
+        cfg = node["cfg"]
+        typ = cfg["type"]
+        if node["section"] == "sinks" and ("sink_" + typ) in _REGISTRY:
+            typ = "sink_" + typ
+        builder = _REGISTRY.get(typ)
+        if builder is None:
+            raise ValueError(f"unknown component type {cfg['type']!r}")
+        upstream = self._input_ds(name) if node["section"] != "sources" else None
+        ds = builder(cfg, upstream)
+        # Fanout clone analog: materialize once when consumed by > 1
+        n_consumers = self._consumers().get(name, 0)
+        if n_consumers > 1 and not isinstance(ds, dict) and node["section"] != "sinks":
+            ds = ds.materialize()
+        self.datasets[name] = ds
+        return ds
+
+    def build(self) -> Dict[str, object]:
+        """Build every sink's Dataset; returns {sink_name: Dataset|dict}."""
+        out = {}
+        for name, node in self.nodes.items():
+            if node["section"] == "sinks":
+                out[name] = self._build(name)
+        return out
+
+
+@register("sink_parquet")
+def _sink_parquet(cfg, inputs):
+    return inputs  # terminal dataset; caller writes via sinks.write_sinks
+
+
+@register("sink_blackhole")
+def _sink_blackhole(cfg, inputs):
+    return inputs
+
+
+def build(config: dict) -> Dict[str, object]:
+    """compile+build: config dict → {sink_name: Dataset} (lazy)."""
+    return Topology(config).build()
