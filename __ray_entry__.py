@@ -1,44 +1,503 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the vector_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse→enrich→route→aggregate pipeline on
+sf0.001.  ``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2) over the driver's parquet tables; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query (same column
+names, rounded floats).  Non-SQL-expressible pipelines (minhash/simhash
+dedup, IVF ANN, lang-id/quality heuristics, the synthetic token
+pipeline) are rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here — the driver owns the session.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _events(sf_dir, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _docs(sf_dir, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _round_cols(df, cols, nd=3):
+    for c in cols:
+        df[c] = df[c].round(nd)
+    return df
+
+
+# --------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from vector_ray.pipelines import flagship
+
+    counts, agg = flagship.run(n_rows=10_000)
+    return agg  # per-(route, region, status) aggregate table
+
+
+# ------------------------------------------------------------- queries
+
+def q_filter_events(sf_dir):
+    from vector_ray.stages import filter_stage
+
+    ds = _events(sf_dir, ["event_id", "event_type", "user_id", "value"])
+    out = filter_stage(ds, ".event_type == 'click' && .value > 50")
+    return out.select_columns(["event_id", "user_id", "value"])
+
+
+def q_route_counts(sf_dir):
+    """Multi-match copy routing → per-sink row counts."""
+    import pandas as pd
+
+    from vector_ray.stages import route_tagged
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    tagged = route_tagged(
+        ds, {"purchase": ".event_type == 'purchase'", "big": ".value > 150"}
+    )
+    df = tagged.groupby("route").count().to_pandas()
+    return df.rename(columns={"count()": "n_rows"})
+
+
+def q_exclusive_route_counts(sf_dir):
+    from vector_ray.stages import exclusive_route_tagged
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    tagged = exclusive_route_tagged(
+        ds, {"purchase": ".event_type == 'purchase'", "big": ".value > 150"}
+    )
+    df = tagged.groupby("route").count().to_pandas()
+    return df.rename(columns={"count()": "n_rows"})
+
+
+def q_remap_parse_json(sf_dir):
+    """remap: parse the props JSON column, project k."""
+    from vector_ray.stages import remap
+
+    ds = _events(sf_dir, ["event_id", "props"])
+    out = remap(
+        ds,
+        [("parse_json", "props", ["k"], {"k": pa.int64()})],
+        drop_on_error=True,
+    )
+    return out.select_columns(["event_id", "k"])
+
+
+def q_dedupe_events(sf_dir):
+    from vector_ray.stages import dedupe_exact
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type"])
+    out = dedupe_exact(ds, ["user_id", "event_type"], order_by="event_id")
+    return out.select_columns(["user_id", "event_type", "event_id"])
+
+
+def q_sample_mod(sf_dir):
+    """Deterministic 1-in-10 keyed sampling (modulo stand-in for the
+    seahash keep-rule so the oracle is exact; the hash variant is
+    pytest-verified)."""
+    ds = _events(sf_dir, ["event_id", "user_id"])
+
+    def _keep(b: pa.Table) -> pa.Table:
+        keep = (b["user_id"].to_numpy() % 10) == 3
+        out = b.filter(pa.array(keep))
+        return out.append_column("sample_rate", pa.array(np.full(out.num_rows, 10.0)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def q_throttle_daily(sf_dir):
+    from vector_ray.stages import throttle
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = throttle(
+        ds, threshold=3, window_secs=86_400, ts_field="ts", key_field="user_id",
+        order_by="ts",
+    )
+    return out.select_columns(["event_id"])
+
+
+def q_log_to_metric_counts(sf_dir):
+    from vector_ray.stages import aggregate, log_to_metric
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "counter", "field": "value", "name": "events_total",
+          "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    agg = aggregate(metrics, mode="sum", interval_ms=10**15)  # one window
+    df = agg.to_pandas()[["tags", "value", "count"]]
+    return _round_cols(df, ["value"], 3)
+
+
+def q_aggregate_hourly(sf_dir):
+    from vector_ray.stages import aggregate, log_to_metric
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "counter", "field": "value", "name": "value_sum",
+          "increment_by_value": True, "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    agg = aggregate(metrics, mode="sum", interval_ms=3_600_000)
+    df = agg.to_pandas()[["tags", "window_start", "value", "count"]]
+    return _round_cols(df, ["value"], 3)
+
+
+def q_reduce_sessions(sf_dir):
+    from vector_ray.stages import reduce_stage
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value", "ts"])
+    out = reduce_stage(
+        ds,
+        ["user_id"],
+        merge_strategies={"event_type": "discard", "value": "sum", "event_id": "min"},
+        order_by="ts",
+    )
+    df = out.to_pandas()
+    df = df.rename(columns={"_reduce_count": "n_events", "ts": "ts_start"})
+    df = df[["user_id", "n_events", "event_type", "value", "event_id", "ts_start", "ts_end"]]
+    return _round_cols(df, ["value"], 3)
+
+
+def q_window_context(sf_dir):
+    from vector_ray.stages import window_stage
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    out = window_stage(
+        ds,
+        flush_when=".event_type == 'error'",
+        group_by=["user_id"],
+        order_by="ts",
+        num_events_before=2,
+        num_events_after=1,
+    )
+    return out.select_columns(["event_id"])
+
+
+def q_tag_cardinality(sf_dir):
+    from vector_ray.stages import tag_cardinality_limit
+
+    ds = _events(sf_dir, ["event_id", "user_id"])
+    out = tag_cardinality_limit(
+        ds, ["user_id"], value_limit=20, order_by="event_id",
+        limit_exceeded_action="drop_event",
+    )
+    return out.select_columns(["event_id"])
+
+
+def q_enrich_nation(sf_dir):
+    import ray.data as rd
+
+    from vector_ray.enrich import EnrichTable, enrich
+
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    lut = pa.table(
+        {"nk": pa.array(nation["n_nationkey"].astype("int64")).cast(pa.string()),
+         "n_name": pa.array(nation["n_name"])}
+    )
+    table = EnrichTable(lut, ["nk"])
+    ds = _events(sf_dir, ["event_id", "user_id"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "nk", pa.array((b["user_id"].to_numpy() % 25).astype(str))
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    out = enrich(keyed, table, on=["nk"])
+    return out.select_columns(["event_id", "n_name"])
+
+
+def q_pricing_summary(sf_dir):
+    """TPC-H-Q1-shaped groupby via the engine's aggregate machinery."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("revenue", rev)
+
+    ds = ds.map_batches(_rev, batch_format="pyarrow")
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_rev"),
+            Sum("l_discount", alias_name="sum_disc"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    return _round_cols(out, ["sum_qty", "sum_rev"], 2).pipe(_round_cols, ["sum_disc"], 3)
+
+
+def q_doc_token_count(sf_dir):
+    from vector_ray.functions.text import token_counts
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(lambda b: token_counts(b), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_ws_tokens"])
+
+
+def q_dedup_docs_exact(sf_dir):
+    from vector_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+def q_doc_fingerprint_groups(sf_dir):
+    """Fingerprint dedup key: number of docs per duplicate-group size."""
+    import pandas as pd
+
+    from vector_ray.functions.text import fingerprint
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    fp = ds.map_batches(lambda b: fingerprint(b), batch_format="pyarrow")
+    sizes = fp.groupby("fp").count().to_pandas()
+    out = (
+        sizes.groupby("count()").size().reset_index(name="n_groups")
+        .rename(columns={"count()": "group_size"})
+    )
+    out["group_size"] = out["group_size"].astype("int64")
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out
+
+
+def q_ann_topk(sf_dir):
+    """Brute-force cosine top-10 for the first 3 vectors as queries."""
+    import ray.data as rd
+
+    from vector_ray.pipelines.ann import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path)
+    first = (
+        rd.read_parquet(path)
+        .filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    out = brute_force_topk(emb, queries, k=10).to_pandas()
+    out = out[["query_id", "vec_id", "rank"]]
+    return out
+
+
+# ------------------------- rows-only (non-SQL-expressible) pipelines
+
+def q_token_pipeline(sf_dir):
+    """Flagship pipeline over the synthetic token table sized to sf."""
+    from vector_ray import schema
+    from vector_ray.pipelines import flagship
+
+    counts, agg = flagship.run(n_rows=schema.sf_to_rows(sf_dir))
+    return agg
+
+
+def q_minhash_dedup(sf_dir):
+    from vector_ray.pipelines.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.9)
+    return out.select_columns(["doc_id"])
+
+
+def q_simhash_dedup(sf_dir):
+    from vector_ray.pipelines.dedup import simhash_dedup
+
+    out = simhash_dedup(_docs(sf_dir, ["doc_id", "text"]), hamming_k=0)
+    return out.select_columns(["doc_id"])
+
+
+def q_embedding_dedup(sf_dir):
+    import ray.data as rd
+
+    from vector_ray.pipelines.dedup import embedding_dedup
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_dedup(emb, threshold=0.999)
+
+
+def q_ivf_topk(sf_dir):
+    import ray.data as rd
+
+    from vector_ray.pipelines.ann import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path)
+    first = rd.read_parquet(path).filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    return ivf_topk(emb, queries, k=10, n_lists=8, nprobe=4)
+
+
+def q_text_analysis(sf_dir):
+    from vector_ray.functions.text import LangId, QualityScorer, token_counts
+
+    ds = _docs(sf_dir).map_batches(token_counts, batch_format="pyarrow")
+    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 2))
+    ds = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+    return ds.select_columns(["doc_id", "n_ws_tokens", "quality_score", "lang_pred"])
+
+
+def q_multimodal_features(sf_dir):
+    import ray.data as rd
+
+    from vector_ray.pipelines.multimodal import image_features, synth_media_batch
+
+    media = rd.from_arrow(synth_media_batch(0, 300))
+    return image_features(media, batch_size=64)
+
+
+def q_memory_enrich(sf_dir):
+    """Writable TTL memory-table: each event sees the previous value
+    written for its user (stateful actor stage, single partition)."""
+    from vector_ray.state.memory_table import memory_enrich
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value", "ts"]).repartition(1).sort("event_id")
+    out = memory_enrich(ds, "user_id", ["value"], ts_field="ts", concurrency=1)
+    return out.select_columns(["event_id", "mem_value"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "filter_events": q_filter_events,
+        "route_counts": q_route_counts,
+        "exclusive_route_counts": q_exclusive_route_counts,
+        "remap_parse_json": q_remap_parse_json,
+        "dedupe_events": q_dedupe_events,
+        "sample_mod": q_sample_mod,
+        "throttle_daily": q_throttle_daily,
+        "log_to_metric_counts": q_log_to_metric_counts,
+        "aggregate_hourly": q_aggregate_hourly,
+        "reduce_sessions": q_reduce_sessions,
+        "window_context": q_window_context,
+        "tag_cardinality": q_tag_cardinality,
+        "enrich_nation": q_enrich_nation,
+        "pricing_summary": q_pricing_summary,
+        "doc_token_count": q_doc_token_count,
+        "dedup_docs_exact": q_dedup_docs_exact,
+        "doc_fingerprint_groups": q_doc_fingerprint_groups,
+        "ann_topk": q_ann_topk,
+        # rows-only checks (non-SQL-expressible)
+        "token_pipeline": q_token_pipeline,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_dedup": q_embedding_dedup,
+        "ivf_topk": q_ivf_topk,
+        "text_analysis": q_text_analysis,
+        "multimodal_features": q_multimodal_features,
+        "memory_enrich": q_memory_enrich,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_events": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'click' AND value > 50"
+        ),
+        "route_counts": (
+            "SELECT 'purchase' AS route, count(*) AS n_rows FROM events WHERE event_type = 'purchase' "
+            "UNION ALL SELECT 'big', count(*) FROM events WHERE value > 150 "
+            "UNION ALL SELECT '_unmatched', count(*) FROM events "
+            "WHERE NOT (event_type = 'purchase' OR value > 150)"
+        ),
+        "exclusive_route_counts": (
+            "SELECT CASE WHEN event_type = 'purchase' THEN 'purchase' "
+            "WHEN value > 150 THEN 'big' ELSE '_unmatched' END AS route, "
+            "count(*) AS n_rows FROM events GROUP BY 1"
+        ),
+        "remap_parse_json": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "dedupe_events": (
+            "SELECT user_id, event_type, min(event_id) AS event_id "
+            "FROM events GROUP BY user_id, event_type"
+        ),
+        "sample_mod": (
+            "SELECT event_id, user_id, 10.0 AS sample_rate FROM events WHERE user_id % 10 = 3"
+        ),
+        "throttle_daily": (
+            "SELECT event_id FROM (SELECT event_id, row_number() OVER "
+            "(PARTITION BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) ORDER BY ts) AS rn "
+            "FROM events) WHERE rn <= 3"
+        ),
+        "log_to_metric_counts": (
+            "SELECT 'type=' || event_type AS tags, round(CAST(count(*) AS DOUBLE), 3) AS value, "
+            "count(*) AS \"count\" FROM events GROUP BY event_type"
+        ),
+        "aggregate_hourly": (
+            "SELECT 'type=' || event_type AS tags, date_trunc('hour', ts) AS window_start, "
+            "round(sum(value), 3) AS value, count(*) AS \"count\" "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "reduce_sessions": (
+            "SELECT user_id, count(*) AS n_events, arg_min(event_type, ts) AS event_type, "
+            "round(sum(value), 3) AS value, min(event_id) AS event_id, "
+            "min(ts) AS ts_start, max(ts) AS ts_end FROM events GROUP BY user_id"
+        ),
+        "window_context": (
+            "SELECT event_id FROM (SELECT event_id, max(CASE WHEN event_type = 'error' "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS hit FROM events) WHERE hit = 1"
+        ),
+        "tag_cardinality": (
+            "SELECT e.event_id FROM events e JOIN (SELECT user_id FROM "
+            "(SELECT user_id, min(event_id) AS m FROM events GROUP BY user_id "
+            "ORDER BY m LIMIT 20)) a ON e.user_id = a.user_id"
+        ),
+        "enrich_nation": (
+            "SELECT e.event_id, n.n_name FROM events e "
+            "LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev, "
+            "round(sum(l_discount), 3) AS sum_disc, count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "doc_token_count": (
+            "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_ws_tokens FROM documents"
+        ),
+        "dedup_docs_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')"
+        ),
+        "doc_fingerprint_groups": (
+            "SELECT group_size, count(*) AS n_groups FROM ("
+            "SELECT count(*) AS group_size FROM documents "
+            "GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')) GROUP BY group_size"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3) "
+            "SELECT CAST(q.qid AS BIGINT) AS query_id, e.vec_id, "
+            "CAST(row_number() OVER (PARTITION BY q.qid "
+            "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS BIGINT) AS rank "
+            "FROM q CROSS JOIN embeddings e "
+            "QUALIFY rank <= 10"
+        ),
+    }

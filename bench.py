@@ -1,0 +1,177 @@
+"""Benchmark driver — headline pipeline + per-query timings.
+
+Headline: the flagship parse → enrich → route → per-sink-aggregate
+pipeline over the synthetic pre-tokenized sequence table sized to the
+scale factor (sf0.1 → 2M rows ≈ 610M tokens), consumed by the sink
+aggregate (no disk write in the timed section; write throughput is
+reported separately in BENCH/).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": headline_sec, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports throughputs +
+efficiency eff = (t8/t32)/4 (the sandbox stand-in for the N vs 4N
+node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def sf_label(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vector_ray import schema
+    from vector_ray.pipelines import flagship
+
+    n_rows = schema.sf_to_rows(SF_DIR)
+    tokens_dir = schema.token_table_path(n_rows)
+
+    # warm the OS page cache so we measure compute+shuffle, not cold reads
+    t0 = time.time()
+    rd.read_parquet(tokens_dir).count()
+    warm_sec = time.time() - t0
+
+    timings: dict = {}
+
+    # headline: full flagship, consumed by the per-sink aggregate
+    t0 = time.time()
+    counts, agg = flagship.run(tokens_dir=tokens_dir, n_rows=n_rows)
+    headline = time.time() - t0
+    total_routed = int(sum(counts.values()))
+    timings["flagship_pipeline"] = round(headline, 3)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "flagship wall (headline only)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_label(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "input_rows": n_rows,
+            "rows_per_sec": round(n_rows / headline, 1),
+        }
+
+    # representative operator timings over the driver testdata tables
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "filter_events",
+        "aggregate_hourly",
+        "dedupe_events",
+        "throttle_daily",
+        "enrich_nation",
+        "pricing_summary",
+        "minhash_dedup",
+        "ann_topk",
+    ):
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume (Datasets are lazy)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship parse→enrich→route→aggregate wall time over "
+        f"{n_rows} pre-tokenized sequences",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "input_rows": n_rows,
+        "routed_rows": total_routed,
+        "rows_per_sec": round(n_rows / headline, 1),
+        "warm_read_sec": round(warm_sec, 3),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes at N and 4N parallel slots.
+
+    Default pair 1 → 4 with VECTOR_RAY_TASK_CPUS=1, so the number of
+    concurrently running pipeline tasks equals num_cpus — the faithful
+    stand-in for N vs 4N nodes.  (This VM's 32 advertised vCPUs are
+    backed by ~4 physical cores; beyond 4 concurrent heavy tasks the
+    host oversubscribes and wall time INCREASES — measured flagship
+    walls at num_cpus 1/2/4/8/16/32 = 35/17/9.8/11/22/35 s with 1 CPU
+    per task.  Levels are overridable via BENCH_SCALE_LO/HI.)
+    """
+    lo_n = int(os.environ.get("BENCH_SCALE_LO", "1"))
+    hi_n = int(os.environ.get("BENCH_SCALE_HI", str(lo_n * 4)))
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            VECTOR_RAY_TASK_CPUS="1",
+            BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(lo_n), one(hi_n)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    return {
+        "metric": f"scaling efficiency, {lo_n} → {hi_n} parallel task slots "
+        "(stand-in for N vs 4N nodes; 1 CPU per task)",
+        f"sec_{lo_n}": t_lo,
+        f"sec_{hi_n}": t_hi,
+        f"rows_per_sec_{lo_n}": lo["rows_per_sec"],
+        f"rows_per_sec_{hi_n}": hi["rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "input_rows": hi["input_rows"],
+        "sf": hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,187 @@
+"""Flagship pipeline, dedup suite, ANN, text analysis, multimodal
+plumbing — over real testdata (documents/embeddings) and the synthetic
+token table, with single-process numpy/pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_ds():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_flagship_counts_match_oracle(tmp_path):
+    from vector_ray.pipelines import flagship
+    from vector_ray import schema, parse
+
+    n = 2000
+    counts, agg = flagship.run(n_rows=n, out_dir=str(tmp_path / "sinks"))
+    # oracle: recompute routes in pure numpy from the generators.
+    # route COPIES rows to every matching sink (route.rs multi-match).
+    i = np.arange(n)
+    status = parse.status_for(i)
+    n_tok = schema.n_tok_for(np.arange(n))
+    assert counts["errors"] == int((status == 500).sum())
+    assert counts["big"] == int((n_tok >= 1024).sum())
+    assert counts["ok"] == int((status != 500).sum())
+    assert "_unmatched" not in counts  # every row matches ≥1 route
+    assert agg["n_rows"].sum() == sum(counts.values())
+
+
+def test_flagship_token_equality(tmp_path):
+    """The end-to-end per-row invariant: tokens byte-identical after the
+    full parse→enrich→route→write pipeline."""
+    from vector_ray.pipelines import flagship
+    from vector_ray import schema
+
+    n = 500
+    out = str(tmp_path / "sinks")
+    flagship.run(n_rows=n, out_dir=out)
+    written = pq.read_table(out).sort_by("doc_id")
+    # routes can copy rows; dedupe doc_ids then compare against generator
+    df = written.to_pandas().drop_duplicates("doc_id").sort_values("doc_id")
+    gen = schema.token_batch(0, n)
+    gen_tokens = gen["tokens"].to_pylist()
+    got_tokens = [list(v) for v in df["tokens"]]
+    assert got_tokens == gen_tokens
+    assert df["source"].tolist() == gen["source"].to_pylist()
+
+
+def test_exact_dedup_docs():
+    from vector_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds()).to_pandas()
+    # oracle: min doc_id per normalized text
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    norm = df["text"].str.lower().str.split().str.join(" ")
+    expect = df.assign(norm=norm).groupby("norm")["doc_id"].min().sort_values()
+    assert sorted(out["doc_id"]) == sorted(expect)
+
+
+def test_minhash_dedup_drops_near_dupes():
+    from vector_ray.pipelines.dedup import minhash_lsh_dedup
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # append exact copies of 5 docs with new ids → must be dropped
+    dup = df.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    ds = rd.from_pandas(pd.concat([df, dup], ignore_index=True))
+    out = minhash_lsh_dedup(ds, jaccard_threshold=0.9)
+    ids = set(out.to_pandas()["doc_id"])
+    assert all(d not in ids for d in dup["doc_id"])  # copies dropped
+    assert all(d in ids for d in df.head(5)["doc_id"])  # originals kept
+
+
+def test_simhash_dedup_drops_exact_copies():
+    from vector_ray.pipelines.dedup import simhash_dedup
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(100)
+    dup = df.head(3).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    ds = rd.from_pandas(pd.concat([df, dup], ignore_index=True))
+    out = simhash_dedup(ds, hamming_k=0)
+    ids = set(out.to_pandas()["doc_id"])
+    assert all(d not in ids for d in dup["doc_id"])
+    assert all(d in ids for d in df.head(3)["doc_id"])
+
+
+def test_ngram_jaccard_dedup():
+    from vector_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(50)
+    dup = df.head(2).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    ds = rd.from_pandas(pd.concat([df, dup], ignore_index=True))
+    out = ngram_jaccard_dedup(ds, threshold=0.95)
+    ids = set(out.to_pandas()["doc_id"])
+    assert all(d not in ids for d in dup["doc_id"])
+
+
+def test_embedding_dedup():
+    from vector_ray.pipelines.dedup import embedding_dedup
+
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    dup = df.head(4).copy()
+    dup["vec_id"] = dup["vec_id"] + 100_000
+    ds = rd.from_pandas(pd.concat([df, dup], ignore_index=True))
+    out = embedding_dedup(ds, threshold=0.999)
+    ids = set(out.to_pandas()["vec_id"])
+    assert all(d not in ids for d in dup["vec_id"])
+    assert all(d in ids for d in df.head(4)["vec_id"])
+
+
+def test_brute_force_topk_matches_numpy():
+    from vector_ray.pipelines.ann import brute_force_topk
+
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(df["embedding"].to_numpy())
+    queries = mat[:3]
+    out = brute_force_topk(rd.from_pandas(df), queries, k=5).to_pandas()
+    # numpy oracle
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = qn @ vn.T
+    for qi in range(3):
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        # oracle top-5 with (score desc, id asc) tiebreak
+        order = sorted(range(sim.shape[1]), key=lambda j: (-sim[qi, j], df["vec_id"][j]))
+        expect = [int(df["vec_id"][j]) for j in order[:5]]
+        assert got == expect
+    assert got[0] == int(df["vec_id"][2])  # query 2 nearest itself
+
+
+def test_ivf_topk_recall():
+    from vector_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(df["embedding"].to_numpy())
+    queries = mat[10:15]
+    exact = brute_force_topk(rd.from_pandas(df), queries, k=10).to_pandas()
+    approx = ivf_topk(rd.from_pandas(df), queries, k=10, n_lists=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 lists → decent recall
+
+
+def test_text_analysis():
+    from vector_ray.functions.text import LangId, QualityScorer, token_counts
+
+    ds = docs_ds().map_batches(token_counts, batch_format="pyarrow")
+    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 2))
+    ds = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+    df = ds.to_pandas()
+    # whitespace token count matches pandas oracle
+    oracle = pq.read_table(f"{SF}/documents.parquet").to_pandas()["text"].str.split().str.len()
+    assert df["n_ws_tokens"].tolist() == oracle.tolist()
+    assert ((df["quality_score"] >= 0) & (df["quality_score"] <= 1)).all()
+    # docs here are english-ish keyword soup; lang_pred returns a valid label
+    assert set(df["lang_pred"]) <= {"en", "fr", "es", "de", "zh", "und"}
+
+
+def test_multimodal_plumbing():
+    from vector_ray.pipelines.multimodal import (
+        FrameSampler,
+        fake_image_decoder,
+        image_features,
+        sample_frames,
+        synth_media_batch,
+    )
+
+    media = rd.from_arrow(synth_media_batch(0, 60))
+    feats = image_features(media, batch_size=16, concurrency=(1, 2)).to_pandas()
+    assert len(feats) == 20  # every 3rd row is an image
+    assert all(len(v) == 3 for v in feats["mean_rgb"])
+    # deterministic: same input → same features
+    m0 = synth_media_batch(0, 3)
+    img = fake_image_decoder(m0["payload"][0].as_py(), 64, 64)
+    assert img.shape == (64, 64, 3)
+    frames = sample_frames(media, every_ms=500).to_pandas()
+    assert (frames.groupby("media_id").size() >= 2).all()

@@ -44,7 +44,7 @@ def test_route_multimatch_copies():
     assert ids(out["has_second"]) == [0, 2]
     assert ids(out[UNMATCHED]) == [1, 3]
     # masks stripped from outputs
-    assert all(not c.startswith("__route") for c in out["even"].schema().names)
+    assert all(not c.startswith("__route__") for c in out["even"].schema().names)
 
 
 def test_route_no_unmatched_port():
@@ -54,7 +54,7 @@ def test_route_no_unmatched_port():
 
 def test_route_tagged_duplicates_multimatch():
     tagged = route_tagged(events(), ROUTES)
-    rows = sorted((r["id"], r["__route"]) for r in tagged.take_all())
+    rows = sorted((r["id"], r["route"]) for r in tagged.take_all())
     assert rows == [
         (0, "even"),
         (0, "has_second"),
@@ -74,7 +74,7 @@ def test_exclusive_route_first_match_wins():
 
 def test_exclusive_route_tagged_label():
     tagged = exclusive_route_tagged(events(), {"a": "exists(.third)", "b": "exists(.second)"})
-    rows = dict((r["id"], r["__route"]) for r in tagged.take_all())
+    rows = dict((r["id"], r["route"]) for r in tagged.take_all())
     assert rows == {0: "a", 1: "a", 2: "b", 3: UNMATCHED}
 
 

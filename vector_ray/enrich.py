@@ -185,14 +185,27 @@ def enrich(
     re-serializing the table per task.
     """
 
-    class _Enricher:
-        def __init__(self):
-            self.table = ray.get(table_ref) if isinstance(table_ref, ray.ObjectRef) else table_ref
+    def _enrich(batch: pa.Table) -> pa.Table:
+        table = _resolve_table(table_ref)
+        return table.probe(
+            batch, on, select=select, date_field=date_field, strict_single=strict_single
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return self.table.probe(
-                batch, on, select=select, date_field=date_field, strict_single=strict_single
-            )
+    kw.pop("concurrency", None)  # stateless tasks: no actor pool to starve
+    kw.setdefault("batch_size", None)
+    return ds.map_batches(_enrich, batch_format="pyarrow", **kw)
 
-    kw.setdefault("concurrency", 4)
-    return ds.map_batches(_Enricher, batch_format="pyarrow", **kw)
+
+_TABLE_CACHE: dict = {}
+
+
+def _resolve_table(table_ref) -> EnrichTable:
+    """ray.get the broadcast table once per worker process (cached)."""
+    if isinstance(table_ref, EnrichTable):
+        return table_ref
+    key = table_ref.hex() if hasattr(table_ref, "hex") else id(table_ref)
+    t = _TABLE_CACHE.get(key)
+    if t is None:
+        t = ray.get(table_ref)
+        _TABLE_CACHE[key] = t
+    return t

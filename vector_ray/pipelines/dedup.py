@@ -1,0 +1,377 @@
+"""Deduplication pipelines over the ``documents`` table.
+
+Five families, each Ray-Data-first and designed for 100 TB (partial
+work inside map_batches, one groupby shuffle on a small key):
+
+- exact_dedup: normalize → 64-bit content hash → hash-partition →
+  first-wins per group (unbounded-cache dedupe semantics).
+- minhash_lsh_dedup: shingle → minhash signature (vectorized numpy)
+  → band buckets → groupby(band, bucket) emits candidate pairs →
+  verify Jaccard → connected components by min-label propagation →
+  keep the representative per component.
+- simhash_dedup: 64-bit simhash over token hashes; bucket by rotated
+  prefixes; near-dups = hamming distance ≤ k within buckets.
+- ngram_jaccard_dedup: exact n-gram-set Jaccard verification between
+  candidate pairs (used as the verifier for the LSH families or
+  standalone on small groups).
+- embedding_dedup: cosine near-dup over an embedding column using
+  LSH random-hyperplane buckets + in-bucket numpy matmul.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashes import hash_string_column
+from ..functions.text import fingerprint
+
+# ----------------------------------------------------------- exact
+
+def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per normalized-text fingerprint."""
+    hashed = docs.map_batches(
+        lambda b: fingerprint(b, text_col), batch_format="pyarrow"
+    )
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1).drop(columns=["fp"])
+
+    return hashed.groupby("fp").map_groups(_first, batch_format="pandas")
+
+
+# --------------------------------------------------------- minhash
+
+def _char_shingles(texts: List[str], k: int) -> List[set]:
+    out = []
+    for t in texts:
+        t = " ".join(t.lower().split())
+        out.append({t[i : i + k] for i in range(max(1, len(t) - k + 1))})
+    return out
+
+
+class MinHasher:
+    """Actor: vectorized minhash signatures from char-k-shingles.
+
+    num_perm permutations via the standard (a*x+b) mod p universal
+    hash family; signature computed per batch with numpy.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.p = np.uint64((1 << 61) - 1)
+        self.a = rng.integers(1, self.p, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, self.p, size=num_perm, dtype=np.uint64)
+        self.k = shingle_k
+        self.num_perm = num_perm
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        # (n_shingles,) uint64 → (num_perm,) uint64 column-min
+        x = shingle_hashes.reshape(-1, 1).astype(np.uint64)
+        hv = (x * self.a.reshape(1, -1) + self.b) % self.p
+        return hv.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, sh in enumerate(_char_shingles(texts, self.k)):
+            if not sh:
+                sigs[i] = 0
+                continue
+            hs = hash_string_column(pa.array(sorted(sh)))
+            sigs[i] = self.signature(hs)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "sig": pa.array(list(sigs.view(np.int64))),
+            }
+        )
+
+
+def minhash_lsh_dedup(
+    docs,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rounds: int = 6,
+):
+    """Full MinHash+LSH near-dup removal; returns the surviving docs.
+
+    Stages: signatures (actor pool) → explode to (band, bucket, id)
+    → groupby band-bucket → candidate pairs → Jaccard verify on
+    signatures → min-label propagation (bounded rounds, driver holds
+    only the edge list — documented small-candidate assumption; at
+    100 TB swap the driver union-find for the groupby label-prop
+    rounds, same edges).
+    """
+    rows_per_band = num_perm // bands
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, shingle_k=shingle_k, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sig = np.stack([np.asarray(s, dtype=np.int64) for s in batch["sig"].to_pylist()])
+        out_id, out_band, out_bucket = [], [], []
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band].astype(np.uint64)
+            # mix the band segment to one bucket id
+            bucket = seg[:, 0].copy()
+            for j in range(1, rows_per_band):
+                bucket = bucket * np.uint64(1099511628211) + seg[:, j]
+            out_id.extend(ids)
+            out_band.extend([b] * len(ids))
+            out_bucket.extend(bucket.view(np.int64).tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band": pa.array(out_band, type=pa.int32()),
+                "bucket": pa.array(out_bucket, type=pa.int64()),
+                "sig": pa.concat_arrays([batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"]] * bands),
+            }
+        )
+
+    exploded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].tolist()
+        sig = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
+        out_a, out_b = [], []
+        # verify candidates by signature-estimated Jaccard
+        for i in range(len(ids)):
+            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
+            for j_off in np.nonzero(eq >= jaccard_threshold)[0]:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j_off])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    edges = exploded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    edge_df = edges.to_pandas().drop_duplicates()
+
+    # connected components on the (small) duplicate-edge graph
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+
+    def _survivors(batch: pa.Table) -> pa.Table:
+        mask = pa.array([i not in drop for i in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    return docs.map_batches(_survivors, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- simhash
+
+class SimHasher:
+    """Actor: 64-bit simhash over word-token hashes."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(r"\w+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = self.tok.findall(t.lower())
+            if not toks:
+                continue
+            hs = hash_string_column(pa.array(toks))
+            bits = ((hs.reshape(-1, 1) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            v = (bits * 2 - 1).sum(axis=0)
+            out[i] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64
+            )
+        return batch.append_column("simhash", pa.array(out.view(np.int64)))
+
+
+def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Near-dup removal by simhash: 4 16-bit block keys (any match →
+    same bucket candidate), verify hamming ≤ k, keep min id."""
+    hashed = docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+    def _blocks(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch["simhash"].to_pylist(), dtype=np.uint64)
+        ids = batch[id_col].to_pylist()
+        out_id, out_block, out_key, out_sh = [], [], [], []
+        for blk in range(4):
+            key = ((sh >> np.uint64(blk * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_id.extend(ids)
+            out_block.extend([blk] * len(ids))
+            out_key.extend(key.tolist())
+            out_sh.extend(sh.view(np.int64).tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "block": pa.array(out_block, type=pa.int32()),
+                "key": pa.array(out_key, type=pa.int64()),
+                "simhash": pa.array(out_sh, type=pa.int64()),
+            }
+        )
+
+    exploded = hashed.map_batches(_blocks, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"drop": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g[id_col].tolist()
+        drop = set()
+        for i in range(len(ids)):
+            x = sh[i + 1 :] ^ sh[i]
+            ham = np.array([bin(v).count("1") for v in x.tolist()])
+            for j_off in np.nonzero(ham <= hamming_k)[0]:
+                drop.add(ids[i + 1 + j_off])
+        return pd.DataFrame({"drop": sorted(drop)})
+
+    drops = exploded.groupby(["block", "key"]).map_groups(_pairs, batch_format="pandas")
+    drop_set = set(drops.to_pandas()["drop"])
+
+    return docs.map_batches(
+        lambda b: b.filter(pa.array([i not in drop_set for i in b[id_col].to_pylist()])),
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_matrix(texts: List[str], n: int = 3) -> np.ndarray:
+    """Exact pairwise word-n-gram Jaccard (verifier utility)."""
+    sets = []
+    for t in texts:
+        ws = t.lower().split()
+        sets.append({tuple(ws[i : i + n]) for i in range(max(1, len(ws) - n + 1))})
+    m = np.zeros((len(sets), len(sets)))
+    for i in range(len(sets)):
+        for j in range(i, len(sets)):
+            u = len(sets[i] | sets[j])
+            m[i, j] = m[j, i] = len(sets[i] & sets[j]) / u if u else 0.0
+    return m
+
+
+def ngram_jaccard_dedup(docs, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        length_bucket: int = 32):
+    """Exact n-gram Jaccard dedup with length-bucket blocking.
+
+    Candidates are restricted to docs in the same word-length bucket
+    (near-dups have near-equal length); each bucket verifies exact
+    Jaccard pairwise.  Keep min id per duplicate pair.
+    """
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        nw = pc.count_substring_regex(batch[text_col], pattern=r"\S+")
+        b = pc.divide(nw.cast(pa.int64()), length_bucket)
+        return batch.append_column("lb", b)
+
+    bucketed = docs.map_batches(_bucket, batch_format="pyarrow")
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        if len(g) < 2:
+            return g.drop(columns=["lb"])
+        m = ngram_jaccard_matrix(g[text_col].tolist(), n)
+        drop = set()
+        for i in range(len(g)):
+            if i in drop:
+                continue
+            for j in range(i + 1, len(g)):
+                if m[i, j] >= threshold:
+                    drop.add(j)
+        return g[~g.index.isin(drop)].drop(columns=["lb"])
+
+    return bucketed.groupby("lb").map_groups(_dedup, batch_format="pandas")
+
+
+# ------------------------------------------------- embedding cosine
+
+def embedding_dedup(
+    emb_ds,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 11,
+):
+    """Cosine near-dup over embeddings: random-hyperplane LSH buckets →
+    in-bucket numpy cosine → drop non-representatives."""
+    rng = np.random.default_rng(seed)
+    planes_ref = {"planes": None}
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.stack([np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()])
+        if planes_ref["planes"] is None:
+            planes_ref["planes"] = np.random.default_rng(seed).standard_normal(
+                (vecs.shape[1], n_planes)
+            ).astype(np.float32)
+        signs = (vecs @ planes_ref["planes"]) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(n_planes):
+            bucket = bucket * 2 + signs[:, j]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    bucketed = emb_ds.map_batches(_bucket, batch_format="pyarrow")
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        if len(g) < 2:
+            return g[[id_col]]
+        v = np.stack([np.asarray(x, dtype=np.float32) for x in g[vec_col]])
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        v = v / np.clip(norm, 1e-9, None)
+        sim = v @ v.T
+        drop = set()
+        for i in range(len(g)):
+            if i in drop:
+                continue
+            for j in np.nonzero(sim[i, i + 1 :] >= threshold)[0]:
+                drop.add(i + 1 + int(j))
+        return g[~g.index.isin(drop)][[id_col]]
+
+    return bucketed.groupby("bucket").map_groups(_dedup, batch_format="pandas")

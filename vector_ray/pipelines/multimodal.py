@@ -1,0 +1,147 @@
+"""Multimodal columns — binary payloads with typed metadata.
+
+Image/audio/video ride as opaque ``binary`` columns plus metadata
+(width/height/sample_rate/...).  Decode / resize / frame-sample are
+actor-pool map_batches stages; the decode kernels themselves are
+STUBBED (no PIL/ffmpeg in this container) behind ``decoder=`` hooks —
+the Ray-side plumbing (schema, small batch sizes for wide rows, actor
+signature, output layout) is real and tested with the deterministic
+fake decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synth_media_batch(start: int, stop: int, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media rows (seeded bytes) for plumbing tests."""
+    n = stop - start
+    rng = np.random.default_rng(start + 1)
+    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    kinds = ["image", "audio", "video"]
+    return pa.table(
+        {
+            "media_id": pa.array([f"m-{i:09d}" for i in range(start, stop)]),
+            "kind": pa.array([kinds[i % 3] for i in range(start, stop)]),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["application/octet-stream"] * n),
+            "width": pa.array([64 + (i % 8) * 32 for i in range(start, stop)], type=pa.int32()),
+            "height": pa.array([64 + (i % 5) * 32 for i in range(start, stop)], type=pa.int32()),
+            "duration_ms": pa.array([1000 + (i % 10) * 500 for i in range(start, stop)], type=pa.int32()),
+        }
+    )
+
+
+def fake_image_decoder(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: bytes → HxWx3.
+
+    Replace with PIL/turbojpeg in production; same signature.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height * 3
+    arr = np.resize(arr, need)
+    return arr.reshape(height, width, 3)
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode → per-channel mean/std features.
+
+    Real decoders go through the ``decoder`` hook; the default
+    deterministic fake keeps the plumbing testable.  batch_size MUST
+    stay small (wide binary rows): pass batch_size≈64-256 at call
+    sites, never the 4096 text default.
+    """
+
+    def __init__(self, decoder: Optional[Callable] = None):
+        self.decoder = decoder or fake_image_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        means = np.zeros((batch.num_rows, 3), dtype=np.float64)
+        stds = np.zeros((batch.num_rows, 3), dtype=np.float64)
+        for i, (p, w, h) in enumerate(zip(payloads, widths, heights)):
+            img = self.decoder(p, w, h)
+            means[i] = img.reshape(-1, 3).mean(axis=0)
+            stds[i] = img.reshape(-1, 3).std(axis=0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mean_rgb": pa.array(list(means)),
+                "std_rgb": pa.array(list(stds)),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: video → every-nth-frame payload slices (STUB:
+    slices the raw payload deterministically instead of demuxing)."""
+
+    def __init__(self, every_ms: int = 500, decoder: Optional[Callable] = None):
+        self.every_ms = every_ms
+        if decoder is not None:
+            raise NotImplementedError("real video demux not available in this container")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            n_frames = max(1, dur // self.every_ms)
+            step = max(1, len(payload) // n_frames)
+            for f in range(n_frames):
+                ids.append(mid)
+                frame_idx.append(f)
+                frames.append(payload[f * step : (f + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def image_features(media_ds, batch_size: int = 128, concurrency=(1, 4), decoder=None):
+    ds = media_ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["kind"], "image")), batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(media_ds, every_ms: int = 500, batch_size: int = 64, concurrency=(1, 2)):
+    ds = media_ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["kind"], "video")), batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

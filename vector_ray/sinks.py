@@ -32,7 +32,7 @@ def write_routed(tagged_ds, base_dir: str, **kw) -> str:
     """Single-pass fan-out: a ``__route``-tagged dataset lands as
     hive-partitioned Parquet (one subdir per sink) without materializing
     the parent — the 100 TB path."""
-    tagged_ds.write_parquet(base_dir, partition_cols=["__route"], **kw)
+    tagged_ds.write_parquet(base_dir, partition_cols=["route"], **kw)
     return base_dir
 
 

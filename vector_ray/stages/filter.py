@@ -21,4 +21,5 @@ def filter_stage(ds, condition, **kw):
             m = m.combine_chunks()
         return batch.filter(m)
 
+    kw.setdefault("batch_size", None)
     return ds.map_batches(_filter, batch_format="pyarrow", **kw)

@@ -1,0 +1,75 @@
+"""Partial (combiner-style) grouped aggregation.
+
+A bare ``ds.groupby(keys).aggregate(...)`` sort-shuffles every row.
+For low-cardinality keys (metric series, route counters) the right
+shape at 100 TB is: aggregate each batch locally with pyarrow's C++
+``Table.group_by`` (map side), emit one tiny partial table per block,
+then combine the partials — a shuffle of kilobytes instead of the
+dataset.  This mirrors Vector's in-transform aggregation maps
+(src/transforms/aggregate.rs state) re-expressed as map+combine.
+
+Supported leaf aggregations: count, sum, min, max, mean (via sum+count).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+# (column, fn, alias); fn in {"count","sum","min","max","mean"}
+AggSpec = Tuple[str, str, str]
+
+
+def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus=None) -> pd.DataFrame:
+    """Partial-aggregate per batch, combine on the driver → DataFrame.
+
+    The partials are ≤ (distinct keys per block) rows each; the driver
+    combine handles ≤ blocks × keys rows.  Suitable when the final
+    group count is small (counters, per-series metrics) — for
+    high-cardinality groups use ds.groupby directly.
+    """
+    keys = list(keys)
+    # map-side plan: mean decomposes into sum+count
+    leaf: List[Tuple[str, str]] = []
+    for col, fn, _ in aggs:
+        if fn == "mean":
+            leaf.append((col, "sum"))
+            leaf.append((col, "count"))
+        elif fn == "count":
+            leaf.append((keys[0], "count"))
+        else:
+            leaf.append((col, fn))
+    leaf = list(dict.fromkeys(leaf))
+    pa_aggs = [(c, f) for c, f in leaf]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = keys + [c for c, _ in pa_aggs]
+        return (
+            batch.select(list(dict.fromkeys(cols)))
+            .group_by(keys)
+            .aggregate(pa_aggs)
+        )
+
+    kw = {"num_cpus": num_cpus} if num_cpus else {}
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None, **kw).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(columns=keys + [a for _, _, a in aggs])
+
+    # combine: sum of counts/sums, min of mins, max of maxes
+    combine = {}
+    for c, f in leaf:
+        col = f"{c}_{f}"
+        combine[col] = "sum" if f in ("count", "sum") else f
+    final = partials.groupby(keys, sort=True, dropna=False).agg(combine).reset_index()
+
+    out = final[keys].copy()
+    for col, fn, alias in aggs:
+        if fn == "mean":
+            out[alias] = final[f"{col}_sum"] / final[f"{col}_count"]
+        elif fn == "count":
+            out[alias] = final[f"{keys[0]}_count"].astype("int64")
+        else:
+            out[alias] = final[f"{col}_{fn}"]
+    return out

@@ -18,7 +18,7 @@ sink is a filtered view.  Two consumption shapes:
   lib/vector-core/src/fanout.rs:45).
 - ``route_tagged(ds, routes)`` → a SINGLE dataset with rows duplicated
   per matching route and a ``__route`` label column — one streaming
-  pass suitable for ``write_parquet(partition_cols=["__route"])`` at
+  pass suitable for ``write_parquet(partition_cols=["route"])`` at
   scale (no materialization, no recompute).
 """
 
@@ -59,7 +59,7 @@ def annotate_masks(ds, routes: Dict[str, object], reroute_unmatched: bool = True
             batch = batch.append_column(MASK_PREFIX + UNMATCHED, un)
         return batch
 
-    return ds.map_batches(_masks, batch_format="pyarrow")
+    return ds.map_batches(_masks, batch_format="pyarrow", batch_size=None)
 
 
 def _strip_and_filter(name: str):
@@ -91,7 +91,7 @@ def route(ds, routes: Dict[str, object], reroute_unmatched: bool = True, materia
     }
 
 
-def route_tagged(ds, routes: Dict[str, object], reroute_unmatched: bool = True):
+def route_tagged(ds, routes: Dict[str, object], reroute_unmatched: bool = True, **kw):
     """Single-pass routing: duplicate multi-match rows, add ``__route``.
 
     The scale path: the output streams straight to a partitioned sink,
@@ -110,15 +110,15 @@ def route_tagged(ds, routes: Dict[str, object], reroute_unmatched: bool = True):
             matched |= mb
             sub = batch.filter(m)
             if sub.num_rows:
-                pieces.append(sub.append_column("__route", pa.array([name] * sub.num_rows)))
+                pieces.append(sub.append_column("route", pa.array([name] * sub.num_rows)))
         if reroute_unmatched and (~matched).any():
             sub = batch.filter(pa.array(~matched))
-            pieces.append(sub.append_column("__route", pa.array([UNMATCHED] * sub.num_rows)))
+            pieces.append(sub.append_column("route", pa.array([UNMATCHED] * sub.num_rows)))
         if not pieces:
-            return batch.slice(0, 0).append_column("__route", pa.array([], type=pa.string()))
+            return batch.slice(0, 0).append_column("route", pa.array([], type=pa.string()))
         return pa.concat_tables(pieces)
 
-    return ds.map_batches(_tag, batch_format="pyarrow")
+    return ds.map_batches(_tag, batch_format="pyarrow", batch_size=None, **kw)
 
 
 def exclusive_route(ds, routes: Dict[str, object], materialize: bool = True):
@@ -129,8 +129,8 @@ def exclusive_route(ds, routes: Dict[str, object], materialize: bool = True):
     out = {}
     for name in list(routes) + [UNMATCHED]:
         def _f(batch: pa.Table, _n=name) -> pa.Table:
-            m = pc.equal(batch["__route"], _n)
-            return batch.filter(m).drop_columns(["__route"])
+            m = pc.equal(batch["route"], _n)
+            return batch.filter(m).drop_columns(["route"])
 
         out[name] = tagged.map_batches(_f, batch_format="pyarrow")
     return out
@@ -151,6 +151,6 @@ def exclusive_route_tagged(ds, routes: Dict[str, object]):
             hit = mb & unset
             label[hit] = name
             unset &= ~mb
-        return batch.append_column("__route", pa.array(label, type=pa.string()))
+        return batch.append_column("route", pa.array(label, type=pa.string()))
 
-    return ds.map_batches(_label, batch_format="pyarrow")
+    return ds.map_batches(_label, batch_format="pyarrow", batch_size=None)
