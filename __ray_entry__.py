@@ -84,6 +84,74 @@ def q_exclusive_route_counts(sf_dir):
     return df.rename(columns={"count()": "n_rows"})
 
 
+def q_route_rows(sf_dir):
+    """Routed-row SETS (the north-rule equality): every (event_id, route)
+    pair produced by multi-match copy routing."""
+    from vector_ray.stages import route_tagged
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    tagged = route_tagged(
+        ds, {"purchase": ".event_type == 'purchase'", "big": ".value > 150"}
+    )
+    return tagged.select_columns(["event_id", "route"])
+
+
+def q_exclusive_route_rows(sf_dir):
+    from vector_ray.stages import exclusive_route_tagged
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    tagged = exclusive_route_tagged(
+        ds, {"purchase": ".event_type == 'purchase'", "big": ".value > 150"}
+    )
+    return tagged.select_columns(["event_id", "route"])
+
+
+def q_incremental_to_absolute(sf_dir):
+    """Running-sum normalization per metric series (event-type series)."""
+    from vector_ray.stages import incremental_to_absolute, log_to_metric
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "counter", "field": "value", "name": "v",
+          "increment_by_value": True, "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    out = incremental_to_absolute(metrics)
+    df = out.to_pandas()[["tags", "ts", "value"]]
+    return _round_cols(df, ["value"], 3)
+
+
+def q_aggregate_latest(sf_dir):
+    """Latest-per-window aggregation (absolute metric semantics)."""
+    from vector_ray.stages import aggregate, log_to_metric
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "gauge", "field": "value", "name": "g",
+          "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    agg = aggregate(metrics, mode="latest", interval_ms=86_400_000)
+    df = agg.to_pandas()[["tags", "window_start", "value", "count"]]
+    return _round_cols(df, ["value"], 3)
+
+
+def q_metric_to_log(sf_dir):
+    from vector_ray.stages import log_to_metric, metric_to_log
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "gauge", "field": "value", "name": "g",
+          "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    logs = metric_to_log(metrics)
+    return logs.select_columns(["metric_name", "tags", "value", "timestamp"])
+
+
 def q_remap_parse_json(sf_dir):
     """remap: parse the props JSON column, project k."""
     from vector_ray.stages import remap
@@ -386,6 +454,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": q_filter_events,
         "route_counts": q_route_counts,
         "exclusive_route_counts": q_exclusive_route_counts,
+        "route_rows": q_route_rows,
+        "exclusive_route_rows": q_exclusive_route_rows,
+        "incremental_to_absolute": q_incremental_to_absolute,
+        "aggregate_latest": q_aggregate_latest,
+        "metric_to_log": q_metric_to_log,
         "remap_parse_json": q_remap_parse_json,
         "dedupe_events": q_dedupe_events,
         "sample_mod": q_sample_mod,
@@ -429,6 +502,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN event_type = 'purchase' THEN 'purchase' "
             "WHEN value > 150 THEN 'big' ELSE '_unmatched' END AS route, "
             "count(*) AS n_rows FROM events GROUP BY 1"
+        ),
+        "route_rows": (
+            "SELECT event_id, 'purchase' AS route FROM events WHERE event_type = 'purchase' "
+            "UNION ALL SELECT event_id, 'big' FROM events WHERE value > 150 "
+            "UNION ALL SELECT event_id, '_unmatched' FROM events "
+            "WHERE NOT (event_type = 'purchase' OR value > 150)"
+        ),
+        "exclusive_route_rows": (
+            "SELECT event_id, CASE WHEN event_type = 'purchase' THEN 'purchase' "
+            "WHEN value > 150 THEN 'big' ELSE '_unmatched' END AS route FROM events"
+        ),
+        "incremental_to_absolute": (
+            "SELECT 'type=' || event_type AS tags, ts, round(sum(value) OVER "
+            "(PARTITION BY event_type ORDER BY ts), 3) AS value FROM events"
+        ),
+        "aggregate_latest": (
+            "SELECT 'type=' || event_type AS tags, date_trunc('day', ts) AS window_start, "
+            "round(arg_max(value, ts), 3) AS value, count(*) AS \"count\" "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "metric_to_log": (
+            "SELECT 'g' AS metric_name, 'type=' || event_type AS tags, value, "
+            "ts AS timestamp FROM events"
         ),
         "remap_parse_json": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"

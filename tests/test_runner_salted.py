@@ -1,0 +1,71 @@
+"""Flagship resumable runner (kill → resume, manifests, sink counts)
+and salted-key skew-safe aggregation."""
+
+import numpy as np
+import pytest
+
+from vector_ray import schema
+
+
+def test_flagship_resumable_kill_and_resume(tmp_path):
+    from vector_ray.checkpoint import PartitionCheckpointer
+    from vector_ray.runner import run_flagship_resumable, sink_counts_from_manifests
+    from vector_ray import parse
+
+    # 3 shards of 1000 rows
+    import pyarrow.parquet as pq, os
+    td = str(tmp_path / "tokens")
+    os.makedirs(td)
+    for i in range(3):
+        pq.write_table(schema.token_batch(i * 1000, (i + 1) * 1000), f"{td}/part-{i:05d}.parquet")
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected"):
+        run_flagship_resumable(td, out, task_cpus=1, fail_at=2)
+    ck = PartitionCheckpointer(out)
+    assert len(ck.manifests()) == 1  # only partition 0 committed
+
+    done = run_flagship_resumable(td, out, task_cpus=1)
+    assert len(done) == 2  # resumed exactly the 2 missing
+    m = ck.manifests()
+    assert len(m) == 3
+    # manifests carry lineage + per-route stage metrics
+    first = m["part-part-00000"] if "part-part-00000" in m else list(m.values())[0]
+    assert first["inputs"][0].endswith(".parquet")
+    assert "routes" in first and "stage_metrics" in first
+
+    # per-sink counters from manifests match the numpy oracle
+    counts = sink_counts_from_manifests(out)
+    i = np.arange(3000)
+    status = parse.status_for(i)
+    n_tok = schema.n_tok_for(i)
+    assert counts["errors"] == int((status == 500).sum())
+    assert counts["big"] == int((n_tok >= 1024).sum())
+    assert counts["ok"] == int((status != 500).sum())
+
+
+def test_salted_groupby_matches_plain(ray_session=None):
+    import ray.data as rd
+
+    from vector_ray.stages.salted import salted_groupby_agg
+
+    ds = rd.from_arrow(schema.token_batch(0, 5000))
+    out = salted_groupby_agg(
+        ds,
+        ["source"],
+        [("n_tok", "count", "n"), ("n_tok", "sum", "total"), ("n_tok", "max", "mx"),
+         ("n_tok", "mean", "avg")],
+        salt=8,
+        salt_on="doc_id",
+    )
+    # numpy oracle on the skewed source column
+    i = np.arange(5000)
+    src = schema.source_for(i)
+    n_tok = schema.n_tok_for(i)
+    for _, row in out.iterrows():
+        mask = src == row["source"]
+        assert row["n"] == int(mask.sum())
+        assert row["total"] == int(n_tok[mask].sum())
+        assert row["mx"] == int(n_tok[mask].max())
+        assert abs(row["avg"] - float(n_tok[mask].mean())) < 1e-9
+    assert set(out["source"]) == {"web", "app", "syslog", "k8s", "edge"}

@@ -1,0 +1,172 @@
+"""Codecs — decode/encode kernels over Arrow batches (lib/codecs analog).
+
+Decoders (reference lib/codecs/src/decoding/format/): json, csv,
+logfmt, syslog.  Encoders (encoding/format/): json(ndjson), csv,
+logfmt.  Parquet is the native in/out; these kernels cover text
+interchange when a pipeline ingests or emits line-oriented formats.
+Framing (newline-delimited) is implicit: one row = one line.
+
+All decoders return (columns_table, error_mask) like parse.RegexParser,
+so remap error-routing composes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import parse as _parse
+
+# ------------------------------------------------------------- decode
+
+def decode_json(col, keys: List[str], types: Optional[Dict[str, pa.DataType]] = None):
+    """JSON object per line → one column per requested key."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    types = types or {}
+    parsed = []
+    err = []
+    for v in col.to_pylist():
+        try:
+            d = json.loads(v)
+            parsed.append(d if isinstance(d, dict) else None)
+        except Exception:
+            parsed.append(None)
+        err.append(parsed[-1] is None)
+    cols = {
+        k: pa.array([None if p is None else p.get(k) for p in parsed], type=types.get(k))
+        for k in keys
+    }
+    return pa.table(cols), pa.array(err)
+
+
+def decode_csv(col, headers: List[str], types: Optional[Dict[str, pa.DataType]] = None):
+    """CSV line per row → typed columns, via pyarrow's C++ CSV reader
+    (quoting/escapes handled; one reassembled buffer per batch)."""
+    from pyarrow import csv as pa_csv
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lines = col.to_pylist()
+    buf = ("\n".join(x if x is not None else "" for x in lines) + "\n").encode()
+    opts = pa_csv.ReadOptions(column_names=headers)
+    conv = pa_csv.ConvertOptions(column_types=types or {})
+    pars = pa_csv.ParseOptions(invalid_row_handler=lambda row: "skip")
+    try:
+        t = pa_csv.read_csv(io.BytesIO(buf), read_options=opts, convert_options=conv,
+                            parse_options=pars)
+    except Exception:
+        t = pa.table({h: pa.array([None] * len(lines)) for h in headers})
+    if t.num_rows != len(lines):
+        # a skipped invalid row breaks positional alignment → per-row fallback
+        rows, err = [], []
+        for x in lines:
+            try:
+                one = pa_csv.read_csv(
+                    io.BytesIO((x or "").encode() + b"\n"), read_options=opts,
+                    convert_options=conv)
+                rows.append({h: one[h][0].as_py() for h in headers})
+                err.append(False)
+            except Exception:
+                rows.append({h: None for h in headers})
+                err.append(True)
+        return pa.Table.from_pylist(rows), pa.array(err)
+    return t, pa.array([False] * len(lines))
+
+
+_LOGFMT_VAL = r'(?:"(?P<q>(?:[^"\\]|\\.)*)"|(?P<u>\S+))'
+
+
+def decode_logfmt(col, keys: List[str]):
+    """logfmt (`k=v k2="v 2"`) → one string column per requested key.
+
+    Vectorized: one RE2 extract per key (no per-row Python).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    cols = {}
+    found_any = None
+    for k in keys:
+        pat = rf'(?:^|\s){k}=(?:"(?P<v_q>(?:[^"\\]|\\.)*)"|(?P<v_u>[^\s"]*))'
+        ext = pc.extract_regex(col, pattern=pat)
+        q = pc.struct_field(ext, "v_q")
+        u = pc.struct_field(ext, "v_u")
+        # RE2 non-participating groups extract as "" (not null): prefer the
+        # quoted capture when non-empty, else the unquoted one; rows with
+        # no match at all go null.  (Quoted escapes stay raw — documented.)
+        val = pc.if_else(pc.not_equal(pc.fill_null(q, ""), ""), q, u)
+        ok = pc.is_valid(ext)
+        cols[k] = pc.if_else(ok, val, pa.scalar(None, type=pa.string()))
+        found_any = ok if found_any is None else pc.or_(found_any, ok)
+    err = pc.invert(found_any) if found_any is not None else pa.array([True] * len(col))
+    return pa.table(cols), err
+
+
+SYSLOG_3164_GROK = (
+    r"<%{POSINT:pri:int}>%{DATA:stamp} %{HOSTNAME:hostname} "
+    r"(?P<appname>[^\s\[:]+)(?:\[%{POSINT:procid:int}\])?: %{GREEDYDATA:msg}"
+)
+SYSLOG_5424_GROK = (
+    r"<%{POSINT:pri:int}>1 %{TIMESTAMP_ISO8601:stamp} %{NOTSPACE:hostname} "
+    r"%{NOTSPACE:appname} %{NOTSPACE:procid} %{NOTSPACE:msgid} "
+    r"(?:-|\[%{DATA:sd}\]) ?%{GREEDYDATA:msg}"
+)
+
+
+def decode_syslog(col, rfc: str = "5424"):
+    """Syslog line → (pri/host/app/msg... columns, error mask)."""
+    parser = _parse.GrokParser(SYSLOG_5424_GROK if rfc == "5424" else SYSLOG_3164_GROK)
+    cols, err = parser.parse(col)
+    return pa.table(cols), err
+
+
+# ------------------------------------------------------------- encode
+
+def encode_ndjson(batch: pa.Table) -> pa.Array:
+    """One JSON object string per row (polars vectorized writer)."""
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(batch).write_ndjson()
+        lines = s.splitlines()
+        return pa.array(lines, type=pa.string())
+    except Exception:
+        return pa.array([json.dumps(r, default=str) for r in batch.to_pylist()])
+
+
+def encode_csv(batch: pa.Table, include_header: bool = False) -> pa.Array:
+    from pyarrow import csv as pa_csv
+
+    sink = io.BytesIO()
+    pa_csv.write_csv(batch, sink)
+    lines = sink.getvalue().decode().splitlines()
+    if not include_header:
+        lines = lines[1:]
+    return pa.array(lines, type=pa.string())
+
+
+def encode_logfmt(batch: pa.Table) -> pa.Array:
+    """k=v logfmt per row, vectorized via binary_join_element_wise.
+    String values with spaces get quoted."""
+    n = batch.num_rows
+    pieces = []
+    for i, name in enumerate(batch.column_names):
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type):
+            sval = col.cast(pa.string())
+        else:
+            needs_quote = pc.match_substring(col, " ")
+            quoted = pc.binary_join_element_wise(
+                pa.array(['"'] * n), col, pa.array(['"'] * n), ""
+            )
+            sval = pc.if_else(pc.fill_null(needs_quote, False), quoted, col)
+        prefix = ("" if i == 0 else " ") + name + "="
+        pieces.append(pa.array([prefix] * n))
+        pieces.append(pc.fill_null(sval, "null"))
+    return pc.binary_join_element_wise(*pieces, "")

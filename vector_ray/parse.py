@@ -110,7 +110,13 @@ class RegexParser:
             field = pc.struct_field(extracted, name)
             want = self.types.get(name)
             if want is not None and want != pa.string():
-                field = field.cast(want)
+                # optional (non-participating) groups extract as "" — null
+                # them before a numeric cast
+                field = pc.if_else(
+                    pc.equal(pc.fill_null(field, ""), ""),
+                    pa.scalar(None, type=pa.string()),
+                    field,
+                ).cast(want)
             cols[name] = field
         return cols, err
 

@@ -81,6 +81,13 @@ class Remap:
             elif op == "set":
                 _, name, fn = step
                 batch = _set(batch, name, fn(batch))
+            elif op == "apply":
+                # ("apply", out_col, fn_name, in_col, *args) — VRL-stdlib
+                # analog via the scalar-function registry (functions/scalar.py)
+                from ..functions import scalar
+
+                _, out_name, fn_name, in_col, *args = step
+                batch = _set(batch, out_name, scalar.call(fn_name, batch[in_col], *args))
             elif op == "set_literal":
                 _, name, value = step
                 batch = _set(batch, name, pa.array([value] * batch.num_rows))
