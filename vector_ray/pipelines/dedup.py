@@ -55,42 +55,108 @@ def _char_shingles(texts: List[str], k: int) -> List[set]:
 
 
 class MinHasher:
-    """Actor: vectorized minhash signatures from char-k-shingles.
+    """Actor: fully vectorized minhash signatures from char-k-shingles.
 
-    num_perm permutations via the standard (a*x+b) mod p universal
-    hash family; signature computed per batch with numpy.
+    Per batch: normalize (lower + collapse whitespace, Arrow kernels),
+    compute a rolling polynomial hash of every k-byte window of the
+    concatenated text buffer (k numpy adds over the flat buffer — no
+    per-document Python), apply ``num_perm`` multiply-shift hash
+    permutations, and take per-document minima with
+    ``np.minimum.reduceat``.  O(total_bytes × num_perm) numpy ops.
     """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7,
                  text_col: str = "text", id_col: str = "doc_id"):
         rng = np.random.default_rng(seed)
-        self.p = np.uint64((1 << 61) - 1)
-        self.a = rng.integers(1, self.p, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, self.p, size=num_perm, dtype=np.uint64)
+        # multiply-shift family over Z/2^64 (odd multipliers)
+        self.a = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
         self.k = shingle_k
         self.num_perm = num_perm
         self.text_col = text_col
         self.id_col = id_col
+        self._B = np.uint64(1099511628211)  # rolling-hash base
 
-    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        # (n_shingles,) uint64 → (num_perm,) uint64 column-min
-        x = shingle_hashes.reshape(-1, 1).astype(np.uint64)
-        hv = (x * self.a.reshape(1, -1) + self.b) % self.p
-        return hv.min(axis=0)
+    def _shingle_hashes(self, col: pa.Array):
+        """(flat_hashes, doc_segment_starts, empty_doc_mask)."""
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(col), pattern=r"\s+", replacement=" "
+        ).combine_chunks() if isinstance(col, pa.ChunkedArray) else pc.replace_substring_regex(
+            pc.utf8_lower(col), pattern=r"\s+", replacement=" "
+        )
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        off = np.frombuffer(norm.buffers()[1], dtype=np.int32)[
+            norm.offset : norm.offset + len(norm) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(norm.buffers()[2], dtype=np.uint8).astype(np.uint64)
+        lens = np.diff(off)
+        n_sh = np.maximum(lens - self.k + 1, np.minimum(lens, 1))  # ≥1 if non-empty
+        total = len(data)
+        # rolling hash over the flat buffer: H[i] = Σ_{j<k} b[i+j]·B^j
+        H = np.zeros(total, dtype=np.uint64)
+        powB = np.uint64(1)
+        for j in range(self.k):
+            end = total - j
+            if end > 0:
+                H[:end] += data[j:] * powB
+            powB = np.uint64((int(powB) * int(self._B)) & 0xFFFFFFFFFFFFFFFF)
+        # valid shingle index ranges per doc: [off[d], off[d] + n_sh[d])
+        starts = off[:-1]
+        idx = np.concatenate(
+            [np.arange(s, s + c, dtype=np.int64) for s, c in zip(starts, n_sh) if c > 0]
+        ) if len(starts) else np.empty(0, dtype=np.int64)
+        flat = H[idx] if len(idx) else np.empty(0, dtype=np.uint64)
+        seg = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=seg[1:])
+        return flat, seg, lens == 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, sh in enumerate(_char_shingles(texts, self.k)):
-            if not sh:
-                sigs[i] = 0
-                continue
-            hs = hash_string_column(pa.array(sorted(sh)))
-            sigs[i] = self.signature(hs)
+        """One-permutation minhash with densification (Li/Owen/Zhang-style):
+        each shingle hash lands in one of ``num_perm`` bins by its top
+        bits; the signature is the per-(doc, bin) minimum, and empty
+        bins densify deterministically from the doc's global minimum.
+        O(total_shingles) scatter-mins — no N×P multiply (this host
+        executes 64-bit vector multiplies ~20 M/s, so the classic
+        P-permutation form is 60× slower here)."""
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, seg, empty = self._shingle_hashes(col)
+        n_docs = batch.num_rows
+        P = self.num_perm
+        shift = np.uint64(64 - int(np.log2(P)))
+        UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+        sigs = np.full((n_docs, P), UMAX, dtype=np.uint64)
+        if len(flat):
+            n_sh = np.diff(seg)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+            # mix once so bin bits are independent of the raw rolling hash
+            h = flat ^ (flat >> np.uint64(33))
+            h = h * self.a[0]  # single multiply pass
+            bins = (h >> shift).astype(np.int64)
+            np.minimum.at(sigs, (doc_idx, bins), h)
+        # docs shorter than k: hash the whole normalized text instead
+        # (their single rolling window would cross the doc boundary)
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        short = (lens < self.k) & (lens > 0)
+        if short.any():
+            sub = pc.utf8_lower(col.take(pa.array(np.nonzero(short)[0])))
+            h = hash_string_column(sub)
+            sigs[short] = UMAX
+            sigs[short, (h >> shift).astype(np.int64)] = h
+        # densify: empty bins get a deterministic fill derived from the
+        # doc's global min so identical docs stay identical
+        gmin = sigs.min(axis=1)
+        need = sigs == UMAX
+        if need.any():
+            rows, cols_i = np.nonzero(need)
+            fill = (gmin[rows] ^ (np.uint64(0x9E3779B97F4A7C15) * (cols_i.astype(np.uint64) + np.uint64(1))))
+            sigs[rows, cols_i] = fill
+        sigs[empty] = 0
         return pa.table(
             {
-                self.id_col: pa.array(ids),
+                self.id_col: batch[self.id_col],
                 "sig": pa.array(list(sigs.view(np.int64))),
             }
         )
@@ -147,9 +213,33 @@ def minhash_lsh_dedup(
             }
         )
 
-    exploded = sigs.map_batches(_bands, batch_format="pyarrow")
+    # materialize: exploded is consumed twice (bucket counts + pair
+    # generation) — pin the signatures instead of recomputing them
+    exploded = sigs.map_batches(_bands, batch_format="pyarrow").materialize()
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # prefilter: only buckets holding ≥2 docs can yield pairs.  Count
+    # per (band,bucket) with a partial per-batch aggregate (tiny), then
+    # broadcast the hot-bucket key set and filter before the groupby —
+    # the expensive per-group Python runs on ~0 singleton buckets.
+    from ..stages.partial_agg import grouped_aggregate
+
+    counts = grouped_aggregate(exploded, ["band", "bucket"], [("bucket", "count", "n")])
+    hot = counts[counts["n"] > 1]
+    hot_keys = set(zip(hot["band"].astype(int), hot["bucket"].astype(int)))
+
+    def _only_hot(batch: pa.Table) -> pa.Table:
+        bands_np = batch["band"].to_numpy()
+        buckets_np = batch["bucket"].to_numpy()
+        mask = np.fromiter(
+            ((int(b), int(k)) in hot_keys for b, k in zip(bands_np, buckets_np)),
+            dtype=bool,
+            count=len(bands_np),
+        )
+        return batch.filter(pa.array(mask))
+
+    exploded = exploded.map_batches(_only_hot, batch_format="pyarrow", batch_size=None)
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": [], "b": []})
         g = g.sort_values(id_col, kind="mergesort")
@@ -164,7 +254,18 @@ def minhash_lsh_dedup(
                 out_b.append(ids[i + 1 + j_off])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    edges = exploded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    def _pairs_in_band(band_df: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per BAND (bands are few and balanced); the many
+        # tiny per-bucket groups run as a local pandas groupby — Ray
+        # map_groups overhead is per band, not per bucket
+        parts = [
+            _bucket_pairs(bdf) for _, bdf in band_df.groupby("bucket", sort=False)
+        ]
+        if not parts:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.concat(parts, ignore_index=True)
+
+    edges = exploded.groupby("band").map_groups(_pairs_in_band, batch_format="pandas")
     edge_df = edges.to_pandas().drop_duplicates()
 
     # connected components on the (small) duplicate-edge graph
@@ -250,9 +351,9 @@ def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str 
 
     exploded = hashed.map_batches(_blocks, batch_format="pyarrow")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _key_drops(g: pd.DataFrame) -> set:
         if len(g) < 2:
-            return pd.DataFrame({"drop": []})
+            return set()
         g = g.sort_values(id_col, kind="mergesort")
         sh = g["simhash"].to_numpy().astype(np.uint64)
         ids = g[id_col].tolist()
@@ -262,9 +363,17 @@ def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str 
             ham = np.array([bin(v).count("1") for v in x.tolist()])
             for j_off in np.nonzero(ham <= hamming_k)[0]:
                 drop.add(ids[i + 1 + j_off])
+        return drop
+
+    def _drops_in_block(block_df: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per 16-bit BLOCK; per-key candidate sets handled
+        # by a local pandas groupby inside
+        drop: set = set()
+        for _, kdf in block_df.groupby("key", sort=False):
+            drop |= _key_drops(kdf)
         return pd.DataFrame({"drop": sorted(drop)})
 
-    drops = exploded.groupby(["block", "key"]).map_groups(_pairs, batch_format="pandas")
+    drops = exploded.groupby("block").map_groups(_drops_in_block, batch_format="pandas")
     drop_set = set(drops.to_pandas()["drop"])
 
     return docs.map_batches(

@@ -78,23 +78,21 @@ def aggregate(ds, mode: str = "auto", interval_ms: int = 10_000, ts_field: str =
 
 
 def _builtin(ds, keys, mode):
-    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+    """Distributive/algebraic modes run as partial per-batch aggregation
+    + tiny combine (stages/partial_agg) — series keys are
+    low-cardinality, so no raw-row shuffle is ever needed."""
+    import ray.data as rd
 
-    agg = {
-        "sum": Sum("value", alias_name="value"),
-        "max": Max("value", alias_name="value"),
-        "min": Min("value", alias_name="value"),
-        "mean": Mean("value", alias_name="value"),
-        "stdev": Std("value", ddof=1, alias_name="value"),
-    }.get(mode)
-    cnt = Count(alias_name="count")
+    from .partial_agg import grouped_aggregate
+
     if mode == "count":
-        out = ds.groupby(keys).aggregate(cnt)
-        return out.map_batches(
-            lambda b: b.append_column("value", b["count"].cast(pa.float64())),
-            batch_format="pyarrow",
-        )
-    return ds.groupby(keys).aggregate(agg, cnt)
+        df = grouped_aggregate(ds, keys, [("value", "count", "count")])
+        df["value"] = df["count"].astype("float64")
+        return rd.from_pandas(df)
+    df = grouped_aggregate(
+        ds, keys, [("value", mode, "value"), ("value", "count", "count")]
+    )
+    return rd.from_pandas(df)
 
 
 def _latest(ds, keys, ts_field):

@@ -36,13 +36,24 @@ HASH_COL = "__dedupe_hash"
 
 
 def dedupe_exact(ds, fields: List[str], order_by: Optional[str] = None):
-    """Global exact dedup: first row per key tuple (by order_by) survives."""
+    """Global exact dedup: first row per key tuple (by order_by) survives.
 
-    def _hash(batch: pa.Table) -> pa.Table:
+    Two-phase: (1) in-batch pre-dedup inside map_batches (drops the bulk
+    of duplicates before any data moves), (2) hash-partition the
+    survivors and keep the first per key.  Phase 1 is the combiner that
+    makes the shuffle proportional to distinct keys, not input rows.
+    """
+
+    def _hash_and_local(batch: pa.Table) -> pa.Table:
         h = hash_columns(batch, fields)
-        return batch.append_column(HASH_COL, pa.array(h.view(np.int64)))
+        batch = batch.append_column(HASH_COL, pa.array(h.view(np.int64)))
+        df = batch.to_pandas()
+        if order_by is not None:
+            df = df.sort_values(order_by, kind="mergesort")
+        df = df.groupby(fields, dropna=False, sort=False).head(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    hashed = ds.map_batches(_hash, batch_format="pyarrow")
+    hashed = ds.map_batches(_hash_and_local, batch_format="pyarrow", batch_size=None)
 
     def _first(group: pd.DataFrame) -> pd.DataFrame:
         if order_by is not None:

@@ -31,20 +31,33 @@ def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus
     high-cardinality groups use ds.groupby directly.
     """
     keys = list(keys)
-    # map-side plan: mean decomposes into sum+count
+    # map-side plan: mean decomposes into sum+count; stdev into
+    # sum + sum-of-squares + count (algebraic combine)
     leaf: List[Tuple[str, str]] = []
+    sq_cols: List[str] = []
     for col, fn, _ in aggs:
         if fn == "mean":
             leaf.append((col, "sum"))
             leaf.append((col, "count"))
+        elif fn == "stdev":
+            leaf.append((col, "sum"))
+            leaf.append((col, "count"))
+            leaf.append((col + "__sq", "sum"))
+            sq_cols.append(col)
         elif fn == "count":
             leaf.append((keys[0], "count"))
         else:
             leaf.append((col, fn))
     leaf = list(dict.fromkeys(leaf))
+    sq_cols = list(dict.fromkeys(sq_cols))
     pa_aggs = [(c, f) for c, f in leaf]
 
     def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for col in sq_cols:
+            v = batch[col]
+            batch = batch.append_column(col + "__sq", pc.multiply(v, v))
         cols = keys + [c for c, _ in pa_aggs]
         return (
             batch.select(list(dict.fromkeys(cols)))
@@ -68,6 +81,14 @@ def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus
     for col, fn, alias in aggs:
         if fn == "mean":
             out[alias] = final[f"{col}_sum"] / final[f"{col}_count"]
+        elif fn == "stdev":
+            import numpy as np
+
+            n = final[f"{col}_count"]
+            s = final[f"{col}_sum"]
+            ss = final[f"{col}__sq_sum"]
+            var = (ss - s * s / n) / (n - 1)
+            out[alias] = np.sqrt(var.clip(lower=0.0))
         elif fn == "count":
             out[alias] = final[f"{keys[0]}_count"].astype("int64")
         else:

@@ -52,18 +52,23 @@ def throttle(
             batch = batch.append_column(EXCL_COL, m)
         return batch
 
-    annotated = ds.map_batches(_annotate, batch_format="pyarrow")
-    keys = [key_field, WINDOW_COL] if key_field else [WINDOW_COL]
+    annotated = ds.map_batches(_annotate, batch_format="pyarrow", batch_size=None)
+    # group by KEY only (windows rank vectorized inside the group) —
+    # far fewer groups than (key × window), so the map_groups overhead
+    # is per key, not per bucket
+    keys = [key_field] if key_field else [WINDOW_COL]
 
     def _admit(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_by, kind="mergesort")
         if EXCL_COL in group.columns:
             excluded = group[group[EXCL_COL]]
             candidates = group[~group[EXCL_COL]]
-            admitted = candidates.head(threshold)
-            out = pd.concat([admitted, excluded]).sort_values(order_by, kind="mergesort")
         else:
-            out = group.head(threshold)
+            excluded = group.iloc[0:0]
+            candidates = group
+        rank = candidates.groupby(WINDOW_COL, sort=False).cumcount()
+        admitted = candidates[rank < threshold]
+        out = pd.concat([admitted, excluded]).sort_values(order_by, kind="mergesort")
         return out.drop(columns=[c for c in (WINDOW_COL, EXCL_COL) if c in out.columns])
 
     return annotated.groupby(keys).map_groups(_admit, batch_format="pandas")
