@@ -1,0 +1,136 @@
+"""static_enrich, trace_to_log, IP-range enrichment, bloom
+tag_cardinality, csv/json/text sources+sinks, sort/limit, DOT dump."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.topology import build, to_dot
+
+
+def test_static_enrich():
+    from vector_ray.stages.static_enrich import static_enrich
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2])}))
+    out = static_enrich(ds, {"instance_id": "i-abc123", "az": "us-east-1a"})
+    rows = out.take_all()
+    assert all(r["instance_id"] == "i-abc123" and r["az"] == "us-east-1a" for r in rows)
+
+
+def test_trace_to_log():
+    from vector_ray.stages.static_enrich import trace_to_log
+
+    ds = rd.from_arrow(
+        pa.table({"span_name": pa.array(["db.query"]), "span_ts": pa.array([1])})
+    )
+    r = trace_to_log(ds).take_all()[0]
+    assert r["message"] == "db.query" and r["source_type"] == "trace"
+    assert "timestamp" in r
+
+
+def test_ip_range_enrich():
+    from vector_ray.enrich_ip import IpRangeTable, ip_enrich
+
+    ranges = pa.table(
+        {
+            "start_ip": pa.array(["10.0.0.0", "192.168.0.0"]),
+            "end_ip": pa.array(["10.255.255.255", "192.168.255.255"]),
+            "net": pa.array(["corp", "lan"]),
+        }
+    )
+    table = IpRangeTable(ranges)
+    ds = rd.from_arrow(
+        pa.table({"ip": pa.array(["10.1.2.3", "192.168.5.5", "8.8.8.8"])})
+    )
+    rows = ip_enrich(ds, table, "ip").take_all()
+    got = {r["ip"]: r["net"] for r in rows}
+    assert got == {"10.1.2.3": "corp", "192.168.5.5": "lan", "8.8.8.8": None}
+
+
+def test_ip_range_overlap_rejected():
+    from vector_ray.enrich_ip import IpRangeTable
+
+    bad = pa.table(
+        {
+            "start_ip": pa.array(["10.0.0.0", "10.0.0.5"]),
+            "end_ip": pa.array(["10.0.0.9", "10.0.0.20"]),
+            "v": pa.array(["a", "b"]),
+        }
+    )
+    with pytest.raises(ValueError, match="overlapping"):
+        IpRangeTable(bad)
+
+
+def test_bloom_filter():
+    from vector_ray.state.bloom import BloomFilter
+
+    bf = BloomFilter(capacity=100, fp_rate=0.01)
+    bf.add_array([f"v{i}" for i in range(50)])
+    assert bf.contains_array([f"v{i}" for i in range(50)]).all()  # no false negatives
+    fp = bf.contains_array([f"other{i}" for i in range(1000)]).mean()
+    assert fp < 0.05
+
+
+def test_tag_cardinality_probabilistic():
+    from vector_ray.stages import tag_cardinality_limit
+
+    t = pa.table(
+        {
+            "tag_user": pa.array([f"u{i}" for i in [0, 1, 2, 0, 3, 1]]),
+            "seq": pa.array([0, 1, 2, 3, 4, 5]),
+        }
+    )
+    out = tag_cardinality_limit(
+        rd.from_arrow(t), ["tag_user"], value_limit=2, order_by="seq",
+        limit_exceeded_action="drop_event", mode="probabilistic",
+    )
+    kept = sorted(r["seq"] for r in out.take_all())
+    # bloom has no false negatives: u0/u1 rows always kept; with this tiny
+    # filter no false positives either
+    assert kept == [0, 1, 3, 5]
+
+
+def test_csv_json_text_sources_and_sinks(tmp_path):
+    import pyarrow.csv as pa_csv
+
+    p_csv = str(tmp_path / "in.csv")
+    pa_csv.write_csv(pa.table({"a": pa.array([1, 2, 3])}), p_csv)
+    with open(tmp_path / "in.jsonl", "w") as f:
+        f.write('{"a": 5}\n{"a": 6}\n')
+    with open(tmp_path / "in.txt", "w") as f:
+        f.write("line one\nline two\n")
+
+    cfg = {
+        "sources": {
+            "c": {"type": "csv", "path": p_csv},
+            "j": {"type": "json", "path": str(tmp_path / "in.jsonl")},
+            "t": {"type": "text", "path": str(tmp_path / "in.txt")},
+        },
+        "transforms": {
+            "top": {"type": "sort", "inputs": ["c"], "key": "a", "descending": True},
+            "lim": {"type": "limit", "inputs": ["top"], "n": 2},
+        },
+        "sinks": {
+            "out_csv": {"type": "csv", "inputs": ["lim"]},
+            "out_json": {"type": "json", "inputs": ["j"]},
+            "out_txt": {"type": "blackhole", "inputs": ["t"]},
+        },
+    }
+    sinks = build(cfg)
+    assert [r["a"] for r in sinks["out_csv"].take_all()] == [3, 2]
+    assert sinks["out_json"].count() == 2
+    assert sinks["out_txt"].count() == 2
+
+
+def test_to_dot():
+    cfg = {
+        "sources": {"gen": {"type": "demo_logs", "count": 1}},
+        "transforms": {
+            "r": {"type": "route", "inputs": ["gen"], "routes": {"a": ".host == 'h'"}}
+        },
+        "sinks": {"s": {"type": "blackhole", "inputs": ["r.a"]}},
+    }
+    dot = to_dot(cfg)
+    assert '"gen" -> "r"' in dot and '"r" -> "s" [label="a"]' in dot
+    assert "digraph" in dot

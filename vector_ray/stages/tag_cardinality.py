@@ -52,8 +52,45 @@ def tag_cardinality_limit(
     value_limit: int,
     order_by: str,
     limit_exceeded_action: str = "drop_tag",
+    mode: str = "exact",
 ):
+    """mode="exact" broadcasts the accepted sets verbatim;
+    mode="probabilistic" broadcasts a Bloom filter per tag key instead
+    (tag_value_set.rs bloom analog: bounded memory, possible false
+    ACCEPTS of out-of-set values, never false drops of accepted ones)."""
     accepted = accepted_value_sets(ds, tag_columns, value_limit, order_by)
+    if mode == "probabilistic":
+        from ..state.bloom import BloomFilter
+
+        blooms = {}
+        for k, vals in accepted.items():
+            bf = BloomFilter(capacity=max(16, len(vals)))
+            if vals:
+                bf.add_array(sorted(vals))
+            blooms[k] = bf
+
+        def _apply_bloom(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keep = None
+            for col, bf in blooms.items():
+                vals = batch[col].to_pylist()
+                ok = bf.contains_array(vals)
+                nulls = np.array([v is None for v in vals])
+                ok = ok | nulls
+                if limit_exceeded_action == "drop_event":
+                    keep = ok if keep is None else (keep & ok)
+                else:
+                    c = batch[col]
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    nulled = pc.if_else(pa.array(ok), c, pa.scalar(None, type=c.type))
+                    batch = batch.set_column(batch.column_names.index(col), col, nulled)
+            if limit_exceeded_action == "drop_event" and keep is not None:
+                batch = batch.filter(pa.array(keep))
+            return batch
+
+        return ds.map_batches(_apply_bloom, batch_format="pyarrow", batch_size=None)
     # broadcast: the sets ride in the task closure (small by construction)
     accepted_arrays = {k: pa.array(sorted(v)) for k, v in accepted.items()}
 

@@ -199,6 +199,58 @@ def _t_enrich(cfg, inputs):
     )
 
 
+@register("csv")
+def _src_csv(cfg, _inputs):
+    return rd.read_csv(cfg["path"])
+
+
+@register("json")
+def _src_json(cfg, _inputs):
+    return rd.read_json(cfg["path"])
+
+
+@register("text")
+def _src_text(cfg, _inputs):
+    """Line-framed text file source (newline framing, file.rs analog)."""
+    return rd.read_text(cfg["path"])
+
+
+@register("static_enrich")
+def _t_static(cfg, inputs):
+    from .stages.static_enrich import static_enrich
+
+    return static_enrich(inputs, cfg["fields"])
+
+
+@register("trace_to_log")
+def _t_trace(cfg, inputs):
+    from .stages.static_enrich import trace_to_log
+
+    return trace_to_log(inputs, rename=cfg.get("rename"))
+
+
+@register("ip_enrich")
+def _t_ip_enrich(cfg, inputs):
+    from .enrich_ip import IpRangeTable, ip_enrich
+
+    table = cfg.get("_table")
+    if table is None:
+        from pyarrow import csv as pa_csv
+
+        table = IpRangeTable(pa_csv.read_csv(cfg["path"]))
+    return ip_enrich(inputs, table, cfg["ip_col"], select=cfg.get("select"))
+
+
+@register("sort")
+def _t_sort(cfg, inputs):
+    return inputs.sort(cfg["key"], descending=cfg.get("descending", False))
+
+
+@register("limit")
+def _t_limit(cfg, inputs):
+    return inputs.limit(cfg["n"])
+
+
 @register("python")
 def _t_python(cfg, inputs):
     """User-extension hook (lua-transform analog): a callable operating
@@ -326,6 +378,41 @@ def _sink_blackhole(cfg, inputs):
     return inputs
 
 
+@register("sink_csv")
+def _sink_csv(cfg, inputs):
+    return inputs
+
+
+@register("sink_json")
+def _sink_json(cfg, inputs):
+    return inputs
+
+
+@register("sink_console")
+def _sink_console(cfg, inputs):
+    return inputs
+
+
 def build(config: dict) -> Dict[str, object]:
     """compile+build: config dict → {sink_name: Dataset} (lazy)."""
     return Topology(config).build()
+
+
+def to_dot(config: dict) -> str:
+    """DOT graph of the topology (`vector graph` analog,
+    src/config/dot_graph.rs)."""
+    topo = Topology(config)
+    lines = ["digraph topology {"]
+    shapes = {"sources": "ellipse", "transforms": "box", "sinks": "cds"}
+    for name, node in topo.nodes.items():
+        lines.append(
+            f'  "{name}" [shape={shapes[node["section"]]}, '
+            f'label="{name}\\n({node["cfg"]["type"]})"];'
+        )
+    for name, node in topo.nodes.items():
+        for inp in node["cfg"].get("inputs", []):
+            base, _, port = inp.partition(".")
+            label = f' [label="{port}"]' if port else ""
+            lines.append(f'  "{base}" -> "{name}"{label};')
+    lines.append("}")
+    return "\n".join(lines)
