@@ -322,6 +322,27 @@ def q_pricing_summary(sf_dir):
     return _round_cols(out, ["sum_qty", "sum_rev"], 2).pipe(_round_cols, ["sum_disc"], 3)
 
 
+def q_salted_pricing(sf_dir):
+    """Skew-safe two-level aggregation (salted groupby) over lineitem."""
+    import ray.data as rd
+
+    from vector_ray.stages.salted import salted_groupby_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_orderkey", "l_quantity"],
+    )
+    df = salted_groupby_agg(
+        ds,
+        ["l_returnflag"],
+        [("l_quantity", "count", "n"), ("l_quantity", "sum", "sum_qty"),
+         ("l_quantity", "max", "max_qty")],
+        salt=8,
+        salt_on="l_orderkey",
+    )
+    return _round_cols(df, ["sum_qty"], 2)
+
+
 def q_doc_token_count(sf_dir):
     from vector_ray.functions.text import token_counts
 
@@ -470,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tag_cardinality": q_tag_cardinality,
         "enrich_nation": q_enrich_nation,
         "pricing_summary": q_pricing_summary,
+        "salted_pricing": q_salted_pricing,
         "doc_token_count": q_doc_token_count,
         "dedup_docs_exact": q_dedup_docs_exact,
         "doc_fingerprint_groups": q_doc_fingerprint_groups,
@@ -574,6 +596,10 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev, "
             "round(sum(l_discount), 3) AS sum_disc, count(*) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "salted_pricing": (
+            "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty, "
+            "max(l_quantity) AS max_qty FROM lineitem GROUP BY l_returnflag"
         ),
         "doc_token_count": (
             "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "

@@ -134,3 +134,42 @@ def test_to_dot():
     dot = to_dot(cfg)
     assert '"gen" -> "r"' in dot and '"r" -> "s" [label="a"]' in dot
     assert "digraph" in dot
+
+
+def test_cli_subcommands(tmp_path):
+    """CLI parity: validate / graph / run (the `vector` binary analog)."""
+    import json
+    import subprocess
+    import sys
+
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(
+        """
+[sources.gen]
+type = "demo_logs"
+count = 100
+format = "json"
+
+[transforms.f]
+type = "filter"
+inputs = ["gen"]
+condition = "contains(.message, '500')"
+
+[sinks.out]
+type = "blackhole"
+inputs = ["f"]
+"""
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "RAY_GRAFT_CPUS": "2",
+           "HOME": "/root"}
+    r = subprocess.run([sys.executable, "-m", "vector_ray", "validate", str(cfg)],
+                       capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0 and "ok" in r.stdout
+    r = subprocess.run([sys.executable, "-m", "vector_ray", "graph", str(cfg)],
+                       capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert '"gen" -> "f"' in r.stdout
+    r = subprocess.run([sys.executable, "-m", "vector_ray", "run", str(cfg)],
+                       capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["sinks"]["out"]["rows"] == 10  # k%10==9 of 100 → code 500

@@ -67,3 +67,11 @@ def test_precedence():
         False,
         False,
     ]
+
+
+def test_literal_coercion_dynamic_typing():
+    # VRL-ish dynamic typing: string literal vs int column and vice versa
+    t = pa.table({"code": pa.array([200, 500]), "s": pa.array(["7", "9"])})
+    assert Condition(".code == '500'")(t).to_pylist() == [False, True]
+    assert Condition(".s == 9")(t).to_pylist() == [False, True]
+    assert Condition(".code >= '404'")(t).to_pylist() == [False, True]

@@ -69,3 +69,27 @@ def test_salted_groupby_matches_plain(ray_session=None):
         assert row["mx"] == int(n_tok[mask].max())
         assert abs(row["avg"] - float(n_tok[mask].mean())) < 1e-9
     assert set(out["source"]) == {"web", "app", "syslog", "k8s", "edge"}
+
+
+def test_dedupe_windowed_key_partitioned():
+    """LRU dedupe with concurrency>1 after key-affine repartition: each
+    key's rows visit one actor, so results match single-actor output."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages import dedupe_windowed
+    from vector_ray.state.memory_table import repartition_by_key
+
+    t = pa.table(
+        {
+            "k": pa.array([f"key{i % 7}" for i in range(200)]),
+            "seq": pa.array(range(200)),
+        }
+    )
+    single = dedupe_windowed(rd.from_arrow(t), ["k"], cache_size=100, concurrency=1)
+    expect = sorted(r["k"] for r in single.take_all())
+    parted = repartition_by_key(rd.from_arrow(t), "k", 4)
+    multi = dedupe_windowed(parted, ["k"], cache_size=100, concurrency=2)
+    rows = multi.take_all()
+    got = sorted(r["k"] for r in rows)
+    assert got == expect == sorted(f"key{i}" for i in range(7))

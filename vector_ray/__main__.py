@@ -1,0 +1,133 @@
+"""CLI — the `vector` binary analog (reference src/cli.rs subcommands).
+
+    python -m vector_ray run config.toml [--out DIR]     # build + write sinks
+    python -m vector_ray graph config.toml               # DOT dump
+    python -m vector_ray test tests/behavior/            # behavior TOMLs
+    python -m vector_ray validate config.toml            # compile only
+
+Config TOML mirrors the dict schema of topology.build(); conditions are
+expression strings, remap steps are arrays.  The CLI owns the Ray
+session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_config(path: str) -> dict:
+    import tomllib
+
+    with open(path, "rb") as f:
+        doc = tomllib.load(f)
+    # allow either top-level sections or a [config] wrapper
+    return doc.get("config", doc)
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    _ray_init()
+    from .sinks import write_sinks
+    from .topology import build
+
+    config = _load_config(args.config)
+    t0 = time.time()
+    sinks = build(config)
+    out = {}
+    if args.out:
+        paths = write_sinks(sinks, args.out)
+        for name in sinks:
+            out[name] = {"path": paths[name]}
+    else:
+        for name, ds in sinks.items():
+            out[name] = {"rows": ds.count()}
+    print(json.dumps({"sinks": out, "wall_secs": round(time.time() - t0, 3)}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_graph(args) -> int:
+    from .topology import to_dot
+
+    print(to_dot(_load_config(args.config)))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .topology import Topology
+
+    try:
+        Topology(_load_config(args.config))
+    except ValueError as e:
+        print(f"invalid: {e}", file=sys.stderr)
+        return 1
+    print("ok")
+    return 0
+
+
+def cmd_test(args) -> int:
+    _ray_init()
+    from .behavior import BehaviorTestFailure, run_behavior_dir, run_behavior_file
+
+    try:
+        if os.path.isdir(args.path):
+            results = run_behavior_dir(args.path)
+        else:
+            results = {os.path.basename(args.path): run_behavior_file(args.path)}
+    except BehaviorTestFailure as e:
+        print(f"FAILED: {e}", file=sys.stderr)
+        return 1
+    total = sum(len(v) for v in results.values())
+    for f, names in results.items():
+        for n in names:
+            print(f"passed: {f} :: {n}")
+    print(f"{total} behavior tests passed")
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vector_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("run", help="build the topology and run every sink")
+    r.add_argument("config")
+    r.add_argument("--out", help="write parquet sinks under this dir")
+    r.set_defaults(fn=cmd_run)
+    g = sub.add_parser("graph", help="print the topology as DOT")
+    g.add_argument("config")
+    g.set_defaults(fn=cmd_graph)
+    v = sub.add_parser("validate", help="compile the config, report errors")
+    v.add_argument("config")
+    v.set_defaults(fn=cmd_validate)
+    t = sub.add_parser("test", help="run behavior TOML tests")
+    t.add_argument("path")
+    t.set_defaults(fn=cmd_test)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -257,6 +257,10 @@ def _eval(node: Node, batch: pa.Table):
         # null literal comparisons → is_null / is_valid
         if isinstance(node.right, Lit) and node.right.value is None:
             return pc.is_null(left) if node.op == "==" else pc.is_valid(left)
+        # dynamic-typing coercion (VRL semantics): a literal compared
+        # against a differently-typed column coerces to the column type
+        right = _coerce_literal(left, right)
+        left = _coerce_literal(right, left)
         fn = {
             "==": pc.equal,
             "!=": pc.not_equal,
@@ -282,6 +286,29 @@ def _eval(node: Node, batch: pa.Table):
             out = fn(out, p)
         return out
     raise TypeError(node)
+
+
+def _coerce_literal(col, lit):
+    """If ``lit`` is a Python literal whose type mismatches Arrow column
+    ``col``, coerce it (string literal ↔ numeric column and vice versa).
+    Returns ``lit`` unchanged when no coercion applies or possible."""
+    if not isinstance(lit, (str, int, float, bool)):
+        return lit
+    t = getattr(col, "type", None)
+    if t is None:
+        return lit
+    try:
+        if isinstance(lit, str) and (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            return float(lit) if ("." in lit or "e" in lit.lower()) else int(lit)
+        if isinstance(lit, bool):
+            return lit
+        if isinstance(lit, (int, float)) and (
+            pa.types.is_string(t) or pa.types.is_large_string(t)
+        ):
+            return str(lit)
+    except ValueError:
+        return lit
+    return lit
 
 
 def _to_bool(v, n):

@@ -80,9 +80,22 @@ def repartition_by_key(ds, key_field: str, num_partitions: int):
         h = hash_string_column(batch[key_field]) % np.uint64(num_partitions)
         return batch.append_column("__kpart", pa.array(h.view(np.int64)))
 
-    return ds.map_batches(_hash, batch_format="pyarrow").repartition(
-        num_partitions, keys=["__kpart"], sort=False
-    )
+    hashed = ds.map_batches(_hash, batch_format="pyarrow", batch_size=None)
+    if _hash_shuffle_enabled():
+        return hashed.repartition(num_partitions, keys=["__kpart"], sort=False)
+    # portable fallback: groupby keeps each __kpart's rows contiguous and
+    # whole within the emitted blocks (sort-based shuffle)
+    return hashed.groupby("__kpart").map_groups(lambda g: g, batch_format="pandas")
+
+
+def _hash_shuffle_enabled() -> bool:
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        return DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    except Exception:
+        return False
 
 
 def memory_enrich(
