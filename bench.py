@@ -87,6 +87,17 @@ def run_bench() -> dict:
             "rows_per_sec": round(n_rows / headline, 1),
         }
 
+    # sink-writing variant: same pipeline landing as hive-partitioned
+    # parquet in one streaming pass (the real 100 TB sink path)
+    import shutil
+
+    sink_dir = "/tmp/bench_flagship_sinks"
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    t0 = time.time()
+    flagship.run(tokens_dir=tokens_dir, n_rows=n_rows, out_dir=sink_dir)
+    timings["flagship_with_sinks"] = round(time.time() - t0, 3)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+
     # representative operator timings over the driver testdata tables
     import __ray_entry__ as entrymod
 

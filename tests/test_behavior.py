@@ -13,7 +13,15 @@ HERE = os.path.join(os.path.dirname(__file__), "behavior")
 
 def test_all_behavior_tomls():
     results = run_behavior_dir(HERE)
-    assert set(results) == {"dedupe.toml", "filter.toml", "remap.toml", "route.toml"}
+    assert set(results) >= {
+        "dedupe.toml",
+        "filter.toml",
+        "remap.toml",
+        "route.toml",
+        "sample_throttle.toml",
+        "reduce.toml",
+        "log_to_metric.toml",
+    }
     assert all(len(v) >= 1 for v in results.values())
 
 

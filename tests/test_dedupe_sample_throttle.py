@@ -141,3 +141,22 @@ def test_throttle_exclude():
     )
     rows = sorted(r["seq"] for r in out.take_all())
     assert rows == [0, 1, 4]  # both errs bypass + first non-err
+
+
+def test_dedupe_ignore_mode():
+    # ignore mode: key = all fields except the listed (and order_by) —
+    # dedupe/common.rs `ignore` semantics
+    t = pa.table(
+        {
+            "message": pa.array(["m1", "m1", "m2"]),
+            "host": pa.array(["h1", "h1", "h1"]),
+            "noise": pa.array(["a", "b", "c"]),  # ignored → first two are dups
+            "seq": pa.array([0, 1, 2]),
+        }
+    )
+    out = dedupe_exact(rd.from_arrow(t), ignore=["noise"], order_by="seq")
+    assert sorted(r["seq"] for r in out.take_all()) == [0, 2]
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dedupe_exact(rd.from_arrow(t), fields=["message"], ignore=["noise"])

@@ -1,0 +1,76 @@
+"""Property-based checks (hypothesis) — beyond the reference's own test
+strategy (SURVEY §5.6 notes it has none): the condition compiler agrees
+with a row-by-row Python oracle, and exact dedup is idempotent."""
+
+import hypothesis.strategies as st
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+
+from vector_ray.expr import Condition
+
+rows = st.lists(
+    st.fixed_dictionaries(
+        {
+            "x": st.one_of(st.none(), st.integers(-100, 100)),
+            "s": st.one_of(st.none(), st.sampled_from(["a", "bb", "ccc", "err!"])),
+        }
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _table(data):
+    return pa.table(
+        {
+            "x": pa.array([r["x"] for r in data], type=pa.int64()),
+            "s": pa.array([r["s"] for r in data], type=pa.string()),
+        }
+    )
+
+
+def _oracle(row, cond):
+    """Row-wise Python evaluation with null→False semantics."""
+    x, s = row["x"], row["s"]
+    if cond == "gt":
+        return x is not None and x > 10
+    if cond == "and":
+        return x is not None and s is not None and x > 0 and len(s) >= 2
+    if cond == "or_not":
+        return (s == "err!") or not (x is not None and x >= 0)
+    if cond == "contains":
+        return s is not None and "c" in s
+    raise AssertionError
+
+
+EXPRS = {
+    "gt": ".x > 10",
+    "and": ".x > 0 && length(.s) >= 2",
+    "or_not": ".s == 'err!' || !(.x >= 0)",
+    "contains": "contains(.s, 'c')",
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=rows, which=st.sampled_from(sorted(EXPRS)))
+def test_condition_matches_python_oracle(data, which):
+    t = _table(data)
+    got = Condition(EXPRS[which])(t).to_pylist()
+    want = [_oracle(r, which) for r in data]
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=rows)
+def test_local_dedupe_idempotent(data):
+    """Dedup of a dedup changes nothing (pure-pandas core of
+    dedupe_exact's per-batch phase)."""
+    df = pd.DataFrame(data)
+    df["seq"] = range(len(df))
+    once = df.sort_values("seq").groupby(["x", "s"], dropna=False, sort=False).head(1)
+    twice = once.sort_values("seq").groupby(["x", "s"], dropna=False, sort=False).head(1)
+    assert once.equals(twice)
+    # survivor count equals distinct keys
+    seen = {(r["x"], r["s"]) for r in data}
+    assert len(once) == len(seen)

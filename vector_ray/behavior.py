@@ -91,6 +91,14 @@ def _run_one(base_config: dict, test: dict, path: str) -> None:
     if insert_at not in config["transforms"]:
         raise BehaviorTestFailure(f"{name}: insert_at node {insert_at!r} not in config")
     config["transforms"][insert_at]["inputs"] = ["__test_input"]
+    # mock every other dangling input (placeholder sources like "in") the
+    # way the reference replaces unreferenced components with mocks
+    known = set(config["sources"]) | set(config["transforms"])
+    for node_name, node_cfg in config["transforms"].items():
+        node_cfg["inputs"] = [
+            inp if inp.split(".")[0] in known else "__test_input"
+            for inp in node_cfg.get("inputs", [])
+        ]
     # drop placeholder sources/sinks the test doesn't exercise
     topo = Topology(
         {

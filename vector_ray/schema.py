@@ -130,10 +130,10 @@ def sf_to_rows(sf_dir: str) -> int:
 def token_table_path(n_rows: int, base: str = "/tmp/vector_ray_tokens") -> str:
     """Materialize (once) the token table as partitioned Parquet; return dir.
 
-    Files are written shard-by-shard with an atomic rename so a partially
-    written cache is never read.  At real scale this generator is itself a
-    Ray Data pipeline (see sources/tokens.py); for the local cache we
-    write directly with pyarrow.
+    Shards are independent (counter-based generator) and are written in
+    parallel as Ray tasks when a Ray session exists (never initializes
+    one), serially with pyarrow otherwise; the directory commits via
+    atomic rename so a partially written cache is never read.
     """
     import pyarrow.parquet as pq
 
@@ -144,9 +144,28 @@ def token_table_path(n_rows: int, base: str = "/tmp/vector_ray_tokens") -> str:
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     shard = 100_000
-    for s in range(0, n_rows, shard):
-        e = min(s + shard, n_rows)
+    ranges = [(s, min(s + shard, n_rows)) for s in range(0, n_rows, shard)]
+
+    def _write(s: int, e: int) -> None:
         pq.write_table(token_batch(s, e), os.path.join(tmp, f"part-{s // shard:05d}.parquet"))
+
+    ray_parallel = False
+    try:
+        import ray
+
+        ray_parallel = ray.is_initialized() and len(ranges) > 1
+    except Exception:
+        pass
+    if ray_parallel:
+        import ray
+
+        # generation is memory-bandwidth heavy: cap concurrency at ~4
+        total = int(ray.cluster_resources().get("CPU", 4))
+        task = ray.remote(num_cpus=max(1, total // 4))(_write)
+        ray.get([task.remote(s, e) for s, e in ranges])
+    else:
+        for s, e in ranges:
+            _write(s, e)
     os.replace(tmp, out) if not os.path.exists(out) else None
     if os.path.exists(tmp):  # out already existed (race) — keep existing
         import shutil

@@ -19,7 +19,12 @@ import pyarrow as pa
 
 
 def write_sinks(sinks: Dict[str, "ray.data.Dataset"], base_dir: str, **kw) -> Dict[str, str]:
-    """Write each routed dataset to base_dir/<sink-name>/ as Parquet."""
+    """Write each routed dataset to base_dir/<sink-name>/ as Parquet.
+
+    Defaults min_rows_per_file so many tiny upstream blocks coalesce
+    instead of landing as one file per block.
+    """
+    kw.setdefault("min_rows_per_file", 100_000)
     out = {}
     for name, ds in sinks.items():
         path = os.path.join(base_dir, name.lstrip("_"))

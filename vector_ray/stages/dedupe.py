@@ -35,8 +35,17 @@ from ..functions.hashes import hash_columns
 HASH_COL = "__dedupe_hash"
 
 
-def dedupe_exact(ds, fields: List[str], order_by: Optional[str] = None):
+def dedupe_exact(
+    ds,
+    fields: Optional[List[str]] = None,
+    order_by: Optional[str] = None,
+    ignore: Optional[List[str]] = None,
+):
     """Global exact dedup: first row per key tuple (by order_by) survives.
+
+    ``fields``: match mode — the key is exactly these columns.
+    ``ignore``: ignore mode (dedupe/common.rs `ignore`): the key is every
+    column EXCEPT these (and except order_by).  Exactly one of the two.
 
     Two-phase: (1) in-batch pre-dedup inside map_batches (drops the bulk
     of duplicates before any data moves), (2) hash-partition the
@@ -44,13 +53,23 @@ def dedupe_exact(ds, fields: List[str], order_by: Optional[str] = None):
     makes the shuffle proportional to distinct keys, not input rows.
     """
 
+    if (fields is None) == (ignore is None):
+        raise ValueError("exactly one of fields= / ignore=")
+
+    def _key_fields(batch: pa.Table) -> List[str]:
+        if fields is not None:
+            return fields
+        skip = set(ignore or []) | ({order_by} if order_by else set())
+        return [c for c in batch.column_names if c not in skip and c != HASH_COL]
+
     def _hash_and_local(batch: pa.Table) -> pa.Table:
-        h = hash_columns(batch, fields)
+        kf = _key_fields(batch)
+        h = hash_columns(batch, kf)
         batch = batch.append_column(HASH_COL, pa.array(h.view(np.int64)))
         df = batch.to_pandas()
         if order_by is not None:
             df = df.sort_values(order_by, kind="mergesort")
-        df = df.groupby(fields, dropna=False, sort=False).head(1)
+        df = df.groupby(kf, dropna=False, sort=False).head(1)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     hashed = ds.map_batches(_hash_and_local, batch_format="pyarrow", batch_size=None)
@@ -58,8 +77,12 @@ def dedupe_exact(ds, fields: List[str], order_by: Optional[str] = None):
     def _first(group: pd.DataFrame) -> pd.DataFrame:
         if order_by is not None:
             group = group.sort_values(order_by, kind="mergesort")
+        kf = fields if fields is not None else [
+            c for c in group.columns
+            if c not in set(ignore or []) | {order_by, HASH_COL}
+        ]
         # collision guard: split by real key values inside the hash bucket
-        out = group.groupby(fields, dropna=False, sort=False).head(1)
+        out = group.groupby(kf, dropna=False, sort=False).head(1)
         return out.drop(columns=[HASH_COL])
 
     return hashed.groupby(HASH_COL).map_groups(_first, batch_format="pandas")
