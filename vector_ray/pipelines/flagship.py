@@ -130,7 +130,9 @@ def run(
     tagged = pipeline(ds, task_cpus=task_cpus)
     if out_dir:
         tagged.write_parquet(out_dir, partition_cols=["route"])
-        tagged = rd.read_parquet(out_dir)
+        # aggregate from the written files, reading ONLY the narrow
+        # columns (the tokens payload — ~98% of the bytes — stays on disk)
+        tagged = rd.read_parquet(out_dir, columns=["route", "region", "status", "n_tok"])
     # per-sink aggregate counters (log_to_metric at the sink edge):
     # count + token volume per (route, region, status).  Pre-aggregate
     # per batch (pyarrow C++ group_by) and combine the tiny partials —
