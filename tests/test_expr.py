@@ -75,3 +75,15 @@ def test_literal_coercion_dynamic_typing():
     assert Condition(".code == '500'")(t).to_pylist() == [False, True]
     assert Condition(".s == 9")(t).to_pylist() == [False, True]
     assert Condition(".code >= '404'")(t).to_pylist() == [False, True]
+
+
+def test_arithmetic():
+    t = pa.table({"a": pa.array([1, 5, 10]), "b": pa.array([2, 3, 1])})
+    c = lambda e: Condition(e)(t).to_pylist()
+    assert c(".a + .b > 6") == [False, True, True]
+    assert c(".a * 2 == 10") == [False, True, False]
+    assert c(".a - .b >= 0") == [False, True, True]
+    assert c(".a / 2 >= 2.5") == [False, True, True]
+    assert c(".a % 2 == 1") == [True, True, False]
+    assert c("-.a < -4") == [False, True, True]
+    assert c("(.a + 1) * 2 >= .b + 10") == [False, False, True]  # 12>=13 is False

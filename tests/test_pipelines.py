@@ -185,3 +185,19 @@ def test_multimodal_plumbing():
     assert img.shape == (64, 64, 3)
     frames = sample_frames(media, every_ms=500).to_pandas()
     assert (frames.groupby("media_id").size() >= 2).all()
+
+
+def test_minhash_detects_true_near_dupes():
+    """Near-dup (not byte-identical) detection: perturb a few words."""
+    from vector_ray.pipelines.dedup import minhash_lsh_dedup
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    near = df.head(3).copy()
+    near["doc_id"] = near["doc_id"] + 200_000
+    # change ~2% of characters: swap one word per ~50
+    near["text"] = near["text"].str.replace("the", "thy", n=2, regex=False)
+    ds = rd.from_pandas(pd.concat([df, near], ignore_index=True))
+    out = minhash_lsh_dedup(ds, jaccard_threshold=0.7)
+    ids = set(out.to_pandas()["doc_id"])
+    assert all(d not in ids for d in near["doc_id"])  # near-dups dropped
+    assert all(d in ids for d in df.head(3)["doc_id"])  # originals kept

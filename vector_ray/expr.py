@@ -12,9 +12,11 @@ Grammar (precedence low→high)::
     or       := and ( '||' and )*
     and      := unary ( '&&' unary )*
     unary    := '!' unary | comparison
-    comparison := operand ( ('==','!=','<','<=','>','>=') operand )?
-               | operand 'in' '[' literal, ... ']'
-    operand  := field | literal | call | '(' expr ')'
+    comparison := additive ( ('==','!=','<','<=','>','>=') additive )?
+               | additive 'in' '[' literal, ... ']'
+    additive := multiplicative ( ('+'|'-') multiplicative )*
+    multiplicative := operand ( ('*'|'/'|'%') operand )*
+    operand  := '-' operand | field | literal | call | '(' expr ')'
     field    := '.' ident ( '.' ident )*          -- nested via struct cols
     call     := ident '(' args ')'                 -- exists, contains,
                 starts_with, ends_with, match, is_null, length
@@ -75,16 +77,22 @@ class Bool:
     args: tuple
 
 
-Node = Union[Field, Lit, Cmp, InList, Call, Bool]
+@dataclass(frozen=True)
+class Arith:
+    op: str  # + - * / % neg
+    args: tuple
+
+
+Node = Union[Field, Lit, Cmp, InList, Call, Bool, Arith]
 
 # ---------------------------------------------------------------- lexer
 
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
-      (?P<op>&&|\|\||==|!=|<=|>=|<|>|!|\(|\)|\[|\]|,)
+      (?P<op>&&|\|\||==|!=|<=|>=|<|>|!|\(|\)|\[|\]|,|\+|-|\*|/|%)
     | (?P<field>\.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)
-    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<num>\d+(?:\.\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<ident>[A-Za-z_][\w]*)
     )""",
@@ -155,11 +163,11 @@ class _Parser:
         return self.comparison()
 
     def comparison(self):
-        left = self.operand()
+        left = self.additive()
         k, v = self.peek()
         if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
-            return Cmp(v, left, self.operand())
+            return Cmp(v, left, self.additive())
         if (k, v) == ("ident", "in"):
             self.next()
             self.expect("[")
@@ -174,8 +182,25 @@ class _Parser:
             return InList(left, tuple(items))
         return left
 
+    def additive(self):
+        node = self.multiplicative()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            node = Arith(op, (node, self.multiplicative()))
+        return node
+
+    def multiplicative(self):
+        node = self.operand()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
+            _, op = self.next()
+            node = Arith(op, (node, self.operand()))
+        return node
+
     def operand(self):
         k, v = self.peek()
+        if (k, v) == ("op", "-"):
+            self.next()
+            return Arith("neg", (self.operand(),))
         if (k, v) == ("op", "("):
             self.next()
             node = self.or_()
@@ -276,6 +301,30 @@ def _eval(node: Node, batch: pa.Table):
         return _null_false(pc.is_in(operand, value_set=pa.array(items)))
     if isinstance(node, Call):
         return _call(node, batch)
+    if isinstance(node, Arith):
+        if node.op == "neg":
+            v = _eval(node.args[0], batch)
+            return -v if isinstance(v, (int, float)) else pc.negate(v)
+        left = _eval(node.args[0], batch)
+        right = _eval(node.args[1], batch)
+        if isinstance(left, (int, float)) and isinstance(right, (int, float)):
+            return {
+                "+": left + right, "-": left - right, "*": left * right,
+                "/": left / right, "%": left % right,
+            }[node.op]
+        if node.op == "%":
+            # no modulo kernel in pyarrow: a - floor(a/b)*b
+            q = pc.floor(pc.divide(pc.cast(left, pa.float64()) if not isinstance(left, (int, float)) else left, right))
+            return pc.subtract(left, pc.multiply(q, right))
+        if node.op == "/":
+            # true division (pc.divide on integers truncates)
+            if not isinstance(left, (int, float)):
+                left = pc.cast(left, pa.float64())
+            elif not isinstance(right, (int, float)):
+                right = pc.cast(right, pa.float64())
+            return pc.divide(left, right)
+        fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[node.op]
+        return fn(left, right)
     if isinstance(node, Bool):
         if node.op == "not":
             return pc.invert(_to_bool(_eval(node.args[0], batch), n))
