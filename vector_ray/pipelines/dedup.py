@@ -293,30 +293,44 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------- simhash
 
 class SimHasher:
-    """Actor: 64-bit simhash over word-token hashes."""
+    """Actor: 64-bit simhash over word-token hashes — fully vectorized.
+
+    Tokenize the whole batch with Arrow kernels (split on non-word runs),
+    hash every token once, expand to a (n_tokens, 64) ±1 bit matrix with
+    numpy shifts, and fold per document with ``np.add.reduceat``.
+    """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        import re
-
         self.text_col = text_col
         self.id_col = id_col
-        self.tok = re.compile(r"\w+")
+        self._shifts = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = self.tok.findall(t.lower())
-            if not toks:
-                continue
-            hs = hash_string_column(pa.array(toks))
-            bits = ((hs.reshape(-1, 1) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), pattern=r"\W+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop empty tokens (leading/trailing splits) but keep doc alignment
+        nonempty = pc.not_equal(flat, "")
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        mask = np.asarray(nonempty.to_numpy(zero_copy_only=False), dtype=bool)
+        flat = flat.filter(nonempty)
+        doc_idx = doc_idx[mask]
+        out = np.zeros(batch.num_rows, dtype=np.uint64)
+        if len(flat):
+            hs = hash_string_column(flat)
+            bits = ((hs[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            signs = bits * 2 - 1
+            # fold per doc: reduceat over contiguous doc segments
+            seg_starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+            sums = np.add.reduceat(signs, seg_starts, axis=0)
+            present = doc_idx[seg_starts]
+            hashes = ((sums > 0).astype(np.uint64) << self._shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
-            v = (bits * 2 - 1).sum(axis=0)
-            out[i] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-                dtype=np.uint64
-            )
+            out[present] = hashes
         return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 

@@ -54,17 +54,17 @@ def aggregate(ds, mode: str = "auto", interval_ms: int = 10_000, ts_field: str =
     if mode == "latest":
         return _latest(windowed, keys, ts_field)
     if mode == "auto":
-        # split by kind: incremental → sum, absolute → latest
-        inc = windowed.filter(expr="kind == 'incremental'")
-        ab = windowed.filter(expr="kind == 'absolute'")
-        parts = []
-        if inc.count() > 0:
-            parts.append(_builtin(inc, keys, "sum"))
-        if ab.count() > 0:
-            parts.append(_latest(ab, keys, ts_field))
-        if len(parts) == 1:
-            return parts[0]
-        return parts[0].union(parts[1])
+        # single pass: kind is part of the series key, so incremental
+        # series sum and absolute series take-latest in ONE partial
+        # aggregate (sum + last-by-ts computed together per group)
+        import ray.data as rd
+
+        df = _partial_sum_and_last(windowed, keys, ts_field)
+        inc = df["kind"] == "incremental"
+        df = df.copy()
+        df.loc[~inc, "value"] = df.loc[~inc, "last_value"]
+        df.loc[inc, "value"] = df.loc[inc, "sum_value"]
+        return rd.from_pandas(df.drop(columns=["sum_value", "last_value", "last_ts"]))
     if mode == "diff":
         latest = _latest(windowed, keys, ts_field)
 
@@ -95,13 +95,47 @@ def _builtin(ds, keys, mode):
     return rd.from_pandas(df)
 
 
-def _latest(ds, keys, ts_field):
-    def _last(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(ts_field, kind="mergesort")
-        last = group.iloc[[-1]]
-        out = last[[c for c in keys]].copy()
-        out["value"] = last["value"].values
-        out["count"] = np.int64(len(group))
-        return out
+def _partial_sum_and_last(ds, keys, ts_field) -> pd.DataFrame:
+    """One partial pass computing, per group: sum(value), count, and the
+    value at max ts (last).  Per batch: pandas sort+groupby tail; the
+    driver combine re-reduces partials the same way (mergeable because
+    max-ts-of-maxes = global max ts)."""
 
-    return ds.groupby(keys).map_groups(_last, batch_format="pandas")
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + ["value", ts_field]).to_pandas()
+        df = df.sort_values(ts_field, kind="mergesort")
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g.agg(
+            sum_value=("value", "sum"),
+            count=("value", "count"),
+            last_value=("value", "last"),
+            last_ts=(ts_field, "last"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if partials.empty:
+        return partials
+    partials = partials.sort_values("last_ts", kind="mergesort")
+    g = partials.groupby(keys, sort=True, dropna=False)
+    return g.agg(
+        sum_value=("sum_value", "sum"),
+        count=("count", "sum"),
+        last_value=("last_value", "last"),
+        last_ts=("last_ts", "last"),
+    ).reset_index()
+
+
+def _latest_df(ds, keys, ts_field) -> pd.DataFrame:
+    df = _partial_sum_and_last(ds, keys, ts_field)
+    if df.empty:
+        return df
+    df = df.copy()
+    df["value"] = df["last_value"]
+    return df.drop(columns=["sum_value", "last_value", "last_ts"])
+
+
+def _latest(ds, keys, ts_field):
+    import ray.data as rd
+
+    return rd.from_pandas(_latest_df(ds, keys, ts_field))
