@@ -244,6 +244,55 @@ def q_reduce_sessions(sf_dir):
     return _round_cols(df, ["value"], 3)
 
 
+def q_reduce_sessionized(sf_dir):
+    """Sessionization: a 'signup' event CLOSES the current session
+    (ends_when, reduce/transform.rs:223-254); one output row per
+    (user, session)."""
+    from vector_ray.stages import reduce_stage
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    out = reduce_stage(
+        ds,
+        ["user_id"],
+        merge_strategies={"event_id": "min", "event_type": "discard"},
+        order_by="ts",
+        ends_when=".event_type == 'signup'",
+    )
+    df = out.to_pandas().rename(
+        columns={"_reduce_count": "n_events", "ts": "ts_start"}
+    )
+    return df[["user_id", "n_events", "ts_start", "ts_end"]]
+
+
+def q_sample_hash(sf_dir):
+    """Consistent-hash 1-in-4 sampling on user_id (rows-only: the hash
+    is ours, not SQL's — determinism checked by the repeat run)."""
+    from vector_ray.stages import sample_hash
+
+    ds = _events(sf_dir, ["event_id", "user_id"])
+
+    keyed = ds.map_batches(
+        lambda b: b.append_column("uk", b["user_id"].cast(pa.string())),
+        batch_format="pyarrow",
+    )
+    out = sample_hash(keyed, "uk", rate=4)
+    return out.select_columns(["event_id", "sample_rate"])
+
+
+def q_dedupe_windowed(sf_dir):
+    """LRU-windowed dedupe (cache 50) over the ordered event stream,
+    single actor — Vector's streaming dedupe semantics (rows-only)."""
+    from vector_ray.stages import dedupe_windowed
+
+    ds = (
+        _events(sf_dir, ["event_id", "user_id", "event_type"])
+        .repartition(1)
+        .sort("event_id")
+    )
+    out = dedupe_windowed(ds, ["user_id", "event_type"], cache_size=50, concurrency=1)
+    return out.select_columns(["event_id"])
+
+
 def q_window_context(sf_dir):
     from vector_ray.stages import window_stage
 
@@ -487,6 +536,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_to_metric_counts": q_log_to_metric_counts,
         "aggregate_hourly": q_aggregate_hourly,
         "reduce_sessions": q_reduce_sessions,
+        "reduce_sessionized": q_reduce_sessionized,
+        "sample_hash": q_sample_hash,
+        "dedupe_windowed": q_dedupe_windowed,
         "window_context": q_window_context,
         "tag_cardinality": q_tag_cardinality,
         "enrich_nation": q_enrich_nation,
@@ -576,6 +628,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_events, arg_min(event_type, ts) AS event_type, "
             "round(sum(value), 3) AS value, min(event_id) AS event_id, "
             "min(ts) AS ts_start, max(ts) AS ts_end FROM events GROUP BY user_id"
+        ),
+        "reduce_sessionized": (
+            "WITH x AS (SELECT user_id, ts, event_type, "
+            "COALESCE(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS sid FROM events) "
+            "SELECT user_id, count(*) AS n_events, min(ts) AS ts_start, "
+            "max(ts) AS ts_end FROM x GROUP BY user_id, sid"
         ),
         "window_context": (
             "SELECT event_id FROM (SELECT event_id, max(CASE WHEN event_type = 'error' "
