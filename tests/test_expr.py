@@ -87,3 +87,16 @@ def test_arithmetic():
     assert c(".a % 2 == 1") == [True, True, False]
     assert c("-.a < -4") == [False, True, True]
     assert c("(.a + 1) * 2 >= .b + 10") == [False, False, True]  # 12>=13 is False
+
+
+def test_nested_struct_field_path():
+    t = pa.table(
+        {
+            "meta": pa.array(
+                [{"region": "us", "tier": 1}, {"region": "eu", "tier": 2}],
+                type=pa.struct([("region", pa.string()), ("tier", pa.int64())]),
+            )
+        }
+    )
+    assert Condition(".meta.region == 'eu'")(t).to_pylist() == [False, True]
+    assert Condition(".meta.tier + 1 >= 3")(t).to_pylist() == [False, True]

@@ -139,3 +139,40 @@ def test_window_forward_when():
         order_by="seq",
     )
     assert [r["seq"] for r in out.take_all()] == [0]
+
+
+def test_reduce_end_every_period():
+    # periodic event-time flush: rows in different 10s windows never merge
+    t = pa.table(
+        {
+            "g": pa.array(["g"] * 6),
+            "n": pa.array([1] * 6, type=pa.int64()),
+            "ts": pa.array([0, 1, 2, 11, 12, 25], type=pa.int64()),  # us would be tiny; use ms math below
+            "seq": pa.array(range(6)),
+        }
+    )
+    # ts in µs: windows of 10ms → use ts values in µs scale
+    t = t.set_column(t.column_names.index("ts"), "ts",
+                     pa.array([0, 1_000, 2_000, 11_000, 12_000, 25_000], type=pa.int64()))
+    out = reduce_stage(
+        rd.from_arrow(t), ["g"], order_by="seq", end_every_period_ms=10, ts_field="ts"
+    )
+    sizes = sorted(r["_reduce_count"] for r in out.take_all())
+    assert sizes == [1, 2, 3]  # windows [0,10ms) [10,20) [20,30)
+
+
+def test_log_to_metric_all_mode():
+    from vector_ray.stages.log_to_metric import log_to_metric_all
+
+    t = pa.table(
+        {
+            "name": pa.array(["cpu", "mem"]),
+            "kind": pa.array(["incremental", "absolute"]),
+            "value": pa.array([1.5, 900.0]),
+            "ts": pa.array([1, 2], type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    rows = log_to_metric_all(rd.from_arrow(t), ts_field="ts").take_all()
+    assert {r["name"] for r in rows} == {"cpu", "mem"}
+    assert all(r["tags"] == "" and r["namespace"] == "" for r in rows)
+    assert rows[0]["value_type"] == "counter"

@@ -46,14 +46,6 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
 
 # --------------------------------------------------------- minhash
 
-def _char_shingles(texts: List[str], k: int) -> List[set]:
-    out = []
-    for t in texts:
-        t = " ".join(t.lower().split())
-        out.append({t[i : i + k] for i in range(max(1, len(t) - k + 1))})
-    return out
-
-
 class MinHasher:
     """Actor: fully vectorized minhash signatures from char-k-shingles.
 

@@ -141,6 +141,46 @@ def log_to_metric(ds, metrics: List[dict], ts_field: Optional[str] = None, **kw)
     return ds.map_batches(LogToMetric(metrics, ts_field), batch_format="pyarrow", **kw)
 
 
+def log_to_metric_all(ds, ts_field: Optional[str] = None, **kw):
+    """``all_metrics`` mode (log_to_metric.rs:140-160): each log row is a
+    self-describing metric carrying ``name`` / ``kind`` / ``value`` (and
+    optionally namespace / tags) — pass them through to the metric
+    schema verbatim, defaulting kind=incremental / value_type=counter /
+    tags="" when absent."""
+
+    def _conv(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+
+        def col_or(name, default, typ=pa.string()):
+            if name in batch.column_names:
+                c = batch[name]
+                return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return pa.array([default] * n, type=typ)
+
+        ts = (
+            batch[ts_field].combine_chunks()
+            if ts_field and ts_field in batch.column_names
+            and isinstance(batch[ts_field], pa.ChunkedArray)
+            else (batch[ts_field] if ts_field and ts_field in batch.column_names
+                  else pa.array([None] * n, type=pa.timestamp("us")))
+        )
+        return pa.table(
+            {
+                "name": col_or("name", ""),
+                "namespace": col_or("namespace", ""),
+                "tags": col_or("tags", ""),
+                "kind": col_or("kind", "incremental"),
+                "value_type": col_or("value_type", "counter"),
+                "value": batch["value"].cast(pa.float64()),
+                "set_value": col_or("set_value", None),
+                "ts": ts,
+            }
+        )
+
+    kw.setdefault("batch_size", None)
+    return ds.map_batches(_conv, batch_format="pyarrow", **kw)
+
+
 def metric_to_log(ds, **kw):
     """Inverse projection: metric rows → flat log rows.
 

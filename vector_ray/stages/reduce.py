@@ -79,7 +79,12 @@ def reduce_stage(
     starts_when=None,
     ends_when=None,
     max_events: Optional[int] = None,
+    end_every_period_ms: Optional[int] = None,
+    ts_field: str = "ts",
 ):
+    """``end_every_period_ms`` (config.rs:100-106): sessions additionally
+    flush at fixed event-time period boundaries — rows in different
+    ``floor(ts/period)`` windows never merge."""
     strategies = dict(merge_strategies or {})
     starts = compile_condition(starts_when) if starts_when else None
     ends = compile_condition(ends_when) if ends_when else None
@@ -102,6 +107,15 @@ def reduce_stage(
             bump = np.zeros(n, dtype=np.int64)
             bump[1:] = np.cumsum(e)[:-1]
             sid = sid + bump
+        if end_every_period_ms and ts_field in group.columns:
+            s = group[ts_field]
+            raw = s.astype("int64").to_numpy()
+            if pd.api.types.is_datetime64_any_dtype(s) and str(s.dtype).endswith("[ns]"):
+                raw = raw // 1000  # ns → us
+            win = raw // (int(end_every_period_ms) * 1000)
+            # re-base windows so combining with sid stays collision-free
+            _, win_ids = np.unique(win, return_inverse=True)
+            sid = sid * (int(win_ids.max()) + 2) + win_ids if n else sid
         if max_events:
             # cap session length: re-split any run longer than max_events
             out = np.zeros(n, dtype=np.int64)
@@ -120,7 +134,7 @@ def reduce_stage(
             group = group.sort_values(order_by, kind="mergesort")
         sessions = (
             group.groupby(_session_ids(group), sort=True)
-            if (starts is not None or ends is not None or max_events)
+            if (starts is not None or ends is not None or max_events or end_every_period_ms)
             else [(0, group)]
         )
         rows = []
