@@ -293,6 +293,19 @@ def q_dedupe_windowed(sf_dir):
     return out.select_columns(["event_id"])
 
 
+def q_hopping_agg(sf_dir):
+    """Hopping-window aggregate (size 2h, slide 1h) — beyond the
+    reference's tumbling aggregate; each row lands in 2 windows."""
+    from vector_ray.stages.windowed_agg import hopping_agg
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    df = hopping_agg(
+        ds, ["event_type"], [("value", "sum", "total"), ("value", "count", "n")],
+        ts_field="ts", size_ms=7_200_000, slide_ms=3_600_000,
+    )
+    return _round_cols(df, ["total"], 3)
+
+
 def q_window_context(sf_dir):
     from vector_ray.stages import window_stage
 
@@ -540,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q_sample_hash,
         "dedupe_windowed": q_dedupe_windowed,
         "window_context": q_window_context,
+        "hopping_agg": q_hopping_agg,
         "tag_cardinality": q_tag_cardinality,
         "enrich_nation": q_enrich_nation,
         "pricing_summary": q_pricing_summary,
@@ -636,6 +650,14 @@ def oracle_sql() -> dict[str, str]:
             "AND 1 PRECEDING), 0) AS sid FROM events) "
             "SELECT user_id, count(*) AS n_events, min(ts) AS ts_start, "
             "max(ts) AS ts_end FROM x GROUP BY user_id, sid"
+        ),
+        "hopping_agg": (
+            "WITH w AS (SELECT event_type, value, "
+            "(CAST(floor(epoch(ts) / 3600) AS BIGINT) - j) * 3600 AS ws "
+            "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)) "
+            "SELECT event_type, make_timestamp(ws * 1000000) AS window_start, "
+            "round(sum(value), 3) AS total, count(*) AS n "
+            "FROM w WHERE ws >= 0 GROUP BY 1, 2"
         ),
         "window_context": (
             "SELECT event_id FROM (SELECT event_id, max(CASE WHEN event_type = 'error' "

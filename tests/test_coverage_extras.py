@@ -173,3 +173,56 @@ inputs = ["f"]
     assert r.returncode == 0, r.stderr[-500:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["sinks"]["out"]["rows"] == 10  # k%10==9 of 100 → code 500
+
+
+def test_parse_url():
+    from vector_ray.stages import remap
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [
+                        "https://user:pw@example.com:8443/a/b?x=1&y=2#frag",
+                        "http://plain.org/",
+                        "not a url",
+                    ]
+                )
+            }
+        )
+    )
+    out = remap(ds, [("parse_url", "url")]).take_all()
+    r = out[0]
+    assert (r["scheme"], r["host"], r["port"], r["path"], r["query"], r["fragment"]) == (
+        "https", "example.com", 8443, "/a/b", "x=1&y=2", "frag"
+    )
+    assert r["username"] == "user" and r["password"] == "pw"
+    assert out[1]["host"] == "plain.org" and out[1]["port"] is None
+    assert out[2]["__error"] is True
+
+
+def test_hopping_window_agg():
+    from vector_ray.stages.windowed_agg import hopping_agg, tumbling_agg
+
+    # rows at t=0,30,60,90 sec; size=60s slide=30s
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0]),
+            "ts": pa.array([0, 30_000_000, 60_000_000, 90_000_000], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    df = hopping_agg(
+        rd.from_arrow(t), ["k"], [("v", "sum", "total")], ts_field="ts",
+        size_ms=60_000, slide_ms=30_000,
+    )
+    got = {str(w): v for w, v in zip(df["window_start"], df["total"])}
+    # windows: [-30,30)(clipped→only w=0), [0,60)=1+2, [30,90)=2+4, [60,120)=4+8, [90,150)=8
+    assert got["1970-01-01 00:00:00"] == 3.0
+    assert got["1970-01-01 00:00:30"] == 6.0
+    assert got["1970-01-01 00:01:00"] == 12.0
+    assert got["1970-01-01 00:01:30"] == 8.0
+    tdf = tumbling_agg(rd.from_arrow(t), ["k"], [("v", "sum", "total")], ts_field="ts", size_ms=60_000)
+    assert sorted(tdf["total"]) == [3.0, 12.0]

@@ -38,14 +38,7 @@ from typing import Any, Dict, List
 import pyarrow as pa
 
 from .expr import compile_condition
-from .topology import Topology, register
-
-
-@register("inline")
-def _src_inline(cfg, _inputs):
-    import ray.data as rd
-
-    return rd.from_items(cfg["rows"])
+from .topology import Topology
 
 
 class BehaviorTestFailure(AssertionError):

@@ -49,6 +49,21 @@ GROK_PATTERNS: Dict[str, str] = {
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
 }
 
+URL_REGEX = (
+    r"(?P<scheme>[a-z][a-z0-9+.-]*)://(?:(?P<username>[^:@/]+)(?::(?P<password>[^@/]*))?@)?"
+    r"(?P<host>[^:/?#]+)(?::(?P<port>\d+))?(?P<path>/[^?#]*)?"
+    r"(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?"
+)
+
+
+def parse_url(col, drop_failed: bool = False):
+    """parse_url VRL-function analog: URL column → struct of components
+    (scheme/username/password/host/port/path/query/fragment) + error mask.
+    Vectorized extract_regex; port casts to int."""
+    parser = RegexParser(URL_REGEX, types={"port": pa.int64()})
+    return parser.parse(col)
+
+
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 
 _TYPE_MAP = {

@@ -47,6 +47,11 @@ class Remap:
             elif op == "parse_regex":
                 _, field, regex = step
                 self.steps.append(("parse", field, RegexParser(regex)))
+            elif op == "parse_url":
+                from ..parse import URL_REGEX
+
+                _, field = step
+                self.steps.append(("parse", field, RegexParser(URL_REGEX, types={"port": pa.int64()})))
             elif op == "filter":
                 self.steps.append(("filter", compile_condition(step[1])))
             else:

@@ -44,6 +44,13 @@ def register(type_name: str):
 
 # ----------------------------------------------------------- builders
 
+@register("inline")
+def _src_inline(cfg, _inputs):
+    """Literal rows in the config — mock/test source (unit_test mock
+    components analog)."""
+    return rd.from_items(cfg["rows"])
+
+
 @register("parquet")
 def _src_parquet(cfg, _inputs):
     return rd.read_parquet(cfg["path"], columns=cfg.get("columns"))
