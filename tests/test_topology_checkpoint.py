@@ -131,3 +131,38 @@ def test_sink_type_collides_with_source_type(tmp_path):
         "sinks": {"out": {"type": "parquet", "inputs": ["in"]}},
     }
     assert build(cfg)["out"].count() == 10
+
+
+def test_registry_passthroughs(tmp_path):
+    """New options reach the stages through the config registry."""
+    cfg = {
+        "sources": {
+            "in": {
+                "type": "inline",
+                "rows": [
+                    {"k": "a", "v": 1.0, "noise": "x", "ts": 0},
+                    {"k": "a", "v": 2.0, "noise": "y", "ts": 30_000_000},
+                ],
+            }
+        },
+        "transforms": {
+            "dedup": {"type": "dedupe", "inputs": ["in"], "ignore": ["noise", "ts"], "order_by": "ts"},
+            "hop": {
+                "type": "hopping_agg",
+                "inputs": ["in"],
+                "keys": ["k"],
+                "aggs": [["v", "sum", "total"]],
+                "ts_field": "ts",
+                "size_ms": 60_000,
+                "slide_ms": 30_000,
+            },
+        },
+        "sinks": {
+            "d": {"type": "blackhole", "inputs": ["dedup"]},
+            "h": {"type": "blackhole", "inputs": ["hop"]},
+        },
+    }
+    sinks = build(cfg)
+    assert sinks["d"].count() == 2  # v differs → not dups under ignore
+    hop_rows = {str(r["window_start"]): r["total"] for r in sinks["h"].take_all()}
+    assert hop_rows["1970-01-01 00:00:00"] == 3.0

@@ -99,7 +99,12 @@ def _t_dedupe(cfg, inputs):
         return stages.dedupe_windowed(
             inputs, cfg["fields"], cfg["cache_size"], cfg.get("concurrency", 1)
         )
-    return stages.dedupe_exact(inputs, cfg["fields"], order_by=cfg.get("order_by"))
+    return stages.dedupe_exact(
+        inputs,
+        cfg.get("fields"),
+        order_by=cfg.get("order_by"),
+        ignore=cfg.get("ignore"),
+    )
 
 
 @register("sample")
@@ -132,6 +137,10 @@ def _t_throttle(cfg, inputs):
 
 @register("log_to_metric")
 def _t_l2m(cfg, inputs):
+    if cfg.get("all_metrics"):
+        from .stages.log_to_metric import log_to_metric_all
+
+        return log_to_metric_all(inputs, ts_field=cfg.get("ts_field"))
     return stages.log_to_metric(inputs, cfg["metrics"], ts_field=cfg.get("ts_field"))
 
 
@@ -157,6 +166,8 @@ def _t_reduce(cfg, inputs):
         starts_when=cfg.get("starts_when"),
         ends_when=cfg.get("ends_when"),
         max_events=cfg.get("max_events"),
+        end_every_period_ms=cfg.get("end_every_period_ms"),
+        ts_field=cfg.get("ts_field", "ts"),
     )
 
 
@@ -181,6 +192,7 @@ def _t_tagcard(cfg, inputs):
         cfg["value_limit"],
         cfg["order_by"],
         limit_exceeded_action=cfg.get("limit_exceeded_action", "drop_tag"),
+        mode=cfg.get("mode", "exact"),
     )
 
 
@@ -246,6 +258,23 @@ def _t_ip_enrich(cfg, inputs):
 
         table = IpRangeTable(pa_csv.read_csv(cfg["path"]))
     return ip_enrich(inputs, table, cfg["ip_col"], select=cfg.get("select"))
+
+
+@register("hopping_agg")
+def _t_hopping(cfg, inputs):
+    import ray.data as _rd
+
+    from .stages.windowed_agg import hopping_agg
+
+    df = hopping_agg(
+        inputs,
+        cfg["keys"],
+        [tuple(a) for a in cfg["aggs"]],
+        ts_field=cfg.get("ts_field", "ts"),
+        size_ms=cfg["size_ms"],
+        slide_ms=cfg.get("slide_ms", cfg["size_ms"]),
+    )
+    return _rd.from_pandas(df)
 
 
 @register("sort")
