@@ -66,3 +66,37 @@ def test_encode_logfmt():
     lines = codecs.encode_logfmt(b).to_pylist()
     assert lines[0] == "level=info msg=ok n=1"
     assert lines[1] == 'level=warn msg="two words" n=2'
+
+
+def test_decode_key_value():
+    col = pa.array(["a=1,b=hello", "b=only", "nope"])
+    t, err = codecs.decode_key_value(col, ["a", "b"])
+    assert t["a"].to_pylist() == ["1", None, None]
+    assert t["b"].to_pylist() == ["hello", "only", None]
+    assert err.to_pylist() == [False, False, True]
+
+
+def test_parse_key_value_in_remap_unpacks_metric_tags():
+    """metric_to_log tags → columns via the parse_key_value remap step."""
+    import ray.data as rd
+
+    from vector_ray.stages import log_to_metric, metric_to_log, remap
+
+    events = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.0, 2.0]),
+                "host": pa.array(["h1", "h2"]),
+            }
+        )
+    )
+    metrics = log_to_metric(
+        events,
+        [{"type": "counter", "field": "value", "name": "n",
+          "tags": {"type": "{{event_type}}", "host": "{{host}}"}}],
+    )
+    logs = metric_to_log(metrics)
+    out = remap(logs, [("parse_key_value", "tags", ["type", "host"])]).take_all()
+    got = sorted((r["type"], r["host"]) for r in out)
+    assert got == [("click", "h1"), ("view", "h2")]

@@ -106,6 +106,28 @@ def decode_logfmt(col, keys: List[str]):
     return pa.table(cols), err
 
 
+def decode_key_value(col, keys: List[str], pair_sep: str = ",", kv_sep: str = "="):
+    """parse_key_value VRL-function analog: "a=1,b=2" → one string column
+    per requested key (vectorized, one RE2 extract per key).  Also the
+    unpack path for the canonical metric ``tags`` encoding."""
+    import re as _re
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ps, ks = _re.escape(pair_sep), _re.escape(kv_sep)
+    cols = {}
+    any_found = None
+    for k in keys:
+        pat = rf"(?:^|{ps}){_re.escape(k)}{ks}(?P<v>[^{ps}]*)"
+        ext = pc.extract_regex(col, pattern=pat)
+        ok = pc.is_valid(ext)
+        v = pc.struct_field(ext, "v")
+        cols[k] = pc.if_else(ok, v, pa.scalar(None, type=pa.string()))
+        any_found = ok if any_found is None else pc.or_(any_found, ok)
+    err = pc.invert(any_found) if any_found is not None else pa.array([True] * len(col))
+    return pa.table(cols), err
+
+
 SYSLOG_3164_GROK = (
     r"<%{POSINT:pri:int}>%{DATA:stamp} %{HOSTNAME:hostname} "
     r"(?P<appname>[^\s\[:]+)(?:\[%{POSINT:procid:int}\])?: %{GREEDYDATA:msg}"

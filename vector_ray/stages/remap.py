@@ -52,6 +52,12 @@ class Remap:
 
                 _, field = step
                 self.steps.append(("parse", field, RegexParser(URL_REGEX, types={"port": pa.int64()})))
+            elif op == "parse_key_value":
+                # ("parse_key_value", field, [keys], pair_sep?, kv_sep?)
+                _, field, keys = step[:3]
+                pair_sep = step[3] if len(step) > 3 else ","
+                kv_sep = step[4] if len(step) > 4 else "="
+                self.steps.append(("kv", field, list(keys), pair_sep, kv_sep))
             elif op == "filter":
                 self.steps.append(("filter", compile_condition(step[1])))
             else:
@@ -67,6 +73,14 @@ class Remap:
                 cols, e = parser.parse(batch[field])
                 for name, arr in cols.items():
                     batch = _set(batch, name, arr)
+                batch = _or_err(batch, e)
+            elif op == "kv":
+                from ..codecs import decode_key_value
+
+                _, field, keys, pair_sep, kv_sep = step
+                t, e = decode_key_value(batch[field], keys, pair_sep, kv_sep)
+                for name in t.column_names:
+                    batch = _set(batch, name, t[name])
                 batch = _or_err(batch, e)
             elif op == "parse_json":
                 _, field, keys = step[:3]
