@@ -355,6 +355,30 @@ def q_enrich_nation(sf_dir):
     return out.select_columns(["event_id", "n_name"])
 
 
+def q_join_orders_customers(sf_dir):
+    """Large-large hash join (orders ⋈ customer) → per-segment rollup."""
+    import ray.data as rd
+
+    from vector_ray.stages.join import hash_join
+    from vector_ray.stages.partial_agg import grouped_aggregate
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    joined = hash_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"])
+    df = grouped_aggregate(
+        joined,
+        ["c_mktsegment"],
+        [("o_orderkey", "count", "n_orders"), ("o_totalprice", "sum", "total")],
+    )
+    return _round_cols(df, ["total"], 2)
+
+
 def q_pricing_summary(sf_dir):
     """TPC-H-Q1-shaped groupby via the engine's aggregate machinery."""
     import ray.data as rd
@@ -557,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tag_cardinality": q_tag_cardinality,
         "enrich_nation": q_enrich_nation,
         "pricing_summary": q_pricing_summary,
+        "join_orders_customers": q_join_orders_customers,
         "salted_pricing": q_salted_pricing,
         "doc_token_count": q_doc_token_count,
         "dedup_docs_exact": q_dedup_docs_exact,
@@ -672,6 +697,11 @@ def oracle_sql() -> dict[str, str]:
         "enrich_nation": (
             "SELECT e.event_id, n.n_name FROM events e "
             "LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25"
+        ),
+        "join_orders_customers": (
+            "SELECT c.c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o.o_totalprice), 2) AS total FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

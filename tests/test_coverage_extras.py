@@ -226,3 +226,17 @@ def test_hopping_window_agg():
     assert got["1970-01-01 00:01:30"] == 8.0
     tdf = tumbling_agg(rd.from_arrow(t), ["k"], [("v", "sum", "total")], ts_field="ts", size_ms=60_000)
     assert sorted(tdf["total"]) == [3.0, 12.0]
+
+
+def test_bucketed_join_matches_pandas():
+    from vector_ray.stages.join import bucketed_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3]), "lv": pa.array(["a", "b", "c", "d"])})
+    )
+    right = rd.from_arrow(
+        pa.table({"k2": pa.array([2, 3, 4]), "rv": pa.array(["x", "y", "z"])})
+    )
+    out = bucketed_join(left, right, on=["k"], right_on=["k2"], how="inner").to_pandas()
+    got = sorted((int(r.k), r.lv, r.rv) for r in out.itertuples())
+    assert got == [(2, "b", "x"), (2, "c", "x"), (3, "d", "y")]
