@@ -59,10 +59,8 @@ class IpRangeTable:
         idx = np.searchsorted(self.starts, ips, side="right") - 1
         idx_clip = np.clip(idx, 0, len(self.starts) - 1)
         hit = (idx >= 0) & (ips <= self.ends[idx_clip])
-        take = pa.array(
-            np.where(hit, idx_clip, -1), type=pa.int64()
-        )
-        take = pa.array([None if v == -1 else v for v in take.to_pylist()], type=pa.int64())
+        # null out misses via a validity mask — no per-row Python
+        take = pa.array(idx_clip, type=pa.int64(), mask=~hit)
         for c in select or self.attrs.column_names:
             batch = batch.append_column(c, self.attrs[c].take(take))
         return batch

@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..functions.vectors import list_to_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-9, None)
@@ -41,11 +43,9 @@ def brute_force_topk(
             self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.stack(
-                [np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]
-            )
+            vecs = list_to_matrix(batch[vec_col], np.float32)  # zero-copy view
             vn = _normalize(vecs)
-            ids = np.asarray(batch[id_col].to_pylist())
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
             sim = self.q @ vn.T  # (nq, nbatch)
             kk = min(k, sim.shape[1])
             top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
@@ -109,11 +109,9 @@ def ivf_topk(
     id_col: str = "vec_id",
 ):
     """IVF ANN: bucket by nearest centroid, probe nprobe lists/query."""
-    sample = np.stack(
-        [
-            np.asarray(r[vec_col], dtype=np.float32)
-            for r in emb_ds.limit(sample_size).take_all()
-        ]
+    sample = list_to_matrix(
+        emb_ds.limit(sample_size).take_batch(sample_size, batch_format="pyarrow")[vec_col],
+        np.float32,
     )
     index = IVFIndex.train(sample, n_lists)
     idx_ref = ray.put(index)
@@ -128,12 +126,10 @@ def ivf_topk(
             self.q, self.probe_of_query = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.stack(
-                [np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()]
-            )
+            vecs = list_to_matrix(batch[vec_col], np.float32)  # zero-copy view
             lists = self.index.assign(vecs)
             vn = _normalize(vecs)
-            ids = np.asarray(batch[id_col].to_pylist())
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
             rows_q, rows_id, rows_s = [], [], []
             for qi in range(len(self.q)):
                 mask = np.isin(lists, list(self.probe_of_query[qi]))

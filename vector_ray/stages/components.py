@@ -1,0 +1,162 @@
+"""Distributed connected components over an edge list.
+
+Alternating large-star / small-star contraction (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14; public algorithm), expressed as Ray Data stages:
+
+- every round is a bounded number of groupby shuffles over the EDGE
+  LIST only (candidate-duplicate pairs — never the corpus), with the
+  per-node min computations fully vectorized inside hash-bucketed
+  groups (``groupby(bucket(u))`` keeps the Ray group count fixed at
+  ``num_partitions`` while a pandas groupby inside handles the many
+  per-node neighborhoods);
+- converges to rooted stars: every non-root node of a component holds
+  exactly one edge (node, root) where root is the component minimum;
+- no driver-side union-find, no closure-captured id sets — the result
+  is a Dataset(node, comp) consumed downstream by anti_join.
+
+This replaces the round-1 driver union-find flagged in VERDICT.md
+(dedup resolution is the one stage that must not materialize at
+100 TB; duplicate components are small-diameter, so rounds converge
+fast — ``max_rounds`` bounds the worst case).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashes import hash_numeric_column
+
+_PART = "__cc_part"
+
+
+def _with_part(num_partitions: int, col: str = "u"):
+    def _fn(batch: pa.Table) -> pa.Table:
+        h = hash_numeric_column(batch[col])
+        return batch.append_column(
+            _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+        )
+
+    return _fn
+
+
+def _canonicalize(batch: pa.Table) -> pa.Table:
+    """Orient every edge (max, min), drop self-loops."""
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    v = batch["v"].to_numpy(zero_copy_only=False)
+    hi = np.maximum(u, v)
+    lo = np.minimum(u, v)
+    keep = hi != lo
+    return pa.table({"u": pa.array(hi[keep]), "v": pa.array(lo[keep])})
+
+
+def _both_orientations(batch: pa.Table) -> pa.Table:
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    v = batch["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"u": pa.array(np.concatenate([u, v])), "v": pa.array(np.concatenate([v, u]))}
+    )
+
+
+def _large_star(g: pd.DataFrame) -> pd.DataFrame:
+    """Per node u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    g = g.drop_duplicates(["u", "v"])
+    u = g["u"].to_numpy()
+    v = g["v"].to_numpy()
+    m = np.minimum(g.groupby("u")["v"].transform("min").to_numpy(), u)
+    keep = v > u
+    out_u, out_v = v[keep], m[keep]
+    keep2 = out_u != out_v
+    return pd.DataFrame({"u": out_u[keep2], "v": out_v[keep2]})
+
+
+def _small_star(g: pd.DataFrame) -> pd.DataFrame:
+    """Edges oriented (u=max, v=min).  Per node u: m = min(N(u));
+    emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m."""
+    g = g.drop_duplicates(["u", "v"])
+    u = g["u"].to_numpy()
+    v = g["v"].to_numpy()
+    m = g.groupby("u")["v"].transform("min").to_numpy()
+    per_u = g.groupby("u")["v"].min()
+    out_u = np.concatenate([v, per_u.index.to_numpy()])
+    out_v = np.concatenate([m, per_u.to_numpy()])
+    keep = out_u != out_v
+    return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]})
+
+
+def _dedupe(g: pd.DataFrame) -> pd.DataFrame:
+    return g.drop_duplicates(["u", "v"])
+
+
+def connected_components(edges, u_col: str = "a", v_col: str = "b",
+                         num_partitions: int = 32, max_rounds: int = 10):
+    """Edge list Dataset → Dataset(node, comp) for every non-isolated
+    node, where comp is the component's minimum node id (int columns).
+
+    Runs alternating large-star / small-star rounds until the edge set
+    is stable (checked by count + order-insensitive checksum of the
+    deduplicated canonical edge set) or ``max_rounds``.
+    """
+    cur = edges.map_batches(
+        lambda b, uc=u_col, vc=v_col: _canonicalize(
+            pa.table({"u": b[uc], "v": b[vc]})
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    cur = _grouped(cur, _dedupe, num_partitions).materialize()
+    prev_sig = _signature(cur)
+    for _ in range(max_rounds):
+        ls_in = cur.map_batches(_both_orientations, batch_format="pyarrow", batch_size=None)
+        ls_out = _grouped(ls_in, _large_star, num_partitions)
+        ss_out = _grouped(ls_out, _small_star, num_partitions)
+        cur = _grouped(ss_out, _dedupe, num_partitions).materialize()
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star edges ARE the mapping: (node=u, comp=v); add the
+    # roots themselves (comp → comp) so every touched node has a row
+    def _mapping(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["u"], "comp": batch["v"]})
+
+    def _roots(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["v"].drop_duplicates()
+        return pd.DataFrame({"node": r, "comp": r})
+
+    nodes = cur.map_batches(_mapping, batch_format="pyarrow", batch_size=None)
+    roots = _grouped(
+        cur.map_batches(
+            lambda b: b.append_column(_PART, pa.array(
+                (hash_numeric_column(b["v"]) % np.uint64(num_partitions)).view(np.int64))),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        _roots,
+        num_partitions,
+        pre_partitioned=True,
+    )
+    return nodes.union(roots)
+
+
+def _grouped(ds, fn, num_partitions: int, pre_partitioned: bool = False):
+    if not pre_partitioned:
+        ds = ds.map_batches(_with_part(num_partitions), batch_format="pyarrow", batch_size=None)
+
+    def _run(g: pd.DataFrame) -> pd.DataFrame:
+        out = fn(g.drop(columns=[_PART]))
+        return out
+
+    return ds.groupby(_PART).map_groups(_run, batch_format="pandas")
+
+
+def _signature(ds) -> tuple:
+    """(row count, xor-ish checksum) of a canonical edge Dataset —
+    order-insensitive, computed distributed (two tiny aggregates)."""
+    cnt = ds.count()
+    if cnt == 0:
+        return (0, 0, 0)
+    su = ds.sum("u")
+    sv = ds.sum("v")
+    return (cnt, su, sv)

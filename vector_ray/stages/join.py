@@ -1,16 +1,24 @@
-"""Large-large joins.
+"""Large-large joins, semi-joins and anti-joins.
 
 Vector itself has no join operator (enrichment tables cover the
 small-side case — see enrich.py); a data-processing engine at 100 TB
-needs one.  Two implementations:
+needs one.  Implementations:
 
-- ``hash_join``: Ray Data's native ``Dataset.join`` (hash-partitioned;
-  available in this Ray version) when it works in the current session,
+- ``hash_join``: Ray Data's native ``Dataset.join`` (hash-partitioned)
+  with pandas-style join names mapped to the native ones; falls back to
+  ``bucketed_join`` if native join construction fails (the fallback
+  covers construction-time errors only — the native join is lazy, so
+  execution-time failures surface at execution like any other stage).
 - ``bucketed_join``: the portable explicit pattern from first
   principles — add ``bucket = hash(key) % B`` to both sides, tag the
   side, union, group by bucket, and pandas-merge the two sides inside
   each group.  B bounds per-task memory; skewed keys can be salted
   upstream (stages/salted.py) before bucketing.
+- ``semi_join`` / ``anti_join``: keep / drop left rows whose key
+  appears in a key set.  When the key set is small it is broadcast
+  once (``ray.put``) and applied per batch with ``pc.is_in`` — the
+  left side is never shuffled; past ``broadcast_limit`` keys they fall
+  through to the partitioned join.
 """
 
 from __future__ import annotations
@@ -20,11 +28,23 @@ from typing import List, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 
 from ..functions.hashes import hash_columns
 
 BUCKET_COL = "__join_bucket"
 SIDE_COL = "__join_side"
+
+# pandas-style name → Ray native Dataset.join name
+_NATIVE_OF_HOW = {
+    "inner": "inner",
+    "left": "left_outer",
+    "right": "right_outer",
+    "outer": "full_outer",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
 
 
 def hash_join(
@@ -36,10 +56,12 @@ def hash_join(
     num_partitions: int = 16,
 ):
     """Native Ray Data hash join with the bucketed fallback."""
+    if how not in _NATIVE_OF_HOW:
+        raise ValueError(f"unsupported join type {how!r}")
     try:
         return left.join(
             right,
-            join_type=how,
+            join_type=_NATIVE_OF_HOW[how],
             num_partitions=num_partitions,
             on=tuple(on),
             right_on=tuple(right_on) if right_on else None,
@@ -58,12 +80,32 @@ def bucketed_join(
     num_buckets: int = 16,
 ):
     """Explicit partitioned hash join: bucket both sides by key hash,
-    co-group, merge per bucket with pandas."""
+    co-group, merge per bucket with pandas.
+
+    Each side's column list is taken from the input datasets' schemas
+    up front (never inferred from per-bucket null patterns), and right
+    columns that collide with left names are renamed ``*_r`` before the
+    union so block schemas stay disjoint and stable across buckets.
+    """
     on = list(on)
     right_on = list(right_on) if right_on else on
+    left_cols = list(left.schema().names)
+    right_cols_in = list(right.schema().names)
+    # rename colliding non-key right columns up front
+    rename = {
+        c: f"{c}_r"
+        for c in right_cols_in
+        if c in left_cols and not (c in right_on and c in on and right_on.index(c) == on.index(c))
+    }
+    # a right key that shares its name AND position with the left key
+    # keeps its name (pandas merges them into one column anyway)
+    right_on_renamed = [rename.get(c, c) for c in right_on]
+    right_cols = [rename.get(c, c) for c in right_cols_in]
 
-    def _tag(side: str, keys: List[str]):
+    def _tag(side: str, keys: List[str], renames: dict):
         def _fn(batch: pa.Table) -> pa.Table:
+            if renames:
+                batch = batch.rename_columns([renames.get(c, c) for c in batch.column_names])
             h = hash_columns(batch, keys)
             batch = batch.append_column(
                 BUCKET_COL, pa.array((h % np.uint64(num_buckets)).view(np.int64))
@@ -72,19 +114,68 @@ def bucketed_join(
 
         return _fn
 
-    lt = left.map_batches(_tag("l", on), batch_format="pyarrow", batch_size=None)
-    rt = right.map_batches(_tag("r", right_on), batch_format="pyarrow", batch_size=None)
+    lt = left.map_batches(_tag("l", on, {}), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(
+        _tag("r", right_on_renamed, rename), batch_format="pyarrow", batch_size=None
+    )
     both = lt.union(rt)
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[SIDE_COL] == "l"].drop(columns=[SIDE_COL, BUCKET_COL])
-        r = g[g[SIDE_COL] == "r"].drop(columns=[SIDE_COL, BUCKET_COL])
-        l = l.dropna(axis=1, how="all") if len(l) else l
-        r = r.dropna(axis=1, how="all") if len(r) else r
-        if len(l) == 0 or (len(r) == 0 and how == "inner"):
-            return pd.DataFrame()
-        out = l.merge(r, how=how, left_on=on, right_on=right_on,
-                      suffixes=("", "_r"))
-        return out
+        l = g[g[SIDE_COL] == "l"].reindex(columns=left_cols)
+        r = g[g[SIDE_COL] == "r"].reindex(columns=right_cols)
+        if how == "semi":
+            return l[l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
+        if how == "anti":
+            return l[~l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
+        return l.merge(r, how=how, left_on=on, right_on=right_on_renamed)
 
     return both.groupby(BUCKET_COL).map_groups(_merge, batch_format="pandas")
+
+
+class _BroadcastKeyFilter:
+    """Actor-pool batch filter against a broadcast key array (resolved
+    once per actor in __init__; mask via ``pc.is_in`` per batch)."""
+
+    def __init__(self, keys_ref, col: str, keep_matches: bool):
+        self.keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        self.col = col
+        self.keep = keep_matches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[self.col], value_set=self.keys)
+        m = pc.fill_null(m, False)
+        if not self.keep:
+            m = pc.invert(m)
+        return batch.filter(m)
+
+
+def _key_filter_join(left, keys_ds, on, keys_on, broadcast_limit, keep_matches):
+    on = [on] if isinstance(on, str) else list(on)
+    keys_on = on if keys_on is None else ([keys_on] if isinstance(keys_on, str) else list(keys_on))
+    how = "semi" if keep_matches else "anti"
+    if len(on) != 1:
+        return hash_join(left, keys_ds, on=on, right_on=keys_on, how=how)
+    keys = keys_ds.select_columns(keys_on).materialize()
+    if keys.count() > broadcast_limit:
+        return hash_join(left, keys, on=on, right_on=keys_on, how=how)
+    tbl = pa.concat_tables(ray.get(keys.to_arrow_refs()))
+    key_arr = pc.unique(tbl[keys_on[0]].combine_chunks())
+    keys_ref = ray.put(key_arr)
+    return left.map_batches(
+        _BroadcastKeyFilter,
+        fn_constructor_args=(keys_ref, on[0], keep_matches),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+    )
+
+
+def semi_join(left, keys_ds, on, keys_on=None, broadcast_limit: int = 2_000_000):
+    """Left rows whose key appears in ``keys_ds`` (broadcast filter when
+    small, partitioned join past ``broadcast_limit`` keys)."""
+    return _key_filter_join(left, keys_ds, on, keys_on, broadcast_limit, True)
+
+
+def anti_join(left, keys_ds, on, keys_on=None, broadcast_limit: int = 2_000_000):
+    """Left rows whose key does NOT appear in ``keys_ds``."""
+    return _key_filter_join(left, keys_ds, on, keys_on, broadcast_limit, False)
