@@ -96,6 +96,49 @@ def matrix_to_list(m: np.ndarray, value_type: pa.DataType | None = None) -> pa.A
     return pa.FixedSizeListArray.from_arrays(flat, d)
 
 
+def matrix_to_fixed_binary(m: np.ndarray) -> pa.Array:
+    """Pack an (n, d) matrix into a FixedSizeBinary(d·itemsize) column —
+    the layout that survives Ray's native hash join (list columns are
+    rejected as non-key join fields; binary passes through)."""
+    m = np.ascontiguousarray(m)
+    width = m.shape[1] * m.itemsize
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(width), m.shape[0], [None, pa.py_buffer(m.reshape(-1))]
+    )
+
+
+def fixed_binary_to_matrix(col, dtype) -> np.ndarray:
+    """Inverse of matrix_to_fixed_binary: zero-copy (n, d) view.
+
+    Accepts FixedSizeBinary, or plain binary with uniform payload width
+    (what a pandas round-trip through a join fallback produces)."""
+    arr = _combined(col)
+    if arr.null_count:
+        raise ValueError("fixed_binary_to_matrix: column has null rows")
+    itemsize = np.dtype(dtype).itemsize
+    if pa.types.is_fixed_size_binary(arr.type):
+        d = arr.type.byte_width // itemsize
+        flat = np.frombuffer(arr.buffers()[1], dtype=dtype)
+        start = arr.offset * d
+        return flat[start : start + len(arr) * d].reshape(len(arr), d)
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        lens = np.diff(off)
+        if len(lens) == 0:
+            return np.empty((0, 0), dtype=dtype)
+        if not (lens == lens[0]).all():
+            raise ValueError("fixed_binary_to_matrix: ragged binary column")
+        d = int(lens[0]) // itemsize
+        flat = np.frombuffer(arr.buffers()[2], dtype=dtype)
+        return flat[off[0] // itemsize : off[0] // itemsize + len(arr) * d].reshape(
+            len(arr), d
+        )
+    raise TypeError(f"fixed_binary_to_matrix: unsupported type {arr.type}")
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of a uint64 array, fully vectorized
     (byte-view + unpackbits; no Python ``bin()`` per value)."""

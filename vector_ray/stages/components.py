@@ -27,14 +27,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashes import hash_numeric_column
+from ..functions.hashes import hash_columns
 
 _PART = "__cc_part"
 
 
 def _with_part(num_partitions: int, col: str = "u"):
     def _fn(batch: pa.Table) -> pa.Table:
-        h = hash_numeric_column(batch[col])
+        h = hash_columns(batch, [col])
         return batch.append_column(
             _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
         )
@@ -43,39 +43,44 @@ def _with_part(num_partitions: int, col: str = "u"):
 
 
 def _canonicalize(batch: pa.Table) -> pa.Table:
-    """Orient every edge (max, min), drop self-loops."""
+    """Orient every edge (max, min), drop self-loops.  Works for int
+    and string node ids (numpy elementwise compare on object arrays)."""
     u = batch["u"].to_numpy(zero_copy_only=False)
     v = batch["v"].to_numpy(zero_copy_only=False)
     hi = np.maximum(u, v)
     lo = np.minimum(u, v)
     keep = hi != lo
-    return pa.table({"u": pa.array(hi[keep]), "v": pa.array(lo[keep])})
+    t = batch["u"].type if not isinstance(batch["u"], pa.ChunkedArray) else batch["u"].type
+    return pa.table({"u": pa.array(hi[keep], type=t), "v": pa.array(lo[keep], type=t)})
 
 
 def _both_orientations(batch: pa.Table) -> pa.Table:
-    u = batch["u"].to_numpy(zero_copy_only=False)
-    v = batch["v"].to_numpy(zero_copy_only=False)
+    u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+    v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
     return pa.table(
-        {"u": pa.array(np.concatenate([u, v])), "v": pa.array(np.concatenate([v, u]))}
+        {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
     )
 
 
-def _large_star(g: pd.DataFrame) -> pd.DataFrame:
+def _large_star(t: pa.Table) -> pa.Table:
     """Per node u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
-    g = g.drop_duplicates(["u", "v"])
+    nt = t.schema.field("u").type
+    g = t.to_pandas().drop_duplicates(["u", "v"])
     u = g["u"].to_numpy()
     v = g["v"].to_numpy()
     m = np.minimum(g.groupby("u")["v"].transform("min").to_numpy(), u)
     keep = v > u
     out_u, out_v = v[keep], m[keep]
     keep2 = out_u != out_v
-    return pd.DataFrame({"u": out_u[keep2], "v": out_v[keep2]})
+    return pa.table({"u": pa.array(out_u[keep2], type=nt),
+                     "v": pa.array(out_v[keep2], type=nt)})
 
 
-def _small_star(g: pd.DataFrame) -> pd.DataFrame:
+def _small_star(t: pa.Table) -> pa.Table:
     """Edges oriented (u=max, v=min).  Per node u: m = min(N(u));
     emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m."""
-    g = g.drop_duplicates(["u", "v"])
+    nt = t.schema.field("u").type
+    g = t.to_pandas().drop_duplicates(["u", "v"])
     u = g["u"].to_numpy()
     v = g["v"].to_numpy()
     m = g.groupby("u")["v"].transform("min").to_numpy()
@@ -83,11 +88,12 @@ def _small_star(g: pd.DataFrame) -> pd.DataFrame:
     out_u = np.concatenate([v, per_u.index.to_numpy()])
     out_v = np.concatenate([m, per_u.to_numpy()])
     keep = out_u != out_v
-    return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]})
+    return pa.table({"u": pa.array(out_u[keep], type=nt),
+                     "v": pa.array(out_v[keep], type=nt)})
 
 
-def _dedupe(g: pd.DataFrame) -> pd.DataFrame:
-    return g.drop_duplicates(["u", "v"])
+def _dedupe(t: pa.Table) -> pa.Table:
+    return t.group_by(["u", "v"]).aggregate([])
 
 
 def connected_components(edges, u_col: str = "a", v_col: str = "b",
@@ -122,15 +128,15 @@ def connected_components(edges, u_col: str = "a", v_col: str = "b",
     def _mapping(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["u"], "comp": batch["v"]})
 
-    def _roots(g: pd.DataFrame) -> pd.DataFrame:
-        r = g["v"].drop_duplicates()
-        return pd.DataFrame({"node": r, "comp": r})
+    def _roots(t: pa.Table) -> pa.Table:
+        r = t.select(["v"]).group_by(["v"]).aggregate([])["v"]
+        return pa.table({"node": r, "comp": r})
 
     nodes = cur.map_batches(_mapping, batch_format="pyarrow", batch_size=None)
     roots = _grouped(
         cur.map_batches(
             lambda b: b.append_column(_PART, pa.array(
-                (hash_numeric_column(b["v"]) % np.uint64(num_partitions)).view(np.int64))),
+                (hash_columns(b, ["v"]) % np.uint64(num_partitions)).view(np.int64))),
             batch_format="pyarrow", batch_size=None,
         ),
         _roots,
@@ -144,19 +150,25 @@ def _grouped(ds, fn, num_partitions: int, pre_partitioned: bool = False):
     if not pre_partitioned:
         ds = ds.map_batches(_with_part(num_partitions), batch_format="pyarrow", batch_size=None)
 
-    def _run(g: pd.DataFrame) -> pd.DataFrame:
-        out = fn(g.drop(columns=[_PART]))
-        return out
+    def _run(t: pa.Table) -> pa.Table:
+        return fn(t.drop_columns([_PART]))
 
-    return ds.groupby(_PART).map_groups(_run, batch_format="pandas")
+    return ds.groupby(_PART).map_groups(_run, batch_format="pyarrow")
 
 
 def _signature(ds) -> tuple:
-    """(row count, xor-ish checksum) of a canonical edge Dataset —
-    order-insensitive, computed distributed (two tiny aggregates)."""
+    """(row count, order-insensitive hash checksum) of a canonical edge
+    Dataset — computed as distributed aggregates (works for any id type)."""
     cnt = ds.count()
     if cnt == 0:
-        return (0, 0, 0)
-    su = ds.sum("u")
-    sv = ds.sum("v")
-    return (cnt, su, sv)
+        return (0, 0)
+    hs = ds.map_batches(
+        # mask to 32 bits: the distributed sum then stays inside int64
+        # for any realistic edge count (checksum only, not identity)
+        lambda b: pa.table(
+            {"h": pa.array((hash_columns(b, ["u", "v"]) & np.uint64(0xFFFFFFFF)).view(np.int64))}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return (cnt, hs.sum("h"))

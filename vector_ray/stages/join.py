@@ -53,11 +53,26 @@ def hash_join(
     on: Sequence[str],
     right_on: Optional[Sequence[str]] = None,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: Optional[int] = None,
 ):
-    """Native Ray Data hash join with the bucketed fallback."""
+    """Native Ray Data hash join with the bucketed fallback.
+
+    The native join spawns ``num_partitions`` aggregator actors whose
+    default CPU reservation is half the cluster; a pipeline with two
+    chained joins then deadlocks on a small node.  We cap each join's
+    aggregator budget at ~¼ of the cluster's CPUs so several joins and
+    their map stages can run concurrently.
+
+    NOTE: a list-typed non-key column is rejected by the native join at
+    execution time — pack such payloads as FixedSizeBinary
+    (functions/vectors.matrix_to_fixed_binary) before joining.
+    """
     if how not in _NATIVE_OF_HOW:
         raise ValueError(f"unsupported join type {how!r}")
+    total_cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if num_partitions is None:
+        num_partitions = max(2, min(16, total_cpus))
+    agg_cpus = max(0.05, min(1.0, (total_cpus / 4) / num_partitions))
     try:
         return left.join(
             right,
@@ -65,6 +80,7 @@ def hash_join(
             num_partitions=num_partitions,
             on=tuple(on),
             right_on=tuple(right_on) if right_on else None,
+            aggregator_ray_remote_args={"num_cpus": agg_cpus},
         )
     except Exception:
         return bucketed_join(left, right, on, right_on=right_on, how=how,
@@ -89,8 +105,10 @@ def bucketed_join(
     """
     on = list(on)
     right_on = list(right_on) if right_on else on
-    left_cols = list(left.schema().names)
-    right_cols_in = list(right.schema().names)
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_cols_in = list(right_schema.names)
     # rename colliding non-key right columns up front
     rename = {
         c: f"{c}_r"
@@ -102,15 +120,41 @@ def bucketed_join(
     right_on_renamed = [rename.get(c, c) for c in right_on]
     right_cols = [rename.get(c, c) for c in right_cols_in]
 
+    # one canonical union schema for BOTH sides: Ray's union + groupby
+    # concatenates blocks, and sides with different column sets would
+    # misalign — pad each side's missing columns with typed nulls
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (bytes, bytearray):
+            return pa.binary()
+        if t is str:
+            return pa.string()
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    type_of = {}
+    for name, t in zip(left_schema.names, left_schema.types):
+        type_of[name] = _pa_type(t)
+    for name, t in zip(right_schema.names, right_schema.types):
+        type_of.setdefault(rename.get(name, name), _pa_type(t))
+    union_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
     def _tag(side: str, keys: List[str], renames: dict):
         def _fn(batch: pa.Table) -> pa.Table:
             if renames:
                 batch = batch.rename_columns([renames.get(c, c) for c in batch.column_names])
             h = hash_columns(batch, keys)
-            batch = batch.append_column(
-                BUCKET_COL, pa.array((h % np.uint64(num_buckets)).view(np.int64))
-            )
-            return batch.append_column(SIDE_COL, pa.array([side] * batch.num_rows))
+            cols = {
+                c: (batch[c] if c in batch.column_names
+                    else pa.nulls(batch.num_rows, type=type_of[c]))
+                for c in union_cols
+            }
+            cols[BUCKET_COL] = pa.array((h % np.uint64(num_buckets)).view(np.int64))
+            cols[SIDE_COL] = pa.array([side] * batch.num_rows)
+            return pa.table(cols)
 
         return _fn
 
@@ -120,16 +164,32 @@ def bucketed_join(
     )
     both = lt.union(rt)
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[SIDE_COL] == "l"].reindex(columns=left_cols)
-        r = g[g[SIDE_COL] == "r"].reindex(columns=right_cols)
-        if how == "semi":
-            return l[l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
-        if how == "anti":
-            return l[~l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
-        return l.merge(r, how=how, left_on=on, right_on=right_on_renamed)
+    out_cols = (
+        left_cols if how in ("semi", "anti")
+        else union_cols
+    )
 
-    return both.groupby(BUCKET_COL).map_groups(_merge, batch_format="pandas")
+    def _merge(t: pa.Table) -> pa.Table:
+        # split sides while still Arrow so null-padded int columns keep
+        # their types (a pandas split would upcast them to float64 and
+        # break downstream key hashing)
+        side = t[SIDE_COL]
+        l = t.filter(pc.equal(side, "l")).select(left_cols).to_pandas()
+        r = t.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
+        if how == "semi":
+            out = l[l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
+        elif how == "anti":
+            out = l[~l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
+        else:
+            out = l.merge(r, how=how, left_on=on, right_on=right_on_renamed)
+        return pa.table(
+            {
+                c: pa.Array.from_pandas(out[c], type=type_of[c])
+                for c in out_cols
+            }
+        )
+
+    return both.groupby(BUCKET_COL).map_groups(_merge, batch_format="pyarrow")
 
 
 class _BroadcastKeyFilter:
@@ -158,7 +218,10 @@ def _key_filter_join(left, keys_ds, on, keys_on, broadcast_limit, keep_matches):
     keys = keys_ds.select_columns(keys_on).materialize()
     if keys.count() > broadcast_limit:
         return hash_join(left, keys, on=on, right_on=keys_on, how=how)
-    tbl = pa.concat_tables(ray.get(keys.to_arrow_refs()))
+    blocks = [t for t in ray.get(keys.to_arrow_refs()) if t.num_columns > 0]
+    if not blocks:
+        return left if not keep_matches else left.limit(0)
+    tbl = pa.concat_tables(blocks, promote_options="default")
     key_arr = pc.unique(tbl[keys_on[0]].combine_chunks())
     keys_ref = ray.put(key_arr)
     return left.map_batches(
