@@ -174,17 +174,15 @@ def q_dedupe_events(sf_dir):
 
 
 def q_sample_mod(sf_dir):
-    """Deterministic 1-in-10 keyed sampling (modulo stand-in for the
-    seahash keep-rule so the oracle is exact; the hash variant is
-    pytest-verified)."""
+    """Consistent-hash 1-in-10 keyed sampling through the engine's
+    sample stage, using its multiplicative-hash mode whose keep-rule is
+    SQL-reproducible — the oracle states the identical hash, so this row
+    verifies the sampler itself (stages/sample.py:34)."""
+    from vector_ray.stages import sample_hash
+
     ds = _events(sf_dir, ["event_id", "user_id"])
-
-    def _keep(b: pa.Table) -> pa.Table:
-        keep = (b["user_id"].to_numpy() % 10) == 3
-        out = b.filter(pa.array(keep))
-        return out.append_column("sample_rate", pa.array(np.full(out.num_rows, 10.0)))
-
-    return ds.map_batches(_keep, batch_format="pyarrow")
+    out = sample_hash(ds, "user_id", rate=10, hash_fn="multiplicative")
+    return out.select_columns(["event_id", "user_id", "sample_rate"])
 
 
 def q_throttle_daily(sf_dir):
@@ -494,25 +492,42 @@ def q_token_pipeline(sf_dir):
 
 
 def q_minhash_dedup(sf_dir):
+    """MinHash+LSH near-dup removal over a planted-cluster corpus
+    derived from `documents`: base docs are pairwise-dissimilar by
+    construction; normalization-equal and mutated variants are planted
+    with offset ids.  Survivors must be exactly the base ids, which the
+    DuckDB oracle states as SELECT doc_id FROM documents."""
     from vector_ray.pipelines.dedup import minhash_lsh_dedup
+    from vector_ray.pipelines.dedup_fixture import planted_minhash_corpus
 
-    out = minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.9)
+    corpus = planted_minhash_corpus(_docs(sf_dir, ["doc_id", "text"]))
+    out = minhash_lsh_dedup(corpus, jaccard_threshold=0.7)
     return out.select_columns(["doc_id"])
 
 
 def q_simhash_dedup(sf_dir):
+    """SimHash near-dup removal over the planted corpus (whitespace/case
+    and word-reversal variants are simhash-identical); survivors = base."""
     from vector_ray.pipelines.dedup import simhash_dedup
+    from vector_ray.pipelines.dedup_fixture import planted_simhash_corpus
 
-    out = simhash_dedup(_docs(sf_dir, ["doc_id", "text"]), hamming_k=0)
+    corpus = planted_simhash_corpus(_docs(sf_dir, ["doc_id", "text"]))
+    out = simhash_dedup(corpus, hamming_k=0)
     return out.select_columns(["doc_id"])
 
 
 def q_embedding_dedup(sf_dir):
+    """Cosine near-dup removal over embeddings with planted positively
+    scaled copies (cosine exactly 1); survivors = base vec_ids."""
     import ray.data as rd
 
     from vector_ray.pipelines.dedup import embedding_dedup
+    from vector_ray.pipelines.dedup_fixture import planted_embedding_corpus
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = planted_embedding_corpus(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    )
     return embedding_dedup(emb, threshold=0.999)
 
 
@@ -587,11 +602,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_exact": q_dedup_docs_exact,
         "doc_fingerprint_groups": q_doc_fingerprint_groups,
         "ann_topk": q_ann_topk,
-        # rows-only checks (non-SQL-expressible)
-        "token_pipeline": q_token_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
+        # rows-only checks (non-SQL-expressible)
+        "token_pipeline": q_token_pipeline,
         "ivf_topk": q_ivf_topk,
         "text_analysis": q_text_analysis,
         "multimodal_features": q_multimodal_features,
@@ -647,7 +662,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id, event_type"
         ),
         "sample_mod": (
-            "SELECT event_id, user_id, 10.0 AS sample_rate FROM events WHERE user_id % 10 = 3"
+            "SELECT event_id, user_id, 10.0 AS sample_rate FROM events "
+            "WHERE ((user_id * 2654435761) % 4294967296) % 10 = 0"
         ),
         "throttle_daily": (
             "SELECT event_id FROM (SELECT event_id, row_number() OVER "
@@ -726,6 +742,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS group_size FROM documents "
             "GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')) GROUP BY group_size"
         ),
+        # planted-fixture dedup: base ids are component minima by
+        # construction, so the survivor set is exactly the base table
+        "minhash_dedup": "SELECT doc_id FROM documents",
+        "simhash_dedup": "SELECT doc_id FROM documents",
+        "embedding_dedup": "SELECT vec_id FROM embeddings",
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3) "
             "SELECT CAST(q.qid AS BIGINT) AS query_id, e.vec_id, "

@@ -201,3 +201,41 @@ def test_minhash_detects_true_near_dupes():
     ids = set(out.to_pandas()["doc_id"])
     assert all(d not in ids for d in near["doc_id"])  # near-dups dropped
     assert all(d in ids for d in df.head(3)["doc_id"])  # originals kept
+
+
+def test_planted_fixture_oracles_sf0001():
+    """The planted corpora must dedup to exactly the base ids (this is
+    what the driver's DuckDB oracle asserts)."""
+    from vector_ray.pipelines.dedup import (
+        embedding_dedup,
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+    from vector_ray.pipelines.dedup_fixture import (
+        planted_embedding_corpus,
+        planted_minhash_corpus,
+        planted_simhash_corpus,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    base = sorted(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist())
+    out = minhash_lsh_dedup(planted_minhash_corpus(docs), jaccard_threshold=0.7).to_pandas()
+    assert sorted(out["doc_id"]) == base
+    docs2 = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out2 = simhash_dedup(planted_simhash_corpus(docs2), hamming_k=0).to_pandas()
+    assert sorted(out2["doc_id"]) == base
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vbase = sorted(pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])["vec_id"].to_pylist())
+    out3 = embedding_dedup(planted_embedding_corpus(emb), threshold=0.999).to_pandas()
+    assert sorted(out3["vec_id"]) == vbase
+
+
+def test_sample_multiplicative_hash_matches_sql_rule():
+    from vector_ray.stages import sample_hash
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id"])
+    out = sample_hash(ds, "user_id", rate=10, hash_fn="multiplicative").to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id"]).to_pandas()
+    expect = ev[((ev.user_id.astype("uint64") * 2654435761) % 2**32) % 10 == 0]
+    assert sorted(out["event_id"]) == sorted(expect["event_id"])
+    assert (out["sample_rate"] == 10.0).all()

@@ -162,14 +162,27 @@ class MinHasher:
             h = hash_string_column(sub)
             sigs[short] = UMAX
             sigs[short, (h >> shift).astype(np.int64)] = h
-        # densify: empty bins get a deterministic fill derived from the
-        # doc's global min so identical docs stay identical
-        gmin = sigs.min(axis=1)
+        # densify: rotation scheme (one-permutation hashing with
+        # rotation, Shrivastava & Li 2014) — an empty bin borrows from
+        # its nearest non-empty bin to the left (circular), offset by
+        # the distance.  Identical docs densify identically; docs that
+        # merely share their global minimum do NOT (a global-min fill
+        # would correlate all their empty bins and inflate the
+        # estimated Jaccard of short near-misses).
         need = sigs == UMAX
         if need.any():
-            rows, cols_i = np.nonzero(need)
-            fill = (gmin[rows] ^ (np.uint64(0x9E3779B97F4A7C15) * (cols_i.astype(np.uint64) + np.uint64(1))))
-            sigs[rows, cols_i] = fill
+            colidx = np.arange(P, dtype=np.int64)
+            src = np.where(~need, colidx[None, :], np.int64(-1))
+            dbl = np.concatenate([src, src + P], axis=1)
+            ff = np.maximum.accumulate(dbl, axis=1)[:, P:]  # nearest ≤ j (circular)
+            has_any = ff[:, -1] >= 0
+            if has_any.any():
+                rows = np.nonzero(has_any)[0]
+                ffr = ff[rows]
+                dist = (colidx[None, :] + P - ffr) % P
+                vals = sigs[rows[:, None], ffr % P]
+                fill = vals + dist.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                sigs[rows] = np.where(need[rows], fill, sigs[rows])
         sigs[empty] = 0
         return pa.table(
             {

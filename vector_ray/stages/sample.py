@@ -38,15 +38,35 @@ def sample_hash(
     ratio: Optional[float] = None,
     exclude=None,
     seed: int = 0,
+    hash_fn: str = "stable",
 ):
-    """Consistent-hash sampling on key_field (stateless, vectorized)."""
+    """Consistent-hash sampling on key_field (stateless, vectorized).
+
+    ``hash_fn``:
+    - "stable": the engine's 64-bit string hash (seahash-equivalent
+      consistency properties; bits are ours).
+    - "multiplicative": Knuth multiplicative hashing on a non-negative
+      integer key — ``(key * 2654435761) mod 2^32`` — chosen because an
+      external SQL engine can state the identical keep-rule
+      (``((k * 2654435761) % 4294967296) % rate = 0``), which makes the
+      sampler's output independently verifiable.
+    """
     if (rate is None) == (ratio is None):
         raise ValueError("exactly one of rate / ratio")
     excl = compile_condition(exclude) if exclude is not None else None
     sample_rate = float(rate) if rate is not None else (1.0 / ratio if ratio else 1.0)
 
+    def _hash(batch: pa.Table) -> np.ndarray:
+        if hash_fn == "multiplicative":
+            x = batch[key_field]
+            if isinstance(x, pa.ChunkedArray):
+                x = x.combine_chunks()
+            k = x.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            return (k * np.uint64(2654435761)) % np.uint64(2**32)
+        return hash_string_column(batch[key_field], seed=seed)
+
     def _sample(batch: pa.Table) -> pa.Table:
-        h = hash_string_column(batch[key_field], seed=seed)
+        h = _hash(batch)
         if rate is not None:
             keep = (h % np.uint64(rate)) == 0
         else:
