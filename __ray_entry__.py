@@ -226,6 +226,45 @@ def q_aggregate_hourly(sf_dir):
     return _round_cols(df, ["value"], 3)
 
 
+def q_histogram_buckets(sf_dir):
+    """Histogram metric payloads: log_to_metric histogram spec →
+    distribution merge per (series, day) → aggregated-histogram bucket
+    counts (long form; bucket_upper=+inf for overflow)."""
+    from vector_ray.stages import log_to_metric
+    from vector_ray.stages.metric_payload import aggregated_histogram, distribution_agg
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "histogram", "field": "value", "name": "v_hist",
+          "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    long = distribution_agg(metrics, interval_ms=86_400_000)
+    df = aggregated_histogram(long, limits=[25.0, 50.0, 100.0, 200.0]).to_pandas()
+    df = df[["tags", "window_start", "bucket_upper", "bucket_count", "count", "sum"]]
+    return _round_cols(df, ["sum"], 3)
+
+
+def q_summary_quantiles(sf_dir):
+    """Summary metric payloads: per-(series, day) q50/q90 with linear
+    interpolation (matches SQL quantile_cont)."""
+    from vector_ray.stages import log_to_metric
+    from vector_ray.stages.metric_payload import aggregated_summary, distribution_agg
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "summary", "field": "value", "name": "v_sum",
+          "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    long = distribution_agg(metrics, interval_ms=86_400_000)
+    df = aggregated_summary(long, quantiles=(0.5, 0.9)).to_pandas()
+    df = df[["tags", "window_start", "quantile", "qvalue", "count", "sum"]]
+    return _round_cols(df, ["qvalue", "sum"], 3)
+
+
 def q_reduce_sessions(sf_dir):
     from vector_ray.stages import reduce_stage
 
@@ -587,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_daily": q_throttle_daily,
         "log_to_metric_counts": q_log_to_metric_counts,
         "aggregate_hourly": q_aggregate_hourly,
+        "histogram_buckets": q_histogram_buckets,
+        "summary_quantiles": q_summary_quantiles,
         "reduce_sessions": q_reduce_sessions,
         "reduce_sessionized": q_reduce_sessionized,
         "sample_hash": q_sample_hash,
@@ -678,6 +719,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'type=' || event_type AS tags, date_trunc('hour', ts) AS window_start, "
             "round(sum(value), 3) AS value, count(*) AS \"count\" "
             "FROM events GROUP BY 1, 2"
+        ),
+        "histogram_buckets": (
+            "WITH b AS (SELECT 'type=' || event_type AS tags, "
+            "date_trunc('day', ts) AS window_start, "
+            "CASE WHEN value <= 25 THEN 25.0 WHEN value <= 50 THEN 50.0 "
+            "WHEN value <= 100 THEN 100.0 WHEN value <= 200 THEN 200.0 "
+            "ELSE 'infinity'::DOUBLE END AS bucket_upper, value FROM events) "
+            "SELECT tags, window_start, bucket_upper, "
+            "count(*) AS bucket_count, "
+            "CAST(sum(count(*)) OVER (PARTITION BY tags, window_start) AS BIGINT) AS \"count\", "
+            "round(sum(sum(value)) OVER (PARTITION BY tags, window_start), 3) AS \"sum\" "
+            "FROM b GROUP BY tags, window_start, bucket_upper"
+        ),
+        "summary_quantiles": (
+            "WITH base AS (SELECT 'type=' || event_type AS tags, "
+            "date_trunc('day', ts) AS window_start, value FROM events) "
+            "SELECT tags, window_start, 0.5 AS quantile, "
+            "round(quantile_cont(value, 0.5), 3) AS qvalue, count(*) AS \"count\", "
+            "round(sum(value), 3) AS \"sum\" FROM base GROUP BY tags, window_start "
+            "UNION ALL SELECT tags, window_start, 0.9, "
+            "round(quantile_cont(value, 0.9), 3), count(*), round(sum(value), 3) "
+            "FROM base GROUP BY tags, window_start"
         ),
         "reduce_sessions": (
             "SELECT user_id, count(*) AS n_events, arg_min(event_type, ts) AS event_type, "

@@ -164,3 +164,52 @@ def test_metric_to_log():
     r = out.take(1)[0]
     assert set(r) >= {"message", "metric_name", "value", "timestamp"}
     assert r["message"] == "cpu=1"  # Arrow float→string renders 1.0 as "1"
+
+
+def test_distribution_payload_roundtrip(ray_session):
+    """histogram spec → single-sample distributions → merged long form →
+    aggregated histogram buckets and nested sink payload."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages import log_to_metric
+    from vector_ray.stages.metric_payload import (
+        aggregated_histogram,
+        aggregated_summary,
+        distribution_agg,
+        nest_samples,
+    )
+
+    ts = pa.array(np.arange(8) * 1_000_000, type=pa.timestamp("us"))
+    t = pa.table({
+        "svc": pa.array(["a"] * 4 + ["b"] * 4),
+        "lat": pa.array([10.0, 10.0, 30.0, 90.0, 5.0, 5.0, 5.0, 200.0]),
+        "ts": ts,
+    })
+    ds = rd.from_arrow(t)
+    m = log_to_metric(
+        ds, [{"type": "histogram", "field": "lat", "name": "lat_h",
+              "tags": {"svc": "{{svc}}"}}], ts_field="ts")
+    long = distribution_agg(m, interval_ms=3_600_000).to_pandas()
+    a = long[long.tags == "svc=a"].set_index("sample_value")["sample_rate"]
+    assert a.to_dict() == {10.0: 2, 30.0: 1, 90.0: 1}
+
+    hist = aggregated_histogram(
+        distribution_agg(m, interval_ms=3_600_000), limits=[25.0, 100.0]
+    ).to_pandas()
+    ha = hist[hist.tags == "svc=a"].set_index("bucket_upper")["bucket_count"]
+    assert ha.to_dict() == {25.0: 2, 100.0: 2}
+    hb = hist[hist.tags == "svc=b"].set_index("bucket_upper")["bucket_count"]
+    assert hb.to_dict() == {25.0: 3, float("inf"): 1}
+    assert (hist[hist.tags == "svc=b"]["count"] == 4).all()
+
+    summ = aggregated_summary(
+        distribution_agg(m, interval_ms=3_600_000), quantiles=(0.5,)
+    ).to_pandas()
+    assert summ[summ.tags == "svc=b"]["qvalue"].iloc[0] == 5.0
+
+    nested = nest_samples(distribution_agg(m, interval_ms=3_600_000)).to_pandas()
+    row = nested[nested.tags == "svc=a"].iloc[0]
+    got = {d["value"]: d["rate"] for d in row["samples"]}
+    assert got == {10.0: 2, 30.0: 1, 90.0: 1}

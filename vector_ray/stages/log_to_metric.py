@@ -119,6 +119,17 @@ class LogToMetric:
                 if typ == "set" and fcol is not None
                 else pa.array([None] * n, type=pa.string())
             )
+            # histogram/summary/distribution rows carry a sample payload
+            # (value, rate=1) — the columnar form of the reference's
+            # single-sample Distribution emission
+            # (src/transforms/log_to_metric.rs:375-520,
+            # lib/vector-core/src/event/metric/value.rs:20-87); scalar
+            # ``value`` stays populated for back-compat with scalar
+            # aggregation modes.
+            if typ in ("histogram", "summary", "distribution"):
+                sample_rate = pa.array(np.ones(n, dtype=np.int64))
+            else:
+                sample_rate = pa.array([None] * n, type=pa.int64())
             tbl = pa.table(
                 {
                     "name": name,
@@ -127,6 +138,7 @@ class LogToMetric:
                     "kind": pa.array([_KIND[typ]] * n, type=pa.string()),
                     "value_type": pa.array([typ] * n, type=pa.string()),
                     "value": value,
+                    "sample_rate": sample_rate,
                     "set_value": set_value,
                     "ts": ts if ts is not None else pa.array([None] * n, type=pa.timestamp("us")),
                 }
