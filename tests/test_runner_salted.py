@@ -93,3 +93,30 @@ def test_dedupe_windowed_key_partitioned():
     rows = multi.take_all()
     got = sorted(r["k"] for r in rows)
     assert got == expect == sorted(f"key{i}" for i in range(7))
+
+
+def test_grouped_aggregate_cardinality_guard(ray_session):
+    """Past combine_limit the combine must stay distributed (returns a
+    Dataset, never a driver DataFrame)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.partial_agg import grouped_aggregate
+
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),  # all-distinct keys
+        "v": pa.array(np.ones(n)),
+    })
+    ds = rd.from_arrow(t)
+    out = grouped_aggregate(ds, ["k"], [("v", "sum", "s"), ("v", "count", "n")],
+                            combine_limit=1_000)
+    assert not isinstance(out, pd.DataFrame)  # stayed a Dataset
+    df = out.to_pandas()
+    assert len(df) == n
+    assert (df["s"] == 1.0).all() and (df["n"] == 1).all()
+
+    small = grouped_aggregate(ds, ["k"], [("v", "sum", "s")])
+    assert isinstance(small, pd.DataFrame) and len(small) == n

@@ -166,3 +166,28 @@ def test_registry_passthroughs(tmp_path):
     assert sinks["d"].count() == 2  # v differs → not dups under ignore
     hop_rows = {str(r["window_start"]): r["total"] for r in sinks["h"].take_all()}
     assert hop_rows["1970-01-01 00:00:00"] == 3.0
+
+
+def test_csv_json_sinks_write_native_formats(ray_session, tmp_path):
+    """sink type csv/json must land on disk in that format (not parquet)."""
+    import glob
+    import json as jsonlib
+
+    import pyarrow.csv as pacsv
+
+    from vector_ray.sinks import write_sinks
+
+    ds = rd.from_arrow(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    paths = write_sinks(
+        {"c": ds, "j": ds}, str(tmp_path), formats={"c": "csv", "j": "json"}
+    )
+    csv_files = glob.glob(paths["c"] + "/*")
+    assert csv_files
+    got = pacsv.read_csv(csv_files[0])
+    assert got.num_rows == 3 and set(got.column_names) == {"a", "b"}
+    json_files = glob.glob(paths["j"] + "/*")
+    rows = []
+    for f in json_files:
+        with open(f) as fh:
+            rows += [jsonlib.loads(line) for line in fh if line.strip()]
+    assert sorted(r["a"] for r in rows) == [1, 2, 3]

@@ -54,7 +54,11 @@ def cmd_run(args) -> int:
     sinks = build(config)
     out = {}
     if args.out:
-        paths = write_sinks(sinks, args.out)
+        formats = {
+            name: cfg.get("type", "parquet").removeprefix("sink_")
+            for name, cfg in config.get("sinks", {}).items()
+        }
+        paths = write_sinks(sinks, args.out, formats=formats)
         for name in sinks:
             out[name] = {"path": paths[name]}
     else:

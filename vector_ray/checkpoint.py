@@ -25,11 +25,20 @@ which is the documented at-least-once guarantee.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import time
 from typing import Callable, Dict, List, Optional, Sequence
+
+
+def _default_partition_of(f: str) -> str:
+    """Stable partition id from the FULL input path — two shards with
+    the same basename in different subdirectories (hive partitioning
+    produces exactly that) must not collide to one pid."""
+    base = os.path.splitext(os.path.basename(f))[0]
+    return f"part-{base}-{hashlib.md5(f.encode()).hexdigest()[:8]}"
 
 
 class PartitionCheckpointer:
@@ -87,7 +96,7 @@ def run_partitioned(
     Returns {pid: manifest} for this run's newly completed partitions.
     """
     ckpt = PartitionCheckpointer(out_dir)
-    partition_of = partition_of or (lambda f: "part-" + os.path.splitext(os.path.basename(f))[0])
+    partition_of = partition_of or _default_partition_of
     done: Dict[str, dict] = {}
     for f in input_files:
         pid = partition_of(f)

@@ -136,7 +136,14 @@ class EnrichTable:
                 vt = self.table[self.valid_to].cast(pa.int64()).to_numpy(zero_copy_only=False)
                 valid &= merged["__ts"].to_numpy() <= vt[ridx_i]
             merged = merged[valid | merged["__ridx"].isna()]
-            merged = merged.drop_duplicates("__row", keep=False) if strict_single else merged
+            if strict_single:
+                counts = merged.dropna(subset=["__ridx"]).groupby("__row").size()
+                if (counts > 1).any():
+                    bad = counts[counts > 1].index[0]
+                    raise ValueError(
+                        f"enrichment key matched {counts[bad]} rows after date-range "
+                        f"filtering (single-match rule): batch row {bad}"
+                    )
             # rows that lost all candidates need a null placeholder
             have = set(merged["__row"])
             missing = [r for r in range(batch.num_rows) if r not in have]

@@ -166,11 +166,16 @@ def token_table_path(n_rows: int, base: str = "/tmp/vector_ray_tokens") -> str:
     else:
         for s, e in ranges:
             _write(s, e)
-    os.replace(tmp, out) if not os.path.exists(out) else None
-    if os.path.exists(tmp):  # out already existed (race) — keep existing
-        import shutil
+    import shutil
 
+    if os.path.exists(out) and not os.path.exists(done):
+        # stale partial build (crashed between rename and _SUCCESS) —
+        # never stamp _SUCCESS onto it; replace with the fresh build
+        shutil.rmtree(out, ignore_errors=True)
+    if not os.path.exists(out):
+        os.replace(tmp, out)
+        with open(done, "w") as f:
+            f.write("ok")
+    else:  # out exists WITH _SUCCESS: another build won the race
         shutil.rmtree(tmp, ignore_errors=True)
-    with open(done, "w") as f:
-        f.write("ok")
     return out

@@ -18,17 +18,41 @@ from typing import Dict, Optional
 import pyarrow as pa
 
 
-def write_sinks(sinks: Dict[str, "ray.data.Dataset"], base_dir: str, **kw) -> Dict[str, str]:
-    """Write each routed dataset to base_dir/<sink-name>/ as Parquet.
+def write_sinks(
+    sinks: Dict[str, "ray.data.Dataset"],
+    base_dir: str,
+    formats: Optional[Dict[str, str]] = None,
+    **kw,
+) -> Dict[str, str]:
+    """Write each routed dataset to base_dir/<sink-name>/ in its sink's
+    format — parquet (default), csv, or json (newline-delimited), using
+    Ray Data's native distributed writers.
 
     Defaults min_rows_per_file so many tiny upstream blocks coalesce
     instead of landing as one file per block.
     """
     kw.setdefault("min_rows_per_file", 100_000)
+    formats = formats or {}
     out = {}
     for name, ds in sinks.items():
         path = os.path.join(base_dir, name.lstrip("_"))
-        ds.write_parquet(path, **kw)
+        fmt = formats.get(name, "parquet")
+        if fmt == "csv":
+            ds.write_csv(path, min_rows_per_file=kw.get("min_rows_per_file"))
+        elif fmt == "json":
+            ds.write_json(path, min_rows_per_file=kw.get("min_rows_per_file"))
+        elif fmt in ("parquet", "blackhole", "console"):
+            if fmt == "console":
+                console_sink(ds)
+                out[name] = ""
+                continue
+            if fmt == "blackhole":
+                blackhole_sink(ds)
+                out[name] = ""
+                continue
+            ds.write_parquet(path, **kw)
+        else:
+            raise ValueError(f"unknown sink format {fmt!r} for sink {name!r}")
         out[name] = path
     return out
 

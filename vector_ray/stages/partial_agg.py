@@ -22,13 +22,17 @@ import pyarrow as pa
 AggSpec = Tuple[str, str, str]
 
 
-def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus=None) -> pd.DataFrame:
-    """Partial-aggregate per batch, combine on the driver → DataFrame.
+def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus=None,
+                      combine_limit: int = 500_000):
+    """Partial-aggregate per batch, then combine.
 
-    The partials are ≤ (distinct keys per block) rows each; the driver
-    combine handles ≤ blocks × keys rows.  Suitable when the final
-    group count is small (counters, per-series metrics) — for
-    high-cardinality groups use ds.groupby directly.
+    The partials are ≤ (distinct keys per block) rows each.  When their
+    total stays under ``combine_limit`` they are combined on the driver
+    and a pandas DataFrame is returned (the counter / metric-series
+    case).  Past the limit — someone handed this high-cardinality keys —
+    the combine runs as a distributed ``groupby().aggregate()`` over the
+    partials instead and a Ray ``Dataset`` is returned, so the driver
+    never materializes the group table (cardinality-cliff guard).
     """
     keys = list(keys)
     # map-side plan: mean decomposes into sum+count; stdev into
@@ -66,7 +70,12 @@ def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus
         )
 
     kw = {"num_cpus": num_cpus} if num_cpus else {}
-    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None, **kw).to_pandas()
+    partials_ds = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None, **kw
+    ).materialize()
+    if partials_ds.count() > combine_limit:
+        return _distributed_combine(partials_ds, keys, aggs, leaf)
+    partials = partials_ds.to_pandas()
     if partials.empty:
         return pd.DataFrame(columns=keys + [a for _, _, a in aggs])
 
@@ -76,7 +85,10 @@ def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus
         col = f"{c}_{f}"
         combine[col] = "sum" if f in ("count", "sum") else f
     final = partials.groupby(keys, sort=True, dropna=False).agg(combine).reset_index()
+    return _project(final, keys, aggs)
 
+
+def _project(final: pd.DataFrame, keys, aggs) -> pd.DataFrame:
     out = final[keys].copy()
     for col, fn, alias in aggs:
         if fn == "mean":
@@ -94,3 +106,29 @@ def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus
         else:
             out[alias] = final[f"{col}_{fn}"]
     return out
+
+
+def _distributed_combine(partials_ds, keys, aggs, leaf):
+    """High-cardinality path: combine the per-block partials with a
+    distributed groupby (shuffles partial rows only, never raw rows) and
+    project aliases per output block — returns a Ray Dataset."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ray_aggs = []
+    for c, f in leaf:
+        col = f"{c}_{f}"
+        if f in ("count", "sum"):
+            ray_aggs.append(Sum(col, alias_name=col))
+        elif f == "min":
+            ray_aggs.append(Min(col, alias_name=col))
+        elif f == "max":
+            ray_aggs.append(Max(col, alias_name=col))
+        else:  # pragma: no cover - leaf only holds the four kinds above
+            raise ValueError(f"unexpected partial leaf {f!r}")
+    agged = partials_ds.groupby(list(keys)).aggregate(*ray_aggs)
+
+    def _proj_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(_project(df, list(keys), aggs), preserve_index=False)
+
+    return agged.map_batches(_proj_batch, batch_format="pyarrow", batch_size=None)

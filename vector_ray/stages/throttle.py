@@ -53,10 +53,10 @@ def throttle(
         return batch
 
     annotated = ds.map_batches(_annotate, batch_format="pyarrow", batch_size=None)
-    # group by KEY only (windows rank vectorized inside the group) —
-    # far fewer groups than (key × window), so the map_groups overhead
-    # is per key, not per bucket
-    keys = [key_field] if key_field else [WINDOW_COL]
+    # group by (key, window): a group holds ONE key's events inside ONE
+    # window, so a hot key's unbounded history never lands in a single
+    # task — group size is bounded by threshold-window traffic
+    keys = ([key_field] if key_field else []) + [WINDOW_COL]
 
     def _admit(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_by, kind="mergesort")
@@ -66,8 +66,7 @@ def throttle(
         else:
             excluded = group.iloc[0:0]
             candidates = group
-        rank = candidates.groupby(WINDOW_COL, sort=False).cumcount()
-        admitted = candidates[rank < threshold]
+        admitted = candidates.iloc[:threshold]
         out = pd.concat([admitted, excluded]).sort_values(order_by, kind="mergesort")
         return out.drop(columns=[c for c in (WINDOW_COL, EXCL_COL) if c in out.columns])
 

@@ -416,11 +416,14 @@ def _sink_blackhole(cfg, inputs):
 
 @register("sink_csv")
 def _sink_csv(cfg, inputs):
+    # terminal dataset; sinks.write_sinks(formats={name: "csv"}) writes
+    # it with Ray's distributed CSV writer (see __main__.cmd_run)
     return inputs
 
 
 @register("sink_json")
 def _sink_json(cfg, inputs):
+    # terminal dataset; written as newline-delimited JSON by write_sinks
     return inputs
 
 
