@@ -1,16 +1,13 @@
 """IP-range enrichment — the geoip/mmdb table analog as a range join.
 
 Reference: src/enrichment_tables/geoip.rs looks up City/ISP/ASN records
-by IP against MaxMind mmdb files.  The mmdb READER is unavailable in
-this container, so the table here loads from a (start_ip, end_ip,
-attrs...) table — the same lookup semantics (longest containing range)
-expressed over explicit ranges — and the probe is a vectorized
-``np.searchsorted`` over the sorted range starts, exactly the
-sorted-scan strategy SURVEY §2.3 prescribes for range conditions.
-
-To use real GeoLite2 data, convert the mmdb to CSV ranges offline and
-feed it here; the stub ``from_mmdb`` raises NotImplementedError with
-that instruction.
+by IP against MaxMind mmdb files.  ``from_mmdb`` reads real mmdb files
+through the from-scratch MaxMind-DB reader in vector_ray.mmdb (public
+spec) and flattens the search tree ONCE into a sorted (start_ip,
+end_ip, attrs...) range table; the per-batch probe is then a
+vectorized ``np.searchsorted`` over the sorted range starts, exactly
+the sorted-scan strategy SURVEY §2.3 prescribes for range conditions —
+no per-row tree walk in the pipeline.
 """
 
 from __future__ import annotations
@@ -47,12 +44,13 @@ class IpRangeTable:
         return np.asarray(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
 
     @classmethod
-    def from_mmdb(cls, path: str):  # pragma: no cover
-        raise NotImplementedError(
-            "mmdb readers are not available in this environment; convert the "
-            "database to (start_ip,end_ip,attrs) CSV offline and use "
-            "IpRangeTable(pa_csv.read_csv(path))"
-        )
+    def from_mmdb(cls, path: str, fields: Optional[List[str]] = None):
+        """Load a MaxMind mmdb (IPv4 space) via the from-scratch reader
+        in vector_ray.mmdb (public MaxMind-DB spec): the search tree is
+        flattened once into sorted ranges; lookups stay vectorized."""
+        from .mmdb import to_range_table
+
+        return cls(to_range_table(path, fields=fields))
 
     def probe(self, batch: pa.Table, ip_col: str, select: Optional[List[str]] = None) -> pa.Table:
         ips = self._ips(batch[ip_col])
