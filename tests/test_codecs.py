@@ -100,3 +100,69 @@ def test_parse_key_value_in_remap_unpacks_metric_tags():
     out = remap(logs, [("parse_key_value", "tags", ["type", "host"])]).take_all()
     got = sorted((r["type"], r["host"]) for r in out)
     assert got == [("click", "h1"), ("view", "h2")]
+
+
+def test_decode_gelf():
+    from vector_ray.codecs import decode_gelf
+
+    t, e = decode_gelf(
+        pa.array([
+            '{"version":"1.1","host":"h1","short_message":"boom","level":5,"_app":"web"}',
+            'not json',
+            '{"version":"1.1","host":"h2","short_message":"ok","timestamp":17.5}',
+        ]),
+        extra_keys=["app"],
+    )
+    assert t["message"].to_pylist() == ["boom", None, "ok"]
+    assert t["app"].to_pylist() == ["web", None, None]
+    assert t["timestamp"].to_pylist() == [None, None, 17.5]
+    assert e.to_pylist() == [False, True, False]
+
+
+def test_parse_cef():
+    from vector_ray.codecs import parse_cef
+
+    t, e = parse_cef(
+        pa.array([
+            "CEF:0|Security|threatmanager|1.0|100|worm stopped|10|src=10.0.0.1 dst=2.1.2.2 spt=1232",
+            "garbage",
+        ]),
+        extension_keys=["src", "dst", "spt"],
+    )
+    assert t["device_vendor"].to_pylist() == ["Security", None]
+    assert t["name"].to_pylist() == ["worm stopped", None]
+    assert t["src"].to_pylist() == ["10.0.0.1", None]
+    assert t["spt"].to_pylist() == ["1232", None]
+    assert e.to_pylist() == [False, True]
+
+
+def test_parse_apache_nginx_log():
+    from vector_ray.parse import parse_apache_log, parse_nginx_log
+
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x.gif HTTP/1.0" 200 2326'
+    t, e = parse_apache_log(pa.array([line, "junk"]))
+    assert t["host"].to_pylist() == ["127.0.0.1", None]
+    assert t["status"].to_pylist() == [200, None]
+    assert e.to_pylist() == [False, True]
+
+    n = '1.2.3.4 - u [10/Oct/2000:13:55:36 -0700] "POST /api HTTP/1.1" 404 153 "r" "curl/8"'
+    t2, _ = parse_nginx_log(pa.array([n]))
+    assert t2["agent"].to_pylist() == ["curl/8"]
+    assert t2["size"].to_pylist() == [153]
+
+
+def test_gzip_hmac_object_fns():
+    from vector_ray.functions.scalar import call
+
+    c = pa.array(["payload", None])
+    assert call("decode_gzip", call("encode_gzip", c)).to_pylist() == ["payload", None]
+    assert call("decode_zlib", call("encode_zlib", c)).to_pylist() == ["payload", None]
+    import hashlib
+    import hmac as hm
+
+    got = call("hmac", pa.array(["m"]), "k", "sha1").to_pylist()[0]
+    assert got == hm.new(b"k", b"m", hashlib.sha1).hexdigest()
+    merged = call("merge_objects", pa.array(['{"a":1}']), '{"b":2}').to_pylist()[0]
+    assert merged == '{"a": 1, "b": 2}'
+    flat = call("flatten_object", pa.array(['{"a":{"b":1}}'])).to_pylist()[0]
+    assert flat == '{"a.b": 1}'

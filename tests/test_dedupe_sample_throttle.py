@@ -160,3 +160,60 @@ def test_dedupe_ignore_mode():
 
     with pytest.raises(ValueError, match="exactly one"):
         dedupe_exact(rd.from_arrow(t), fields=["message"], ignore=["noise"])
+
+
+def test_dedupe_timed_ttl(ray_session):
+    import numpy as np
+
+    from vector_ray.stages.dedupe import dedupe_timed
+
+    ts = pa.array(
+        np.array([0, 1_000_000, 5_000_000, 6_000_000, 11_000_000], dtype="int64"),
+        type=pa.timestamp("us"),
+    )
+    t = pa.table({
+        "k": pa.array(["a"] * 5),
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": ts,
+    })
+    # ttl 5s: keep t=0, drop t=1, keep t=5, drop t=6, keep t=11
+    out = dedupe_timed(rd.from_arrow(t), ["k"], ttl_ms=5_000).to_pandas()
+    assert sorted(out["event_id"]) == [1, 3, 5]
+
+
+def test_line_agg_modes(ray_session):
+    from vector_ray.stages.line_agg import line_agg
+
+    lines = ["ERROR boom", "  at foo", "  at bar", "INFO ok", "ERROR two", "  at baz"]
+    t = pa.table({
+        "message": pa.array(lines),
+        "n": pa.array(list(range(len(lines))), type=pa.int64()),
+    })
+    out = line_agg(
+        rd.from_arrow(t), start_pattern=r"^(ERROR|INFO)",
+        condition_pattern=r"^\s", mode="continue_through", order_by="n",
+    ).to_pandas()
+    msgs = sorted(out["message"])
+    assert "ERROR boom\n  at foo\n  at bar" in msgs
+    assert "ERROR two\n  at baz" in msgs
+    assert "INFO ok" in msgs
+
+    # halt_with: aggregate until END marker (inclusive)
+    lines2 = ["BEGIN a", "mid", "END", "BEGIN b", "END"]
+    t2 = pa.table({"message": pa.array(lines2),
+                   "n": pa.array(list(range(5)), type=pa.int64())})
+    out2 = line_agg(rd.from_arrow(t2), start_pattern=r"^BEGIN",
+                    condition_pattern=r"^END", mode="halt_with", order_by="n").to_pandas()
+    assert sorted(out2["message"]) == ["BEGIN a\nmid\nEND", "BEGIN b\nEND"]
+
+
+def test_unnest_stage(ray_session):
+    from vector_ray.stages.unnest import unnest
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "vals": pa.array([[10, 20], [], [30]], type=pa.list_(pa.int64())),
+    })
+    out = unnest(rd.from_arrow(t), "vals").to_pandas().sort_values(["id", "vals"])
+    assert out["id"].tolist() == [1, 1, 3]
+    assert out["vals"].tolist() == [10, 20, 30]

@@ -191,3 +191,29 @@ def test_csv_json_sinks_write_native_formats(ray_session, tmp_path):
         with open(f) as fh:
             rows += [jsonlib.loads(line) for line in fh if line.strip()]
     assert sorted(r["a"] for r in rows) == [1, 2, 3]
+
+
+def test_python_transform_lifecycle_hooks(ray_session):
+    """init() once per actor, process(batch, state) per batch."""
+    import pyarrow.compute as pc
+
+    def init():
+        return {"offset": 100}
+
+    def process(batch, state):
+        return batch.set_column(
+            batch.schema.get_field_index("v"), "v",
+            pc.add(batch["v"], state["offset"]),
+        )
+
+    cfg = {
+        "sources": {"src": {"type": "inline", "rows": [{"v": 1}, {"v": 2}, {"v": 3}]}},
+        "transforms": {
+            "bump": {"type": "python", "inputs": ["src"], "init": init,
+                     "process": process, "concurrency": 1},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["bump"]}},
+    }
+    sinks = build(cfg)
+    got = sorted(sinks["out"].to_pandas()["v"])
+    assert got == [101, 102, 103]

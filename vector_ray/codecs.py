@@ -192,3 +192,91 @@ def encode_logfmt(batch: pa.Table) -> pa.Array:
         pieces.append(pa.array([prefix] * n))
         pieces.append(pc.fill_null(sval, "null"))
     return pc.binary_join_element_wise(*pieces, "")
+
+
+def decode_gelf(col, extra_keys: Optional[List[str]] = None):
+    """GELF decoder (lib/codecs/src/decoding/format/gelf.rs semantics):
+    each line is a JSON object with required ``version``, ``host``,
+    ``short_message``; optional ``full_message``, ``timestamp``,
+    ``level``; additional fields are underscore-prefixed and surface
+    with the underscore stripped.  Returns (table, error_mask) — a row
+    errors when required fields are missing."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    extra_keys = extra_keys or []
+    req = ("version", "host", "short_message")
+    rows = {k: [] for k in ("version", "host", "message", "full_message",
+                            "timestamp", "level", *extra_keys)}
+    err = []
+    for v in col.to_pylist():
+        try:
+            d = json.loads(v)
+            if not isinstance(d, dict) or any(k not in d for k in req):
+                raise ValueError("missing required GELF field")
+        except Exception:
+            for k in rows:
+                rows[k].append(None)
+            err.append(True)
+            continue
+        rows["version"].append(str(d["version"]))
+        rows["host"].append(d["host"])
+        rows["message"].append(d["short_message"])
+        rows["full_message"].append(d.get("full_message"))
+        rows["timestamp"].append(d.get("timestamp"))
+        rows["level"].append(d.get("level"))
+        for k in extra_keys:
+            rows[k].append(d.get("_" + k))
+        err.append(False)
+    tbl = pa.table({
+        "version": pa.array(rows["version"], type=pa.string()),
+        "host": pa.array(rows["host"], type=pa.string()),
+        "message": pa.array(rows["message"], type=pa.string()),
+        "full_message": pa.array(rows["full_message"], type=pa.string()),
+        "timestamp": pa.array(rows["timestamp"], type=pa.float64()),
+        "level": pa.array(rows["level"], type=pa.int64()),
+        **{k: pa.array(rows[k]) for k in extra_keys},
+    })
+    return tbl, pa.array(err)
+
+
+def parse_cef(col, extension_keys: Optional[List[str]] = None):
+    """CEF (Common Event Format) decoder — VRL parse_cef semantics:
+
+        CEF:ver|vendor|product|device_version|sig_id|name|severity|k=v k=v...
+
+    Header fields may escape ``|`` with a backslash; extension values
+    run to the next `` key=`` boundary.  Returns (table, error_mask)."""
+    import re
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    header_names = ["cef_version", "device_vendor", "device_product",
+                    "device_version", "signature_id", "name", "severity"]
+    ext_re = re.compile(r"(\w+)=((?:[^=]|\\=)*?)(?=\s+\w+=|$)")
+    known = set(extension_keys or [])
+    rows = {k: [] for k in header_names}
+    ext_rows: Dict[str, list] = {k: [] for k in known}
+    err = []
+    split_re = re.compile(r"(?<!\\)\|")
+    for v in col.to_pylist():
+        ok = isinstance(v, str) and v.startswith("CEF:")
+        parts = split_re.split(v[4:], maxsplit=7) if ok else []
+        if not ok or len(parts) < 7:
+            for k in rows:
+                rows[k].append(None)
+            for k in ext_rows:
+                ext_rows[k].append(None)
+            err.append(True)
+            continue
+        for name, val in zip(header_names, parts[:7]):
+            rows[name].append(val.replace("\\|", "|").replace("\\\\", "\\"))
+        ext = parts[7] if len(parts) > 7 else ""
+        kv = {m.group(1): m.group(2).strip() for m in ext_re.finditer(ext)}
+        for k in ext_rows:
+            ext_rows[k].append(kv.get(k))
+        err.append(False)
+    tbl = pa.table({
+        **{k: pa.array(rows[k], type=pa.string()) for k in header_names},
+        **{k: pa.array(ext_rows[k], type=pa.string()) for k in sorted(ext_rows)},
+    })
+    return tbl, pa.array(err)

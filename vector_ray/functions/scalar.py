@@ -194,3 +194,120 @@ def _cidr(c, cidr: str):
     mask = int(net.netmask)
     ips = _ip_aton(c).to_numpy(zero_copy_only=False)
     return pa.array((ips & mask) == base)
+
+
+# ------------------------------------------------- compression / mac
+
+@register("encode_gzip")
+def _gzip_e(c):
+    """VRL encode_gzip: bytes/string → gzip bytes (per-row codec; gzip
+    has no vectorized kernel — codec functions are cold-path)."""
+    import gzip
+
+    return pa.array(
+        [None if v is None else gzip.compress(v.encode() if isinstance(v, str) else v)
+         for v in c.to_pylist()],
+        type=pa.binary(),
+    )
+
+
+@register("decode_gzip")
+def _gzip_d(c):
+    import gzip
+
+    return pa.array(
+        [None if v is None else gzip.decompress(v).decode() for v in c.to_pylist()]
+    )
+
+
+@register("encode_zlib")
+def _zlib_e(c):
+    import zlib
+
+    return pa.array(
+        [None if v is None else zlib.compress(v.encode() if isinstance(v, str) else v)
+         for v in c.to_pylist()],
+        type=pa.binary(),
+    )
+
+
+@register("decode_zlib")
+def _zlib_d(c):
+    import zlib
+
+    return pa.array(
+        [None if v is None else zlib.decompress(v).decode() for v in c.to_pylist()]
+    )
+
+
+@register("hmac")
+def _hmac(c, key, algorithm="sha256"):
+    """VRL hmac(value, key, algorithm) → hex digest."""
+    import hashlib
+    import hmac as _hm
+
+    k = key.encode() if isinstance(key, str) else key
+    return pa.array(
+        [None if v is None else _hm.new(
+            k, (v if isinstance(v, bytes) else str(v).encode()),
+            getattr(hashlib, algorithm)).hexdigest()
+         for v in c.to_pylist()]
+    )
+
+
+# --------------------------------------------------- object functions
+
+@register("merge_objects")
+def _merge_objects(c, other, deep=False):
+    """VRL merge(obj1, obj2): JSON-string columns → merged JSON string.
+    ``other`` may be a JSON string literal or a second column."""
+    import json
+
+    right = (
+        other.to_pylist()
+        if hasattr(other, "to_pylist")
+        else [other] * len(c)
+    )
+
+    def _merge(a, b):
+        if not deep:
+            return {**a, **b}
+        out = dict(a)
+        for k, v in b.items():
+            if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+                out[k] = _merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    out = []
+    for l, r in zip(c.to_pylist(), right):
+        if l is None:
+            out.append(None)
+            continue
+        lo = json.loads(l) if isinstance(l, str) else l
+        ro = json.loads(r) if isinstance(r, str) else (r or {})
+        out.append(json.dumps(_merge(lo, ro), sort_keys=True))
+    return pa.array(out)
+
+
+@register("flatten_object")
+def _flatten_object(c, separator="."):
+    """VRL flatten(object): nested JSON string → dotted-key JSON string."""
+    import json
+
+    def _flat(obj, prefix=""):
+        out = {}
+        for k, v in obj.items():
+            key = f"{prefix}{separator}{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(_flat(v, key))
+            else:
+                out[key] = v
+        return out
+
+    return pa.array(
+        [None if v is None else json.dumps(_flat(json.loads(v) if isinstance(v, str) else v),
+                                           sort_keys=True)
+         for v in c.to_pylist()]
+    )

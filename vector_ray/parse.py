@@ -218,3 +218,42 @@ def render_messages(batch: pa.Table) -> pa.Table:
         "",
     )
     return batch.append_column("message", msg)
+
+
+# ----------------------------------------------------------------------
+# Named access-log parsers — VRL parse_apache_log / parse_nginx_log
+# analogs (website/cue/reference/remap/functions/parse_apache_log.cue,
+# parse_nginx_log.cue semantics), built on the grok library above so
+# the extraction stays one vectorized extract_regex per batch.
+
+APACHE_COMMON_GROK = (
+    "%{IPORHOST:host} %{NOTSPACE:identity} %{NOTSPACE:user} "
+    "\\[%{HTTPDATE:timestamp}\\] "
+    '"%{WORD:method} %{NOTSPACE:path} HTTP/%{NUMBER:protocol}" '
+    "%{POSINT:status:int} %{NOTSPACE:size}"
+)
+
+APACHE_COMBINED_GROK = (
+    APACHE_COMMON_GROK + ' "%{DATA:referrer}" "%{DATA:agent}"'
+)
+
+NGINX_COMBINED_GROK = (
+    "%{IPORHOST:client} %{NOTSPACE:ident} %{NOTSPACE:user} "
+    "\\[%{HTTPDATE:timestamp}\\] "
+    '"%{WORD:method} %{NOTSPACE:path} HTTP/%{NUMBER:protocol}" '
+    '%{POSINT:status:int} %{POSINT:size:int} "%{DATA:referer}" "%{DATA:agent}"'
+)
+
+
+def parse_apache_log(col, format: str = "common"):
+    """Apache access-log line → columns (+error mask).  ``format`` is
+    "common" or "combined" (error-log parsing is a separate grok)."""
+    pattern = {"common": APACHE_COMMON_GROK, "combined": APACHE_COMBINED_GROK}[format]
+    return GrokParser(pattern).parse(col)
+
+
+def parse_nginx_log(col, format: str = "combined"):
+    """Nginx access-log line (combined log format) → columns (+mask)."""
+    if format != "combined":
+        raise ValueError("only the combined access format is implemented")
+    return GrokParser(NGINX_COMBINED_GROK).parse(col)

@@ -130,3 +130,45 @@ def dedupe_windowed(ds, fields: List[str], cache_size: int = 5000, concurrency: 
         concurrency=concurrency,
         batch_size=4096,
     )
+
+
+def dedupe_timed(
+    ds,
+    fields: List[str],
+    ttl_ms: int,
+    ts_field: str = "ts",
+    order_by: Optional[str] = None,
+):
+    """Age-based dedupe (reference src/transforms/dedupe/
+    timed_transform.rs:32-54): an event is a duplicate if the same key
+    was KEPT within the last ``ttl_ms`` — i.e. per key, keep an event
+    when its ts is ≥ ttl past the previously kept event's ts.
+
+    Event-time restatement: hash-group by key, order by ts, run the
+    keep-if-gap-expired scan per key (sequential by nature — the kept
+    set depends on prior keeps; group size is per-key traffic)."""
+    import numpy as np
+
+    from ..functions.hashes import hash_columns
+
+    order_by = order_by or ts_field
+    ttl_us = int(ttl_ms) * 1000
+
+    def _key(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, fields)
+        return batch.append_column("__dd_key", pa.array(h.view(np.int64)))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow", batch_size=None)
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="mergesort")
+        ts = g[ts_field].to_numpy().astype("datetime64[us]").astype("int64")
+        keep = np.zeros(len(g), dtype=bool)
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= ttl_us:
+                keep[i] = True
+                last = t
+        return g[keep].drop(columns=["__dd_key"])
+
+    return keyed.groupby("__dd_key").map_groups(_scan, batch_format="pandas")

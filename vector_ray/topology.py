@@ -290,7 +290,38 @@ def _t_limit(cfg, inputs):
 @register("python")
 def _t_python(cfg, inputs):
     """User-extension hook (lua-transform analog): a callable operating
-    on the Dataset or per batch."""
+    on the Dataset or per batch.
+
+    Lifecycle hooks (reference src/transforms/lua/v2/mod.rs:28-79 —
+    hooks.init / hooks.process / hooks.shutdown): pass ``init`` /
+    ``process`` / ``shutdown`` callables instead of ``fn`` and the
+    transform runs as an actor pool — ``init()`` once per actor (its
+    return value is the state threaded into every call),
+    ``process(batch, state) -> batch`` per batch, ``shutdown(state)``
+    at actor teardown (side effects only: the streaming model has no
+    terminal emit slot; Vector's timer-driven emission maps to the
+    aggregate stages instead)."""
+    if "process" in cfg:
+        init_fn = cfg.get("init")
+        process_fn = cfg["process"]
+        shutdown_fn = cfg.get("shutdown")
+
+        class _HookedUDF:
+            def __init__(self):
+                self.state = init_fn() if init_fn else None
+
+            def __call__(self, batch):
+                return process_fn(batch, self.state)
+
+            def __del__(self):  # pragma: no cover - interpreter-timing dependent
+                if shutdown_fn:
+                    shutdown_fn(self.state)
+
+        return inputs.map_batches(
+            _HookedUDF,
+            batch_format=cfg.get("batch_format", "pyarrow"),
+            concurrency=cfg.get("concurrency", (1, 2)),
+        )
     fn = cfg["fn"]
     if cfg.get("per_batch", True):
         return inputs.map_batches(fn, batch_format=cfg.get("batch_format", "pyarrow"))
