@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ..functions.hashes import hash_columns, hash_string_column
 from ..functions.text import fingerprint
@@ -202,6 +203,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     num_partitions: int = 32,
     max_bucket_pairs: int = 256,
+    broadcast_sig_limit: int = 200_000,
 ):
     """Full MinHash+LSH near-dup removal; returns the surviving docs.
 
@@ -274,8 +276,15 @@ def minhash_lsh_dedup(
                 # identical-signature runs — O(n) edges, not O(n²)
                 outs_a.append(np.concatenate([np.full(len(ids) - 1, ids[0]), ids[1:-1]]))
                 outs_b.append(np.concatenate([ids[1:], ids[2:]]))
-        a = np.concatenate(outs_a) if outs_a else []
-        b = np.concatenate(outs_b) if outs_b else []
+        if outs_a:
+            # local dedup (same pair found by several bands usually
+            # lands in different partitions, but cheap to collapse what
+            # co-locates; downstream verify + CC tolerate duplicates)
+            both = pd.DataFrame({"a": np.concatenate(outs_a),
+                                 "b": np.concatenate(outs_b)}).drop_duplicates()
+            a, b = both["a"].to_numpy(), both["b"].to_numpy()
+        else:
+            a = b = []
         # explicit types so empty partitions unify with full ones
         return pa.table({"a": pa.array(a, type=id_type), "b": pa.array(b, type=id_type)})
 
@@ -284,18 +293,6 @@ def minhash_lsh_dedup(
                              batch_size=None)
         .groupby(_PART)
         .map_groups(_pairs_in_part, batch_format="pyarrow")
-    )
-    # global pair dedup (same pair found by several bands): pairs with
-    # equal (a, b) share the hash partition, so a local Arrow distinct
-    # inside each group is globally exact
-    pairs = (
-        pairs.map_batches(_with_part(num_partitions, ["a", "b"]), batch_format="pyarrow",
-                          batch_size=None)
-        .groupby(_PART)
-        .map_groups(
-            lambda t: t.select(["a", "b"]).group_by(["a", "b"]).aggregate([]),
-            batch_format="pyarrow",
-        )
         .materialize()
     )
 
@@ -307,42 +304,100 @@ def minhash_lsh_dedup(
         bb = b["b"].combine_chunks() if isinstance(b["b"], pa.ChunkedArray) else b["b"]
         return pa.table({id_col: pa.concat_arrays([a, bb])})
 
-    cand_ids = pairs.map_batches(_pair_ids, batch_format="pyarrow", batch_size=None)
-    sig_cand = semi_join(sigs, cand_ids, on=id_col).materialize()
+    if pairs.count() <= broadcast_sig_limit:
+        # small candidate set: the pair list is bounded, so its distinct
+        # ids are computed locally, the signature table is semi-filtered
+        # in one broadcast pass, and the candidate signature matrix is
+        # broadcast once (ray.put) for a vectorized per-pair verify —
+        # the same broadcast-small-side pattern as ann's query matrix
+        from ..stages.join import _BroadcastKeyFilter
 
-    # signatures ride the join as FixedSizeBinary (native hash join
-    # rejects list-typed non-key columns; binary passes through)
-    sig_a = sig_cand.map_batches(
-        lambda b: pa.table(
-            {"a": b[id_col], "sig_a": matrix_to_fixed_binary(list_to_matrix(b["sig"]))}
-        ),
-        batch_format="pyarrow", batch_size=None,
-    )
-    sig_b = sig_cand.map_batches(
-        lambda b: pa.table(
-            {"b": b[id_col], "sig_b": matrix_to_fixed_binary(list_to_matrix(b["sig"]))}
-        ),
-        batch_format="pyarrow", batch_size=None,
-    )
-    # bucketed_join (not the native join): join outputs and group
-    # stages routinely emit leading EMPTY blocks, which Ray 2.49's
-    # native join aggregator rejects ("No match ... FieldRef") — the
-    # explicit union+groupby join is insensitive to block layout
-    joined = bucketed_join(bucketed_join(pairs, sig_a, on=["a"]), sig_b, on=["b"])
+        pair_blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        if not pair_blocks:
+            return docs
+        pair_tbl = pa.concat_tables(pair_blocks).combine_chunks()
+        cand = pc.unique(
+            pa.concat_arrays(
+                [pair_tbl["a"].combine_chunks(), pair_tbl["b"].combine_chunks()]
+            )
+        )
+        filt = sigs.map_batches(
+            _BroadcastKeyFilter,
+            fn_constructor_args=(ray.put(cand), id_col, True),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=(1, 4),
+        )
+        blocks = [t for t in ray.get(filt.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return docs
+        tbl = pa.concat_tables(blocks).combine_chunks()
+        sig_ref = ray.put(
+            (tbl[id_col].to_numpy(zero_copy_only=False), list_to_matrix(tbl["sig"]))
+        )
 
-    def _verify(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"a": b["a"], "b": b["b"]})
-        A = fixed_binary_to_matrix(b["sig_a"], np.int64)
-        B = fixed_binary_to_matrix(b["sig_b"], np.int64)
-        est = (A == B).mean(axis=1)
-        keep = pa.array(est >= jaccard_threshold)
-        return pa.table({"a": b["a"], "b": b["b"]}).filter(keep)
+        def _dedupe_and_verify(t: pa.Table) -> pa.Table:
+            """One co-located pass: global pair dedup (equal (a, b)
+            share the hash partition) + estimated-Jaccard verify against
+            the broadcast signature matrix (ray.get from the local
+            object store is zero-copy)."""
+            t = t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+            if t.num_rows == 0:
+                return t
+            ids, mat = ray.get(sig_ref)
+            index = pd.Index(ids)
+            ia = index.get_indexer(t["a"].to_numpy(zero_copy_only=False))
+            ib = index.get_indexer(t["b"].to_numpy(zero_copy_only=False))
+            est = (mat[ia] == mat[ib]).mean(axis=1)
+            return t.filter(pa.array(est >= jaccard_threshold))
 
-    edges = joined.map_batches(_verify, batch_format="pyarrow", batch_size=None)
+        edges = (
+            pairs.map_batches(_with_part(num_partitions, ["a", "b"]),
+                              batch_format="pyarrow", batch_size=None)
+            .groupby(_PART)
+            .map_groups(lambda t: _dedupe_and_verify(t.drop_columns([_PART])),
+                        batch_format="pyarrow")
+        )
+    else:
+        # big-side path: semi-filter the signature table down to the
+        # candidate ids, then signatures ride two partitioned joins as
+        # FixedSizeBinary (native hash join rejects list-typed non-key
+        # columns; and bucketed_join — not the native join — because
+        # join outputs / group stages routinely emit leading EMPTY
+        # blocks, which Ray 2.49's native join aggregator rejects)
+        cand_ids = pairs.map_batches(_pair_ids, batch_format="pyarrow", batch_size=None)
+        sig_cand = semi_join(sigs, cand_ids, on=id_col).materialize()
+        sig_a = sig_cand.map_batches(
+            lambda b: pa.table(
+                {"a": b[id_col], "sig_a": matrix_to_fixed_binary(list_to_matrix(b["sig"]))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        sig_b = sig_cand.map_batches(
+            lambda b: pa.table(
+                {"b": b[id_col], "sig_b": matrix_to_fixed_binary(list_to_matrix(b["sig"]))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        joined = bucketed_join(
+            bucketed_join(pairs, sig_a, on=["a"]).materialize(), sig_b, on=["b"]
+        )
+
+        def _verify(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"a": b["a"], "b": b["b"]})
+            A = fixed_binary_to_matrix(b["sig_a"], np.int64)
+            B = fixed_binary_to_matrix(b["sig_b"], np.int64)
+            est = (A == B).mean(axis=1)
+            keep = pa.array(est >= jaccard_threshold)
+            return pa.table({"a": b["a"], "b": b["b"]}).filter(keep)
+
+        edges = joined.map_batches(_verify, batch_format="pyarrow", batch_size=None)
 
     comps = connected_components(edges, u_col="a", v_col="b",
-                                 num_partitions=num_partitions)
+                                 num_partitions=num_partitions,
+                                 include_roots=False)
+    # star mapping rows are exactly the non-root nodes → the drop list
     drops = comps.map_batches(
         lambda b: pa.table({"node": b["node"]}).filter(
             pc.not_equal(b["node"], b["comp"])

@@ -97,13 +97,20 @@ def _dedupe(t: pa.Table) -> pa.Table:
 
 
 def connected_components(edges, u_col: str = "a", v_col: str = "b",
-                         num_partitions: int = 32, max_rounds: int = 10):
+                         num_partitions: int = 32, max_rounds: int = 10,
+                         include_roots: bool = True):
     """Edge list Dataset → Dataset(node, comp) for every non-isolated
-    node, where comp is the component's minimum node id (int columns).
+    node, where comp is the component's minimum node id.
 
-    Runs alternating large-star / small-star rounds until the edge set
-    is stable (checked by count + order-insensitive checksum of the
-    deduplicated canonical edge set) or ``max_rounds``.
+    Runs alternating large-star / small-star rounds until the edge
+    multiset is stable (count + order-insensitive checksum; the star
+    maps are deterministic, so a stable edge set yields a stable
+    multiset — duplicates never trigger an extra dedupe shuffle, the
+    star group fns dedupe locally after co-locating by node).
+
+    ``include_roots=False`` omits the (root → root) self rows — the
+    dedup drop-list path only needs the non-root nodes and saves a
+    shuffle.
     """
     cur = edges.map_batches(
         lambda b, uc=u_col, vc=v_col: _canonicalize(
@@ -111,28 +118,30 @@ def connected_components(edges, u_col: str = "a", v_col: str = "b",
         ),
         batch_format="pyarrow",
         batch_size=None,
-    )
-    cur = _grouped(cur, _dedupe, num_partitions).materialize()
+    ).materialize()
     prev_sig = _signature(cur)
     for _ in range(max_rounds):
         ls_in = cur.map_batches(_both_orientations, batch_format="pyarrow", batch_size=None)
         ls_out = _grouped(ls_in, _large_star, num_partitions)
-        ss_out = _grouped(ls_out, _small_star, num_partitions)
-        cur = _grouped(ss_out, _dedupe, num_partitions).materialize()
+        cur = _grouped(ls_out, _small_star, num_partitions).materialize()
         sig = _signature(cur)
         if sig == prev_sig:
             break
         prev_sig = sig
-    # converged star edges ARE the mapping: (node=u, comp=v); add the
-    # roots themselves (comp → comp) so every touched node has a row
+    # converged star edges ARE the mapping: (node=u, comp=v); optionally
+    # add the roots themselves (comp → comp) so every touched node has
+    # a row
     def _mapping(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["u"], "comp": batch["v"]})
+
+    nodes = cur.map_batches(_mapping, batch_format="pyarrow", batch_size=None)
+    if not include_roots:
+        return nodes
 
     def _roots(t: pa.Table) -> pa.Table:
         r = t.select(["v"]).group_by(["v"]).aggregate([])["v"]
         return pa.table({"node": r, "comp": r})
 
-    nodes = cur.map_batches(_mapping, batch_format="pyarrow", batch_size=None)
     roots = _grouped(
         cur.map_batches(
             lambda b: b.append_column(_PART, pa.array(

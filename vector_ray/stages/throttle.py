@@ -53,10 +53,25 @@ def throttle(
         return batch
 
     annotated = ds.map_batches(_annotate, batch_format="pyarrow", batch_size=None)
-    # group by (key, window): a group holds ONE key's events inside ONE
-    # window, so a hot key's unbounded history never lands in a single
-    # task — group size is bounded by threshold-window traffic
+    # partition by hash(key, window) % P: co-locates each (key, window)
+    # bucket WITHOUT giving Ray one group per bucket (group count stays
+    # fixed at P) and without putting a hot key's whole history in one
+    # task (only one window's worth of a key lands together, modulo the
+    # P-way spread).  Inside a partition the admission ranks are a
+    # single vectorized pandas groupby-cumcount.
+    from ..functions.hashes import hash_columns
+
     keys = ([key_field] if key_field else []) + [WINDOW_COL]
+    num_partitions = 32
+    PART = "__throttle_part"
+
+    def _part(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, keys)
+        return batch.append_column(
+            PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+        )
+
+    annotated = annotated.map_batches(_part, batch_format="pyarrow", batch_size=None)
 
     def _admit(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_by, kind="mergesort")
@@ -66,8 +81,11 @@ def throttle(
         else:
             excluded = group.iloc[0:0]
             candidates = group
-        admitted = candidates.iloc[:threshold]
+        rank = candidates.groupby(keys, sort=False).cumcount()
+        admitted = candidates[rank < threshold]
         out = pd.concat([admitted, excluded]).sort_values(order_by, kind="mergesort")
-        return out.drop(columns=[c for c in (WINDOW_COL, EXCL_COL) if c in out.columns])
+        return out.drop(
+            columns=[c for c in (WINDOW_COL, EXCL_COL, PART) if c in out.columns]
+        )
 
-    return annotated.groupby(keys).map_groups(_admit, batch_format="pandas")
+    return annotated.groupby(PART).map_groups(_admit, batch_format="pandas")
