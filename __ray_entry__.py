@@ -499,6 +499,40 @@ def q_doc_fingerprint_groups(sf_dir):
     return out
 
 
+def q_quality_scores(sf_dir):
+    """Vectorized doc-quality heuristics, fully recomputable in SQL
+    (word split, stopword ratio, distinct-word ratio, punctuation)."""
+    from vector_ray.functions.text import QualityScorer
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    df = ds.select_columns(
+        ["doc_id", "n_words", "stop_ratio", "uniq_ratio", "quality_score"]
+    ).to_pandas()
+    # ratios are small-denominator fractions (k/32 …) that land on exact
+    # decimal midpoints — round half-AWAY like SQL, not banker's
+    for c in ("stop_ratio", "uniq_ratio", "quality_score"):
+        df[c] = np.floor(df[c] * 10_000 + 0.5) / 10_000
+    return df
+
+
+def q_ivf_topk_full(sf_dir):
+    """IVF ANN probing EVERY list (nprobe = n_lists): exercises the
+    full quantize→bucket→probe→merge machinery with exact recall, so
+    the brute-force SQL oracle applies."""
+    import ray.data as rd
+
+    from vector_ray.pipelines.ann import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path)
+    first = rd.read_parquet(path).filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_topk(emb, queries, k=10, n_lists=8, nprobe=8).to_pandas()
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def q_ann_topk(sf_dir):
     """Brute-force cosine top-10 for the first 3 vectors as queries."""
     import ray.data as rd
@@ -586,8 +620,8 @@ def q_text_analysis(sf_dir):
     from vector_ray.functions.text import LangId, QualityScorer, token_counts
 
     ds = _docs(sf_dir).map_batches(token_counts, batch_format="pyarrow")
-    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 2))
-    ds = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
     return ds.select_columns(["doc_id", "n_ws_tokens", "quality_score", "lang_pred"])
 
 
@@ -639,6 +673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "join_orders_customers": q_join_orders_customers,
         "salted_pricing": q_salted_pricing,
+        "quality_scores": q_quality_scores,
+        "ivf_topk_full": q_ivf_topk_full,
         "doc_token_count": q_doc_token_count,
         "dedup_docs_exact": q_dedup_docs_exact,
         "doc_fingerprint_groups": q_doc_fingerprint_groups,
@@ -791,6 +827,38 @@ def oracle_sql() -> dict[str, str]:
         "salted_pricing": (
             "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty, "
             "max(l_quantity) AS max_qty FROM lineitem GROUP BY l_returnflag"
+        ),
+        "quality_scores": (
+            "WITH w AS (SELECT doc_id, text, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "m AS (SELECT doc_id, text, ws, greatest(len(ws), 1) AS nw, "
+            "len(list_filter(ws, x -> x IN ('the','a','an','and','or','of','to','in','is',"
+            "'are','was','were','be','been','it','this','that','with','for','on','as','at',"
+            "'by','from','not','have','has','had','but','they','you','we','he','she','his',"
+            "'her','its'))) AS nstop, "
+            "len(list_distinct(ws)) AS nuniq, "
+            "length(list_aggregate(ws, 'string_agg', '')) AS wchars, "
+            "length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS npunct, "
+            "greatest(length(text), 1) AS nchars FROM w) "
+            "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+            "round(nstop / CAST(nw AS DOUBLE), 4) AS stop_ratio, "
+            "round(nuniq / CAST(nw AS DOUBLE), 4) AS uniq_ratio, "
+            "round("
+            " (least(greatest(CAST(nw AS DOUBLE), 5), 500) / 500) * 0.2"
+            " + ((least(greatest(wchars / CAST(nw AS DOUBLE), 2), 10) - 2) / 8) * 0.2"
+            " + (1 - least(greatest(npunct / CAST(nchars AS DOUBLE), 0), 0.5) * 2) * 0.2"
+            " + least(greatest(nstop / CAST(nw AS DOUBLE), 0), 0.5) * 2 * 0.2"
+            " + (nuniq / CAST(nw AS DOUBLE)) * 0.2, 4) AS quality_score "
+            "FROM m"
+        ),
+        "ivf_topk_full": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3) "
+            "SELECT CAST(q.qid AS BIGINT) AS query_id, e.vec_id, "
+            "CAST(row_number() OVER (PARTITION BY q.qid "
+            "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS BIGINT) AS rank "
+            "FROM q CROSS JOIN embeddings e "
+            "QUALIFY rank <= 10"
         ),
         "doc_token_count": (
             "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "

@@ -155,8 +155,8 @@ def test_text_analysis():
     from vector_ray.functions.text import LangId, QualityScorer, token_counts
 
     ds = docs_ds().map_batches(token_counts, batch_format="pyarrow")
-    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 2))
-    ds = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
     df = ds.to_pandas()
     # whitespace token count matches pandas oracle
     oracle = pq.read_table(f"{SF}/documents.parquet").to_pandas()["text"].str.split().str.len()
