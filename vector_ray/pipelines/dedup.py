@@ -550,12 +550,19 @@ def ngram_jaccard_matrix(texts: List[str], n: int = 3) -> np.ndarray:
 
 def ngram_jaccard_dedup(docs, n: int = 3, threshold: float = 0.8,
                         text_col: str = "text", id_col: str = "doc_id",
-                        length_bucket: int = 32):
+                        length_bucket: int = 32, max_bucket: int = 2048):
     """Exact n-gram Jaccard dedup with length-bucket blocking.
 
     Candidates are restricted to docs in the same word-length bucket
     (near-dups have near-equal length); each bucket verifies exact
     Jaccard pairwise.  Keep min id per duplicate pair.
+
+    Buckets are capped at ``max_bucket`` docs (verification is O(n²)
+    per bucket): oversized buckets verify in sorted ``max_bucket``
+    chunks — duplicates of near-equal length nearly always sort
+    adjacently, and the cap bounds worst-case task time.  For corpora
+    where whole length-classes are duplicate-heavy, run minhash first
+    and use this as the verifier it is intended to be.
     """
 
     def _bucket(batch: pa.Table) -> pa.Table:
@@ -565,10 +572,7 @@ def ngram_jaccard_dedup(docs, n: int = 3, threshold: float = 0.8,
 
     bucketed = docs.map_batches(_bucket, batch_format="pyarrow")
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        if len(g) < 2:
-            return g.drop(columns=["lb"])
+    def _dedup_chunk(g: pd.DataFrame) -> pd.DataFrame:
         m = ngram_jaccard_matrix(g[text_col].tolist(), n)
         drop = set()
         for i in range(len(g)):
@@ -577,7 +581,17 @@ def ngram_jaccard_dedup(docs, n: int = 3, threshold: float = 0.8,
             for j in range(i + 1, len(g)):
                 if m[i, j] >= threshold:
                     drop.add(j)
-        return g[~g.index.isin(drop)].drop(columns=["lb"])
+        return g[~g.index.isin(drop)]
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        if len(g) < 2:
+            return g.drop(columns=["lb"])
+        parts = [
+            _dedup_chunk(g.iloc[s : s + max_bucket].reset_index(drop=True))
+            for s in range(0, len(g), max_bucket)
+        ]
+        return pd.concat(parts, ignore_index=True).drop(columns=["lb"])
 
     return bucketed.groupby("lb").map_groups(_dedup, batch_format="pandas")
 
@@ -628,29 +642,40 @@ def embedding_dedup(
         Bucketer, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)
     )
 
-    def _bucket_survivors(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        if len(g) < 2:
-            return g[[id_col]]
-        v = np.stack([np.asarray(x, dtype=np.float32) for x in g[vec_col]])
-        v = v / np.clip(np.linalg.norm(v, axis=1, keepdims=True), 1e-9, None)
+    def _bucket_survivors(ids: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """ids sorted ascending, v the matching unit vectors; greedy:
+        earlier survivors absorb later dups."""
         sim = v @ v.T
-        drop = np.zeros(len(g), dtype=bool)
-        for i in range(len(g)):  # greedy: earlier survivors absorb later dups
+        drop = np.zeros(len(ids), dtype=bool)
+        for i in range(len(ids)):
             if drop[i]:
                 continue
             drop[i + 1 :] |= sim[i, i + 1 :] >= threshold
-        return g.loc[~drop, [id_col]]
+        return ids[~drop]
 
-    def _dedup_part(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _bucket_survivors(bdf) for _, bdf in df.groupby("bucket", sort=False)
-        ]
-        return pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0][[id_col]]
+    def _dedup_part(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        ids_all = t[id_col].to_numpy(zero_copy_only=False)
+        vecs = list_to_matrix(t[vec_col], np.float32)  # zero-copy
+        vecs = vecs / np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9, None)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_all, buckets))
+        heads = np.flatnonzero(np.diff(buckets[order], prepend=buckets[order[0]] - 1))
+        bounds = np.append(heads, len(order))
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            if len(sel) < 2:
+                outs.append(ids_all[sel])
+            else:
+                outs.append(_bucket_survivors(ids_all[sel], vecs[sel]))
+        vals = np.concatenate(outs) if outs else []
+        return pa.table({id_col: pa.array(vals, type=id_type)})
 
     return (
         bucketed.map_batches(_with_part(32, ["bucket"]), batch_format="pyarrow",
                              batch_size=None)
         .groupby(_PART)
-        .map_groups(lambda g: _dedup_part(g.drop(columns=[_PART])), batch_format="pandas")
+        .map_groups(lambda t: _dedup_part(t.drop_columns([_PART])),
+                    batch_format="pyarrow")
     )

@@ -29,6 +29,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashes import hash_columns
 
@@ -66,11 +67,18 @@ def dedupe_exact(
         kf = _key_fields(batch)
         h = hash_columns(batch, kf)
         batch = batch.append_column(HASH_COL, pa.array(h.view(np.int64)))
-        df = batch.to_pandas()
+        # in-batch first-per-key stays in Arrow: stable sort + ordered
+        # C++ group_by "first" (use_threads=False preserves row order) —
+        # no per-batch pandas round-trip
         if order_by is not None:
-            df = df.sort_values(order_by, kind="mergesort")
-        df = df.groupby(kf, dropna=False, sort=False).head(1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+            batch = batch.take(
+                pc.sort_indices(batch, sort_keys=[(order_by, "ascending")])
+            )
+        other = [c for c in batch.column_names if c not in kf]
+        out = batch.group_by(kf, use_threads=False).aggregate(
+            [(c, "first") for c in other]
+        )
+        return out.rename_columns(kf + other)
 
     hashed = ds.map_batches(_hash_and_local, batch_format="pyarrow", batch_size=None)
 
