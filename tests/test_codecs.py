@@ -166,3 +166,74 @@ def test_gzip_hmac_object_fns():
     assert merged == '{"a": 1, "b": 2}'
     flat = call("flatten_object", pa.array(['{"a":{"b":1}}'])).to_pylist()[0]
     assert flat == '{"a.b": 1}'
+
+
+def test_decode_protobuf_roundtrip():
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    from vector_ray.codecs import decode_protobuf
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "test.proto"
+    fdp.package = "t"
+    m = fdp.message_type.add()
+    m.name = "Event"
+    f1 = m.field.add()
+    f1.name, f1.number, f1.type, f1.label = "name", 1, f1.TYPE_STRING, f1.LABEL_OPTIONAL
+    f2 = m.field.add()
+    f2.name, f2.number, f2.type, f2.label = "count", 2, f2.TYPE_INT64, f2.LABEL_OPTIONAL
+    fds = descriptor_pb2.FileDescriptorSet()
+    fds.file.append(fdp)
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fdp)
+    cls = message_factory.GetMessageClass(pool.FindMessageTypeByName("t.Event"))
+    payload = cls(name="hello", count=42).SerializeToString()
+    t, e = decode_protobuf(
+        pa.array([payload, b"\xff\xff\xff"], type=pa.binary()),
+        fds.SerializeToString(), "t.Event",
+    )
+    assert t["name"].to_pylist() == ["hello", None]
+    assert str(t["count"].to_pylist()[0]) == "42"
+    assert e.to_pylist() == [False, True]
+
+
+def test_decode_avro_datum():
+    from vector_ray.codecs import decode_avro
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "n", "type": "long"},
+    ]}
+    datum = bytes([0x04]) + b"hi" + bytes([0x06])  # "hi", zigzag(3)
+    t, e = decode_avro(pa.array([datum, b"\x99"], type=pa.binary()), schema)
+    assert t["name"].to_pylist() == ["hi", None]
+    assert t["n"].to_pylist() == [3, None]
+    assert e.to_pylist() == [False, True]
+
+    schema2 = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": ["null", "long"]},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+    ]}
+    d2 = bytes([0x02, 0x0A, 0x04, 0x02, 0x04, 0x00])
+    t2, _ = decode_avro(pa.array([d2], type=pa.binary()), schema2)
+    assert t2["x"].to_pylist() == [5]
+    import json as j
+
+    assert j.loads(t2["xs"].to_pylist()[0]) == [1, 2]
+
+
+def test_stdlib_round2_batch():
+    from vector_ray.functions.scalar import call
+
+    assert call("to_syslog_level", pa.array([0, 4, 7, 9])).to_pylist() == [
+        "emerg", "warning", "debug", None]
+    assert call("parse_duration", pa.array(["1h30m", "250ms", "x"])).to_pylist() == [
+        5400.0, 0.25, None]
+    assert call("parse_int", pa.array(["0x10", "42", "zz"])).to_pylist() == [16, 42, None]
+    assert call("snakecase", pa.array(["HelloWorld"])).to_pylist() == ["hello_world"]
+    assert call("pascalcase", pa.array(["hello_world"])).to_pylist() == ["HelloWorld"]
+    assert call("int_to_ip", pa.array([3232235777])).to_pylist() == ["192.168.1.1"]
+    import json as j
+
+    qs = j.loads(call("parse_query_string", pa.array(["a=1&b=2&a=3"])).to_pylist()[0])
+    assert qs == {"a": ["1", "3"], "b": "2"}

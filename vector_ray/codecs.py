@@ -280,3 +280,161 @@ def parse_cef(col, extension_keys: Optional[List[str]] = None):
         **{k: pa.array(ext_rows[k], type=pa.string()) for k in sorted(ext_rows)},
     })
     return tbl, pa.array(err)
+
+
+def decode_protobuf(col, descriptor_set: bytes, message_type: str,
+                    keys: Optional[List[str]] = None):
+    """Protobuf decoder (lib/codecs/src/decoding/format/protobuf.rs
+    semantics): ``descriptor_set`` is a serialized FileDescriptorSet
+    (protoc --descriptor_set_out), ``message_type`` the fully-qualified
+    message name.  Each row's binary payload decodes to the requested
+    top-level fields.  Returns (table, error_mask)."""
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+    from google.protobuf.json_format import MessageToDict
+
+    pool = descriptor_pool.DescriptorPool()
+    fds = descriptor_pb2.FileDescriptorSet.FromString(descriptor_set)
+    for f in fds.file:
+        pool.Add(f)
+    desc = pool.FindMessageTypeByName(message_type)
+    cls = message_factory.GetMessageClass(desc)
+    if keys is None:
+        keys = [f.name for f in desc.fields]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rows = {k: [] for k in keys}
+    err = []
+    for v in col.to_pylist():
+        try:
+            msg = cls.FromString(v)
+            d = MessageToDict(msg, preserving_proto_field_name=True)
+        except Exception:
+            for k in keys:
+                rows[k].append(None)
+            err.append(True)
+            continue
+        for k in keys:
+            val = d.get(k)
+            rows[k].append(json.dumps(val) if isinstance(val, (dict, list)) else val)
+        err.append(False)
+    return pa.table({k: pa.array(rows[k]) for k in keys}), pa.array(err)
+
+
+# ------------------------------------------------------ avro (datum)
+
+class _AvroReader:
+    """Minimal Apache Avro binary datum decoder — from the public Avro
+    1.11 specification (zigzag varints, length-prefixed bytes/strings,
+    records/arrays/maps/unions/enums/fixed).  No external library."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def _varint(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def read(self, schema):
+        if isinstance(schema, str):
+            t = schema
+        elif isinstance(schema, list):  # union: branch index then value
+            idx = self._varint()
+            return self.read(schema[idx])
+        else:
+            t = schema["type"]
+        if t == "null":
+            return None
+        if t == "boolean":
+            v = self.buf[self.pos] != 0
+            self.pos += 1
+            return v
+        if t in ("int", "long"):
+            return self._varint()
+        if t == "float":
+            import struct as _s
+
+            v = _s.unpack_from("<f", self.buf, self.pos)[0]
+            self.pos += 4
+            return v
+        if t == "double":
+            import struct as _s
+
+            v = _s.unpack_from("<d", self.buf, self.pos)[0]
+            self.pos += 8
+            return v
+        if t in ("bytes", "string"):
+            n = self._varint()
+            v = self.buf[self.pos : self.pos + n]
+            self.pos += n
+            return v.decode("utf-8") if t == "string" else bytes(v)
+        if t == "record":
+            return {f["name"]: self.read(f["type"]) for f in schema["fields"]}
+        if t == "enum":
+            return schema["symbols"][self._varint()]
+        if t == "fixed":
+            n = schema["size"]
+            v = bytes(self.buf[self.pos : self.pos + n])
+            self.pos += n
+            return v
+        if t == "array":
+            out = []
+            while True:
+                n = self._varint()
+                if n == 0:
+                    break
+                if n < 0:  # block with byte size prefix
+                    n = -n
+                    self._varint()
+                for _ in range(n):
+                    out.append(self.read(schema["items"]))
+            return out
+        if t == "map":
+            out = {}
+            while True:
+                n = self._varint()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    self._varint()
+                for _ in range(n):
+                    k = _AvroReader.read(self, "string")
+                    out[k] = self.read(schema["values"])
+            return out
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+def decode_avro(col, schema: dict, keys: Optional[List[str]] = None):
+    """Avro binary datum per row → top-level record fields
+    (lib/codecs avro deserializer analog; schema is the parsed Avro
+    record schema).  Returns (table, error_mask)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if keys is None:
+        keys = [f["name"] for f in schema["fields"]]
+    rows = {k: [] for k in keys}
+    err = []
+    for v in col.to_pylist():
+        try:
+            rec = _AvroReader(v).read(schema)
+        except Exception:
+            for k in keys:
+                rows[k].append(None)
+            err.append(True)
+            continue
+        for k in keys:
+            val = rec.get(k)
+            rows[k].append(
+                json.dumps(val) if isinstance(val, (dict, list)) else val
+            )
+        err.append(False)
+    return pa.table({k: pa.array(rows[k]) for k in keys}), pa.array(err)

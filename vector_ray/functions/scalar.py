@@ -311,3 +311,206 @@ def _flatten_object(c, separator="."):
                                            sort_keys=True)
          for v in c.to_pylist()]
     )
+
+
+# ------------------------------------------------- syslog / formats
+
+_SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news", "uucp",
+    "cron", "authpriv", "ftp", "ntp", "security", "console", "solaris-cron",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6", "local7",
+]
+
+
+@register("to_syslog_level")
+def _to_syslog_level(c):
+    """VRL to_syslog_level: severity int → keyword (vectorized take)."""
+    idx = c.cast(pa.int64())
+    table = pa.array(_SYSLOG_LEVELS + [None])
+    i = pc.if_else(
+        pc.and_(pc.greater_equal(idx, 0), pc.less_equal(idx, 7)),
+        idx, pa.scalar(len(_SYSLOG_LEVELS), type=pa.int64()),
+    )
+    return table.take(i)
+
+
+@register("to_syslog_facility")
+def _to_syslog_facility(c):
+    idx = c.cast(pa.int64())
+    table = pa.array(_SYSLOG_FACILITIES + [None])
+    i = pc.if_else(
+        pc.and_(pc.greater_equal(idx, 0), pc.less_equal(idx, 23)),
+        idx, pa.scalar(len(_SYSLOG_FACILITIES), type=pa.int64()),
+    )
+    return table.take(i)
+
+
+@register("strip_ansi_escape_codes")
+def _strip_ansi(c):
+    return pc.replace_substring_regex(c, pattern=r"\x1b\[[0-9;]*[A-Za-z]", replacement="")
+
+
+_DUR_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0,
+              "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0}
+
+
+@register("parse_duration")
+def _parse_duration(c, unit="s"):
+    """VRL parse_duration('1h30m', 's') → seconds (or requested unit).
+    Vectorized: extract all (number, unit) groups then fold."""
+    import re as _re
+
+    div = _DUR_UNITS[unit]
+    pat = _re.compile(r"(\d+(?:\.\d+)?)\s*(ns|us|µs|ms|s|m|h|d|w)")
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        parts = pat.findall(v)
+        if not parts:
+            out.append(None)
+            continue
+        out.append(sum(float(n) * _DUR_UNITS[u] for n, u in parts) / div)
+    return pa.array(out, type=pa.float64())
+
+
+@register("parse_int")
+def _parse_int(c, base=None):
+    """VRL parse_int: string → int honoring 0x/0o/0b prefixes (base
+    auto-detected when None)."""
+    out = []
+    for v in c.to_pylist():
+        try:
+            out.append(int(v, base if base is not None else 0))
+        except (TypeError, ValueError):
+            out.append(None)
+    return pa.array(out, type=pa.int64())
+
+
+# ----------------------------------------------------- case rewriting
+
+@register("snakecase")
+def _snakecase(c):
+    x = pc.replace_substring_regex(c, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1_\2")
+    x = pc.replace_substring_regex(x, pattern=r"[\s-]+", replacement="_")
+    return pc.utf8_lower(x)
+
+
+@register("kebabcase")
+def _kebabcase(c):
+    x = pc.replace_substring_regex(c, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1-\2")
+    x = pc.replace_substring_regex(x, pattern=r"[\s_]+", replacement="-")
+    return pc.utf8_lower(x)
+
+
+@register("camelcase")
+def _camelcase(c):
+    import re as _re
+
+    pat = _re.compile(r"[-_\s]+(.)")
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        s = pat.sub(lambda m: m.group(1).upper(), v.strip())
+        out.append(s[:1].lower() + s[1:])
+    return pa.array(out, type=pa.string())
+
+
+@register("pascalcase")
+def _pascalcase(c):
+    cam = _camelcase(c)
+    first = pc.utf8_upper(pc.utf8_slice_codeunits(cam, 0, 1))
+    rest = pc.utf8_slice_codeunits(cam, 1)
+    return pc.binary_join_element_wise(first, rest, "")
+
+
+# ------------------------------------------------------------ url / qs
+
+@register("encode_percent")
+def _pct_e(c):
+    from urllib.parse import quote
+
+    return pa.array([None if v is None else quote(v, safe="") for v in c.to_pylist()])
+
+
+@register("decode_percent")
+def _pct_d(c):
+    from urllib.parse import unquote
+
+    return pa.array([None if v is None else unquote(v) for v in c.to_pylist()])
+
+
+@register("parse_query_string")
+def _parse_qs(c):
+    """Query string → sorted-key JSON object string (arrays for repeats)."""
+    import json
+    from urllib.parse import parse_qs
+
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        d = parse_qs(v.lstrip("?"), keep_blank_values=True)
+        out.append(json.dumps(
+            {k: (vs[0] if len(vs) == 1 else vs) for k, vs in sorted(d.items())}
+        ))
+    return pa.array(out, type=pa.string())
+
+
+@register("int_to_ip")
+def _ip_ntoa(c):
+    """uint32 int → dotted quad, vectorized (numpy char ops)."""
+    arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    x = np.asarray(arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    parts = [((x >> s) & 0xFF).astype(str) for s in (24, 16, 8, 0)]
+    dotted = np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+        parts[0], "."), parts[1]), "."), np.char.add(parts[2], ".")), parts[3])
+    return pa.array(dotted.tolist(), type=pa.string())
+
+
+register("sha3")(_hashlib_fn("sha3_256"))
+
+
+@register("parse_user_agent")
+def _parse_ua(c):
+    """Minimal UA classifier (browser family + os family) — heuristic
+    regexes over the UA string; JSON-object output like VRL's."""
+    import json
+    import re as _re
+
+    browsers = [
+        ("Firefox", _re.compile(r"Firefox/(\d+)")),
+        ("Edge", _re.compile(r"Edg(?:e|A|iOS)?/(\d+)")),
+        ("Chrome", _re.compile(r"Chrome/(\d+)")),
+        ("Safari", _re.compile(r"Version/(\d+).*Safari")),
+        ("curl", _re.compile(r"curl/([\d.]+)")),
+    ]
+    oses = [
+        ("Windows", _re.compile(r"Windows NT")),
+        ("macOS", _re.compile(r"Mac OS X")),
+        ("Android", _re.compile(r"Android")),
+        ("iOS", _re.compile(r"iPhone|iPad")),
+        ("Linux", _re.compile(r"Linux")),
+    ]
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        browser = version = os_name = None
+        for name, pat in browsers:
+            m = pat.search(v)
+            if m:
+                browser, version = name, m.group(1)
+                break
+        for name, pat in oses:
+            if pat.search(v):
+                os_name = name
+                break
+        out.append(json.dumps({"browser": browser, "version": version, "os": os_name}))
+    return pa.array(out, type=pa.string())
