@@ -134,6 +134,18 @@ def _run_one(base_config: dict, test: dict, path: str) -> None:
                     raise BehaviorTestFailure(
                         f"{name}: {target} row {i} {row} fails all_match {cond!r}"
                     )
+        for cond in out_spec.get("any_match", []):
+            c = compile_condition(cond)
+            hit = False
+            for row in rows_out:
+                t = pa.Table.from_pylist([{k: v for k, v in row.items() if k != "__seq"}])
+                if c(t)[0].as_py() if len(t) else False:
+                    hit = True
+                    break
+            if not hit:
+                raise BehaviorTestFailure(
+                    f"{name}: {target} no row matches any_match {cond!r}"
+                )
 
     for target in test.get("no_outputs_from", []):
         node, _, port = target.partition(".")

@@ -107,6 +107,38 @@ def _t_dedupe(cfg, inputs):
     )
 
 
+@register("dedupe_timed")
+def _t_dedupe_timed(cfg, inputs):
+    from .stages.dedupe import dedupe_timed
+
+    return dedupe_timed(
+        inputs, cfg["fields"], cfg["ttl_ms"],
+        ts_field=cfg.get("ts_field", "ts"), order_by=cfg.get("order_by"),
+    )
+
+
+@register("line_agg")
+def _t_line_agg(cfg, inputs):
+    from .stages.line_agg import line_agg
+
+    return line_agg(
+        inputs,
+        start_pattern=cfg.get("start_pattern", "."),
+        condition_pattern=cfg["condition_pattern"],
+        mode=cfg.get("mode", "continue_through"),
+        line_col=cfg.get("line_col", "message"),
+        group_by=cfg.get("group_by"),
+        order_by=cfg.get("order_by"),
+    )
+
+
+@register("unnest")
+def _t_unnest(cfg, inputs):
+    from .stages.unnest import unnest
+
+    return unnest(inputs, cfg["field"], out_col=cfg.get("out_col"))
+
+
 @register("sample")
 def _t_sample(cfg, inputs):
     if cfg.get("key_field"):
@@ -116,6 +148,7 @@ def _t_sample(cfg, inputs):
             rate=cfg.get("rate"),
             ratio=cfg.get("ratio"),
             exclude=cfg.get("exclude"),
+            hash_fn=cfg.get("hash_fn", "stable"),
         )
     return stages.sample_count(
         inputs, cfg["rate"], group_by=cfg.get("group_by"), order_by=cfg.get("order_by")
