@@ -330,6 +330,23 @@ def q_dedupe_windowed(sf_dir):
     return out.select_columns(["event_id"])
 
 
+def q_dedupe_windowed_exact(sf_dir):
+    """LRU-windowed dedupe with a cache larger than the key space: no
+    evictions, so the streaming LRU must agree exactly with first-per-
+    key SQL — verifies the LRU stage's no-eviction boundary (the
+    eviction path stays covered by the rows-only `dedupe_windowed`)."""
+    from vector_ray.stages import dedupe_windowed
+
+    ds = (
+        _events(sf_dir, ["event_id", "user_id", "event_type"])
+        .repartition(1)
+        .sort("event_id")
+    )
+    out = dedupe_windowed(ds, ["user_id", "event_type"], cache_size=1_000_000,
+                          concurrency=1)
+    return out.select_columns(["event_id"])
+
+
 def q_hopping_agg(sf_dir):
     """Hopping-window aggregate (size 2h, slide 1h) — beyond the
     reference's tumbling aggregate; each row lands in 2 windows."""
@@ -619,10 +636,12 @@ def q_ivf_topk(sf_dir):
 def q_text_analysis(sf_dir):
     from vector_ray.functions.text import LangId, QualityScorer, token_counts
 
-    ds = _docs(sf_dir).map_batches(token_counts, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(token_counts, batch_format="pyarrow")
     ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
     ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
-    return ds.select_columns(["doc_id", "n_ws_tokens", "quality_score", "lang_pred"])
+    df = ds.select_columns(["doc_id", "n_ws_tokens", "stop_ratio", "lang_pred"]).to_pandas()
+    df["stop_ratio"] = np.floor(df["stop_ratio"] * 10_000 + 0.5) / 10_000
+    return df
 
 
 def q_multimodal_features(sf_dir):
@@ -666,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reduce_sessionized": q_reduce_sessionized,
         "sample_hash": q_sample_hash,
         "dedupe_windowed": q_dedupe_windowed,
+        "dedupe_windowed_exact": q_dedupe_windowed_exact,
         "window_context": q_window_context,
         "hopping_agg": q_hopping_agg,
         "tag_cardinality": q_tag_cardinality,
@@ -790,6 +810,39 @@ def oracle_sql() -> dict[str, str]:
             "AND 1 PRECEDING), 0) AS sid FROM events) "
             "SELECT user_id, count(*) AS n_events, min(ts) AS ts_start, "
             "max(ts) AS ts_end FROM x GROUP BY user_id, sid"
+        ),
+        "text_analysis": (
+            "WITH w AS (SELECT doc_id, text, "
+            "list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-zàâçéèêëîïôûùüÿñæœäöüß'']+'), x -> x <> '') AS lws, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z'']+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "h AS (SELECT doc_id, text, ws, lws, "
+            "len(list_filter(lws, x -> x IN ('the','and','is','of','to'))) AS h_en, "
+            "len(list_filter(lws, x -> x IN ('le','la','les','et','est'))) AS h_fr, "
+            "len(list_filter(lws, x -> x IN ('el','los','es','y','que'))) AS h_es, "
+            "len(list_filter(lws, x -> x IN ('der','die','und','ist','das'))) AS h_de, "
+            "length(regexp_replace(text, '[^一-鿿]', '', 'g')) "
+            "/ CAST(greatest(length(text), 1) AS DOUBLE) AS cjk FROM w) "
+            "SELECT doc_id, "
+            "CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens, "
+            "round(len(list_filter(ws, x -> x IN ('the','a','an','and','or','of','to','in',"
+            "'is','are','was','were','be','been','it','this','that','with','for','on','as',"
+            "'at','by','from','not','have','has','had','but','they','you','we','he','she',"
+            "'his','her','its'))) / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS stop_ratio, "
+            "CASE WHEN cjk > 0.2 THEN 'zh' "
+            "WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und' "
+            "WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en' "
+            "WHEN h_fr = greatest(h_fr, h_es, h_de) THEN 'fr' "
+            "WHEN h_es = greatest(h_es, h_de) THEN 'es' ELSE 'de' END AS lang_pred "
+            "FROM h"
+        ),
+        "dedupe_windowed_exact": (
+            "SELECT min(event_id) AS event_id FROM events GROUP BY user_id, event_type"
+        ),
+        "memory_enrich": (
+            "SELECT event_id, LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) "
+            "AS mem_value FROM events"
         ),
         "hopping_agg": (
             "WITH w AS (SELECT event_type, value, "
