@@ -237,3 +237,55 @@ def test_stdlib_round2_batch():
 
     qs = j.loads(call("parse_query_string", pa.array(["a=1&b=2&a=3"])).to_pylist()[0])
     assert qs == {"a": ["1", "3"], "b": "2"}
+
+
+def test_decode_otlp_logs():
+    """Hand-encoded OTLP wire bytes (independent mini-encoder) decode to
+    flattened log-record rows."""
+    import struct as _s
+
+    from vector_ray.otlp import decode_otlp_logs
+
+    def vi(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def ld(field, payload):
+        return vi((field << 3) | 2) + vi(len(payload)) + payload
+
+    def varint_field(field, v):
+        return vi(field << 3) + vi(v)
+
+    def f64(field, v):
+        return vi((field << 3) | 1) + _s.pack("<Q", v)
+
+    any_str = lambda s: ld(1, s.encode())
+    any_int = lambda n: varint_field(3, n)
+    kv = lambda k, av: ld(1, k.encode()) + ld(2, av)
+
+    lr1 = (f64(1, 1_700_000_000_000_000_000) + varint_field(2, 9)
+           + ld(3, b"INFO") + ld(5, any_str("hello world"))
+           + ld(6, kv("http.status", any_int(200)))
+           + ld(9, bytes.fromhex("aa" * 16)))
+    lr2 = ld(5, any_str("second"))
+    scope_logs = ld(2, lr1) + ld(2, lr2)
+    resource = ld(1, kv("service.name", any_str("api")))
+    resource_logs = ld(1, resource) + ld(2, scope_logs)
+    logs_data = ld(1, resource_logs)
+
+    t, e = decode_otlp_logs(pa.array([logs_data, b"\xff\x01garbage"], type=pa.binary()))
+    assert e.to_pylist() == [False, True]
+    assert t.num_rows == 2
+    assert t["body"].to_pylist() == ["hello world", "second"]
+    assert t["severity_text"].to_pylist() == ["INFO", None]
+    assert t["time_unix_nano"].to_pylist()[0] == 1_700_000_000_000_000_000
+    import json as j
+
+    assert j.loads(t["attributes"].to_pylist()[0]) == {"http.status": 200}
+    assert j.loads(t["resource"].to_pylist()[0]) == {"service.name": "api"}
+    assert t["trace_id"].to_pylist()[0] == "aa" * 16
