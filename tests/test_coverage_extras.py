@@ -240,3 +240,19 @@ def test_bucketed_join_matches_pandas():
     out = bucketed_join(left, right, on=["k"], right_on=["k2"], how="inner").to_pandas()
     got = sorted((int(r.k), r.lv, r.rv) for r in out.itertuples())
     assert got == [(2, "b", "x"), (2, "c", "x"), (3, "d", "y")]
+
+
+def test_demo_logs_formats(ray_session):
+    from vector_ray.parse import parse_apache_log
+    from vector_ray.sources.demo import demo_logs
+
+    for fmt in ("apache_common", "apache_error", "syslog", "bsd_syslog", "json"):
+        df = demo_logs(6, fmt).to_pandas()
+        assert len(df) == 6 and df["message"].notna().all()
+    # apache_common output must round-trip through the apache parser
+    msgs = demo_logs(6, "apache_common").to_pandas()["message"]
+    t, err = parse_apache_log(pa.array(msgs.tolist()))
+    assert not any(err.to_pylist())
+    assert set(t["status"].to_pylist()) <= {200, 404, 500}
+    sh = demo_logs(5, "shuffle", lines=["x", "y"]).to_pandas()
+    assert sh["message"].tolist() == ["x", "y", "x", "y", "x"]
