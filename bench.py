@@ -110,6 +110,9 @@ def run_bench() -> dict:
         "enrich_nation",
         "pricing_summary",
         "minhash_dedup",
+        "simhash_dedup",
+        "histogram_buckets",
+        "quality_scores",
         "ann_topk",
     ):
         t0 = time.time()
