@@ -301,6 +301,23 @@ def q_reduce_sessionized(sf_dir):
     return df[["user_id", "n_events", "ts_start", "ts_end"]]
 
 
+def q_reduce_gap_sessions(sf_dir):
+    """Gap-based sessionization (expire_after_ms staleness flush): a
+    session closes when a user is idle > 6h; one row per session."""
+    from vector_ray.stages import reduce_stage
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = reduce_stage(
+        ds,
+        ["user_id"],
+        merge_strategies={"event_id": "min"},
+        order_by="ts",
+        expire_after_ms=6 * 3_600_000,
+    )
+    df = out.to_pandas().rename(columns={"_reduce_count": "n_events", "ts": "ts_start"})
+    return df[["user_id", "n_events", "event_id", "ts_start", "ts_end"]]
+
+
 def q_sample_hash(sf_dir):
     """Consistent-hash 1-in-4 sampling on user_id (rows-only: the hash
     is ours, not SQL's — determinism checked by the repeat run)."""
@@ -683,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summary_quantiles": q_summary_quantiles,
         "reduce_sessions": q_reduce_sessions,
         "reduce_sessionized": q_reduce_sessionized,
+        "reduce_gap_sessions": q_reduce_gap_sessions,
         "sample_hash": q_sample_hash,
         "dedupe_windowed": q_dedupe_windowed,
         "dedupe_windowed_exact": q_dedupe_windowed_exact,
@@ -843,6 +861,15 @@ def oracle_sql() -> dict[str, str]:
         "memory_enrich": (
             "SELECT event_id, LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) "
             "AS mem_value FROM events"
+        ),
+        "reduce_gap_sessions": (
+            "WITH x AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) "
+            "> 21600000000 THEN 1 ELSE 0 END AS brk FROM events), "
+            "y AS (SELECT user_id, event_id, ts, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x) "
+            "SELECT user_id, count(*) AS n_events, min(event_id) AS event_id, "
+            "min(ts) AS ts_start, max(ts) AS ts_end FROM y GROUP BY user_id, sid"
         ),
         "hopping_agg": (
             "WITH w AS (SELECT event_type, value, "

@@ -176,3 +176,23 @@ def test_log_to_metric_all_mode():
     assert {r["name"] for r in rows} == {"cpu", "mem"}
     assert all(r["tags"] == "" and r["namespace"] == "" for r in rows)
     assert rows[0]["value_type"] == "counter"
+
+
+def test_reduce_expire_after_gap_sessions(ray_session):
+    import numpy as np
+
+    from vector_ray.stages import reduce_stage
+
+    ts = pa.array(
+        np.array([0, 1_000_000, 10_000_000, 11_000_000], dtype="int64"),
+        type=pa.timestamp("us"),
+    )
+    t = pa.table({"u": ["a"] * 4, "n": pa.array([1, 2, 3, 4], type=pa.int64()), "ts": ts})
+    # gap > 5s splits: sessions {1,2} and {3,4}
+    out = reduce_stage(
+        rd.from_arrow(t), ["u"], merge_strategies={"n": "array"},
+        order_by="ts", expire_after_ms=5_000,
+    ).to_pandas()
+    got = sorted(tuple(v) for v in out["n"])
+    assert got == [(1, 2), (3, 4)]
+    assert sorted(out["_reduce_count"]) == [2, 2]

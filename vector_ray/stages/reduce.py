@@ -80,11 +80,17 @@ def reduce_stage(
     ends_when=None,
     max_events: Optional[int] = None,
     end_every_period_ms: Optional[int] = None,
+    expire_after_ms: Optional[int] = None,
     ts_field: str = "ts",
 ):
     """``end_every_period_ms`` (config.rs:100-106): sessions additionally
     flush at fixed event-time period boundaries — rows in different
-    ``floor(ts/period)`` windows never merge."""
+    ``floor(ts/period)`` windows never merge.
+
+    ``expire_after_ms`` (config.rs:33-47 staleness flush): the
+    event-time restatement closes a session wherever the gap between a
+    key's consecutive events exceeds the expiry — classic gap-based
+    sessionization, vectorized as cumsum(diff(ts) > gap)."""
     strategies = dict(merge_strategies or {})
     starts = compile_condition(starts_when) if starts_when else None
     ends = compile_condition(ends_when) if ends_when else None
@@ -107,6 +113,15 @@ def reduce_stage(
             bump = np.zeros(n, dtype=np.int64)
             bump[1:] = np.cumsum(e)[:-1]
             sid = sid + bump
+        if expire_after_ms and ts_field in group.columns:
+            s = group[ts_field]
+            raw = s.astype("int64").to_numpy()
+            if pd.api.types.is_datetime64_any_dtype(s) and str(s.dtype).endswith("[ns]"):
+                raw = raw // 1000  # ns → us
+            gap_us = int(expire_after_ms) * 1000
+            brk = np.zeros(n, dtype=np.int64)
+            brk[1:] = (np.diff(raw) > gap_us).astype(np.int64)
+            sid = sid * (n + 2) + np.cumsum(brk)
         if end_every_period_ms and ts_field in group.columns:
             s = group[ts_field]
             raw = s.astype("int64").to_numpy()
@@ -134,7 +149,8 @@ def reduce_stage(
             group = group.sort_values(order_by, kind="mergesort")
         sessions = (
             group.groupby(_session_ids(group), sort=True)
-            if (starts is not None or ends is not None or max_events or end_every_period_ms)
+            if (starts is not None or ends is not None or max_events
+                or end_every_period_ms or expire_after_ms)
             else [(0, group)]
         )
         rows = []
