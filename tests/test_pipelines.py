@@ -239,3 +239,20 @@ def test_sample_multiplicative_hash_matches_sql_rule():
     expect = ev[((ev.user_id.astype("uint64") * 2654435761) % 2**32) % 10 == 0]
     assert sorted(out["event_id"]) == sorted(expect["event_id"])
     assert (out["sample_rate"] == 10.0).all()
+
+
+def test_multimodal_audio_and_resize():
+    from vector_ray.pipelines.multimodal import (
+        audio_features,
+        resize_images,
+        synth_media_batch,
+    )
+
+    media = rd.from_arrow(synth_media_batch(0, 90))
+    af = audio_features(media, batch_size=32).to_pandas()
+    assert len(af) == 30  # 1/3 of rows are audio
+    assert (af["rms"] > 0).all() and (af["peak"] > 0).all()
+    rz = resize_images(media, 32, 32, batch_size=32).to_pandas()
+    assert len(rz) == 30
+    assert (rz["width"] == 32).all()
+    assert all(len(p) == 32 * 32 * 3 for p in rz["payload"])

@@ -145,3 +145,97 @@ def sample_frames(media_ds, every_ms: int = 500, batch_size: int = 64, concurren
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def fake_audio_decoder(payload: bytes, duration_ms: int) -> np.ndarray:
+    """Deterministic stand-in for an audio decode: bytes → int16 PCM.
+    Replace with soundfile/ffmpeg in production; same signature."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = max(1, duration_ms * 16)  # fake 16 samples/ms
+    pcm = np.resize(arr.astype(np.int16), n)
+    return (pcm - 128) * 256
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode → RMS / zero-crossing-rate / peak
+    features per clip (librosa-style summary stats on the PCM)."""
+
+    def __init__(self, decoder: Optional[Callable] = None):
+        self.decoder = decoder or fake_audio_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        rms = np.zeros(batch.num_rows)
+        zcr = np.zeros(batch.num_rows)
+        peak = np.zeros(batch.num_rows)
+        for i, (p, d) in enumerate(zip(payloads, durs)):
+            pcm = self.decoder(p, d).astype(np.float64)
+            rms[i] = np.sqrt(np.mean(pcm * pcm))
+            zcr[i] = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
+            peak[i] = float(np.abs(pcm).max())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "rms": pa.array(rms),
+                "zcr": pa.array(zcr),
+                "peak": pa.array(peak),
+            }
+        )
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → nearest-neighbor resize → raw RGB
+    bytes + new dims.  The resize math is real (numpy index sampling);
+    only the decode goes through the hook."""
+
+    def __init__(self, out_w: int, out_h: int, decoder: Optional[Callable] = None):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.decoder = decoder or fake_image_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        out = []
+        for p, w, h in zip(payloads, widths, heights):
+            img = self.decoder(p, w, h)
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            out.append(np.ascontiguousarray(img[yi[:, None], xi[None, :]]).tobytes())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, type=pa.binary()),
+                "width": pa.array([self.out_w] * batch.num_rows, type=pa.int32()),
+                "height": pa.array([self.out_h] * batch.num_rows, type=pa.int32()),
+            }
+        )
+
+
+def audio_features(media_ds, batch_size: int = 128, concurrency=(1, 4), decoder=None):
+    ds = media_ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["kind"], "audio")), batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_images(media_ds, out_w: int, out_h: int, batch_size: int = 64,
+                  concurrency=(1, 4), decoder=None):
+    ds = media_ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["kind"], "image")), batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
