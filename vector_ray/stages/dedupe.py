@@ -82,18 +82,33 @@ def dedupe_exact(
 
     hashed = ds.map_batches(_hash_and_local, batch_format="pyarrow", batch_size=None)
 
+    # phase 2 partitions by hash % P (a FIXED Ray group count — one
+    # group per distinct key would pay per-group scheduling overhead);
+    # the exact first-per-key runs as one vectorized pandas groupby per
+    # partition, keyed by the REAL key values (hash-collision safe)
+    num_partitions = 32
+    PART = "__dedupe_part"
+
+    def _part(batch: pa.Table) -> pa.Table:
+        h = batch[HASH_COL]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        p = h.to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        return batch.append_column(PART, pa.array(p.view(np.int64)))
+
+    parted = hashed.map_batches(_part, batch_format="pyarrow", batch_size=None)
+
     def _first(group: pd.DataFrame) -> pd.DataFrame:
         if order_by is not None:
             group = group.sort_values(order_by, kind="mergesort")
         kf = fields if fields is not None else [
             c for c in group.columns
-            if c not in set(ignore or []) | {order_by, HASH_COL}
+            if c not in set(ignore or []) | {order_by, HASH_COL, PART}
         ]
-        # collision guard: split by real key values inside the hash bucket
         out = group.groupby(kf, dropna=False, sort=False).head(1)
-        return out.drop(columns=[HASH_COL])
+        return out.drop(columns=[HASH_COL, PART])
 
-    return hashed.groupby(HASH_COL).map_groups(_first, batch_format="pandas")
+    return parted.groupby(PART).map_groups(_first, batch_format="pandas")
 
 
 class LRUDedupe:
