@@ -514,3 +514,126 @@ def _parse_ua(c):
                 break
         out.append(json.dumps({"browser": browser, "version": version, "os": os_name}))
     return pa.array(out, type=pa.string())
+
+
+# -------------------------------------------------- string/array extras
+
+register("reverse_string")(lambda c: pc.utf8_reverse(c))
+register("repeat")(lambda c, n: pc.binary_repeat(c, n))
+register("pad_left")(lambda c, n, ch=" ": pc.utf8_lpad(c, n, padding=ch))
+register("pad_right")(lambda c, n, ch=" ": pc.utf8_rpad(c, n, padding=ch))
+register("find")(lambda c, sub: pc.find_substring(c, pattern=sub))
+
+
+@register("format_int")
+def _format_int(c, base=16):
+    fmt = {2: "b", 8: "o", 10: "d", 16: "x"}[base]
+    return pa.array(
+        [None if v is None else format(v, fmt) for v in c.to_pylist()],
+        type=pa.string(),
+    )
+
+
+@register("parse_regex")
+def _parse_regex(c, pattern):
+    """VRL parse_regex: named-group regex → JSON object string per row
+    (vectorized extract_regex; null on no-match)."""
+    import json as _json
+
+    arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    st = pc.extract_regex(arr, pattern=pattern)
+    names = [f.name for f in st.type] if len(st) else []
+    cols = {n: st.field(n).to_pylist() for n in names}
+    valid = pc.is_valid(st).to_pylist() if len(st) else []
+    out = []
+    for i in range(len(arr)):
+        if valid[i]:
+            out.append(_json.dumps({n: cols[n][i] for n in names}, sort_keys=True))
+        else:
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+@register("parse_regex_all")
+def _parse_regex_all(c, pattern):
+    """VRL parse_regex_all: all matches per row → JSON array string."""
+    import json as _json
+    import re as _re
+
+    pat = _re.compile(pattern)
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        out.append(_json.dumps(
+            [m.groupdict() if pat.groupindex else {"match": m.group(0)}
+             for m in pat.finditer(v)]
+        ))
+    return pa.array(out, type=pa.string())
+
+
+@register("unique_items")
+def _unique_items(c):
+    """VRL unique(array): JSON list string → deduped JSON list string
+    (first-occurrence order)."""
+    import json as _json
+
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        items = _json.loads(v) if isinstance(v, str) else list(v)
+        seen, res = set(), []
+        for x in items:
+            k = _json.dumps(x, sort_keys=True) if isinstance(x, (dict, list)) else x
+            if k not in seen:
+                seen.add(k)
+                res.append(x)
+        out.append(_json.dumps(res))
+    return pa.array(out, type=pa.string())
+
+
+@register("tally")
+def _tally(c):
+    """VRL tally: JSON list of strings → {value: count} JSON object."""
+    import json as _json
+    from collections import Counter
+
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        items = _json.loads(v) if isinstance(v, str) else list(v)
+        out.append(_json.dumps(dict(Counter(str(x) for x in items)), sort_keys=True))
+    return pa.array(out, type=pa.string())
+
+
+@register("includes")
+def _includes(c, item):
+    import json as _json
+
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        items = _json.loads(v) if isinstance(v, str) else list(v)
+        out.append(item in items)
+    return pa.array(out, type=pa.bool_())
+
+
+@register("get_hostname")
+def _get_hostname(c):
+    import socket
+
+    return pa.array([socket.gethostname()] * len(c), type=pa.string())
+
+
+@register("get_env_var")
+def _get_env_var(c, name):
+    import os as _os
+
+    return pa.array([_os.environ.get(name)] * len(c), type=pa.string())
