@@ -229,6 +229,30 @@ def _t_tagcard(cfg, inputs):
     )
 
 
+@register("distribution_agg")
+def _t_distribution_agg(cfg, inputs):
+    from .stages.metric_payload import distribution_agg
+
+    return distribution_agg(
+        inputs, interval_ms=cfg.get("interval_ms", 10_000),
+        ts_field=cfg.get("ts_field", "ts"),
+    )
+
+
+@register("aggregated_histogram")
+def _t_aggregated_histogram(cfg, inputs):
+    from .stages.metric_payload import aggregated_histogram
+
+    return aggregated_histogram(inputs, limits=cfg["limits"])
+
+
+@register("aggregated_summary")
+def _t_aggregated_summary(cfg, inputs):
+    from .stages.metric_payload import aggregated_summary
+
+    return aggregated_summary(inputs, quantiles=cfg.get("quantiles", (0.5, 0.9, 0.99)))
+
+
 @register("incremental_to_absolute")
 def _t_inc2abs(cfg, inputs):
     return stages.incremental_to_absolute(inputs, ts_field=cfg.get("ts_field", "ts"))
