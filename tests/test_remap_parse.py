@@ -79,3 +79,45 @@ def test_parse_json_step():
     ok, dropped = remap_with_drops(ds, [("parse_json", "props", ["k"], {"k": pa.int64()})])
     assert sorted(r["k"] for r in ok.take_all()) == [5, 9]
     assert dropped.count() == 1
+
+
+def test_named_log_parsers():
+    from vector_ray.parse import (
+        parse_aws_alb_log,
+        parse_aws_vpc_flow_log,
+        parse_common_log,
+        parse_glog,
+        parse_klog,
+        parse_linux_authorization,
+    )
+
+    g, eg = parse_glog(pa.array(
+        ["I0817 07:45:01.123456  1234 main.go:42] started server", "junk"]))
+    assert g["file"].to_pylist() == ["main.go", None]
+    assert g["line"].to_pylist() == [42, None]
+    assert eg.to_pylist() == [False, True]
+    assert parse_klog(pa.array(
+        ["W0817 07:45:01.000001  9 pod.go:7] evicted"]))[0]["level_char"].to_pylist() == ["W"]
+
+    v, _ = parse_aws_vpc_flow_log(pa.array(
+        ["2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 20641 22 6 20 "
+         "4249 1418530010 1418530070 ACCEPT OK"]))
+    assert v["action"].to_pylist() == ["ACCEPT"]
+    assert v["start"].to_pylist() == [1418530010]
+
+    a, _ = parse_aws_alb_log(pa.array(
+        ['http 2018-07-02T22:23:00.186641Z app/my-lb/50dc6c495c0c9188 '
+         '192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 '
+         '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - -']))
+    assert a["elb_status_code"].to_pylist() == [200]
+    assert a["user_agent"].to_pylist() == ["curl/7.46.0"]
+
+    l, _ = parse_linux_authorization(pa.array(
+        ["Aug 17 07:45:01 web1 sshd[4321]: Accepted publickey for root",
+         "Aug 17 07:45:02 web1 cron: session opened"]))
+    assert l["appname"].to_pylist() == ["sshd", "cron"]
+    assert l["pid"].to_pylist() == [4321, None]
+
+    c, _ = parse_common_log(pa.array(
+        ['127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 23']))
+    assert c["status"].to_pylist() == [200]

@@ -274,3 +274,73 @@ def parse_nginx_log(col, format: str = "combined"):
     if format != "combined":
         raise ValueError("only the combined access format is implemented")
     return GrokParser(NGINX_COMBINED_GROK).parse(col)
+
+
+# Named single-purpose parsers mirroring documented VRL functions
+# (website/cue/reference/remap/functions/parse_*.cue shapes), all built
+# on the vectorized grok machinery.
+
+GLOG_GROK = (
+    "%{GLOGLEVEL:level_char}%{MMDD:date} "
+    "%{TIME:time} +%{POSINT:thread_id} %{NOTSPACE:file}:%{POSINT:line:int}\\] "
+    "%{GREEDYDATA:message}"
+)
+
+_GLOG_EXTRA = {"GLOGLEVEL": r"[IWEF]", "MMDD": r"\d{4}"}
+
+KLOG_GROK = GLOG_GROK  # klog shares the glog line shape
+
+VPC_FLOW_GROK = (
+    "%{POSINT:version:int} %{NOTSPACE:account_id} %{NOTSPACE:interface_id} "
+    "%{NOTSPACE:srcaddr} %{NOTSPACE:dstaddr} %{NOTSPACE:srcport} "
+    "%{NOTSPACE:dstport} %{NOTSPACE:protocol} %{NOTSPACE:packets} "
+    "%{NOTSPACE:bytes} %{POSINT:start:int} %{POSINT:end:int} "
+    "%{WORD:action} %{WORD:log_status}"
+)
+
+ALB_GROK = (
+    '%{NOTSPACE:type} %{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb} '
+    '%{NOTSPACE:client_host} %{NOTSPACE:target_host} '
+    '%{NUMBER:request_processing_time:float} %{NUMBER:target_processing_time:float} '
+    '%{NUMBER:response_processing_time:float} %{POSINT:elb_status_code:int} '
+    '%{NOTSPACE:target_status_code} %{POSINT:received_bytes:int} '
+    '%{POSINT:sent_bytes:int} "%{DATA:request}" "%{DATA:user_agent}" '
+    '%{NOTSPACE:ssl_cipher} %{NOTSPACE:ssl_protocol}'
+)
+
+AUTH_GROK = (
+    "%{SYSLOGTIMESTAMP:timestamp} %{HOSTNAME:hostname} "
+    "%{PROG:appname}(?:\\[%{POSINT:pid:int}\\])?: %{GREEDYDATA:message}"
+)
+
+_AUTH_EXTRA = {"PROG": r"[\w./-]+?"}
+
+
+def parse_glog(col):
+    """Google glog lines: Lmmdd hh:mm:ss.uuuuuu threadid file:line] msg."""
+    return GrokParser(GLOG_GROK, _GLOG_EXTRA).parse(col)
+
+
+def parse_klog(col):
+    """Kubernetes klog lines (glog-shaped)."""
+    return GrokParser(KLOG_GROK, _GLOG_EXTRA).parse(col)
+
+
+def parse_aws_vpc_flow_log(col):
+    """AWS VPC flow log v2 default format."""
+    return GrokParser(VPC_FLOW_GROK).parse(col)
+
+
+def parse_aws_alb_log(col):
+    """AWS ALB access log (leading fields through ssl_protocol)."""
+    return GrokParser(ALB_GROK).parse(col)
+
+
+def parse_linux_authorization(col):
+    """auth.log / secure lines (RFC 3164-shaped prefix + message)."""
+    return GrokParser(AUTH_GROK, _AUTH_EXTRA).parse(col)
+
+
+def parse_common_log(col):
+    """Alias for Apache common log parsing (VRL parse_common_log)."""
+    return parse_apache_log(col, format="common")
