@@ -265,6 +265,36 @@ def q_summary_quantiles(sf_dir):
     return _round_cols(df, ["qvalue", "sum"], 3)
 
 
+def q_ddsketch_buckets(sf_dir):
+    """DDSketch metric payloads (MetricValue::Sketch analog): log-γ
+    bucket state per (series, day) — deterministic and mergeable, so
+    the oracle recomputes the exact bucket counts."""
+    from vector_ray.stages import log_to_metric
+    from vector_ray.stages.sketch import ddsketch_agg
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "distribution", "field": "value", "name": "v_sketch",
+          "tags": {"type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    sk = ddsketch_agg(metrics, interval_ms=86_400_000, alpha=0.01)
+    df = sk.to_pandas()[["tags", "window_start", "bucket", "count"]]
+    return df
+
+
+def q_topk_windows(sf_dir):
+    """Top-3 events by value per event type (local top-k combiner +
+    candidate-only shuffle)."""
+    from vector_ray.stages.topk import topk_per_group
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    out = topk_per_group(ds, ["event_type"], "value", k=3, tie_col="event_id")
+    df = out.to_pandas()[["event_type", "event_id", "value"]]
+    return _round_cols(df, ["value"], 3)
+
+
 def q_reduce_sessions(sf_dir):
     from vector_ray.stages import reduce_stage
 
@@ -698,6 +728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_hourly": q_aggregate_hourly,
         "histogram_buckets": q_histogram_buckets,
         "summary_quantiles": q_summary_quantiles,
+        "ddsketch_buckets": q_ddsketch_buckets,
+        "topk_windows": q_topk_windows,
         "reduce_sessions": q_reduce_sessions,
         "reduce_sessionized": q_reduce_sessionized,
         "reduce_gap_sessions": q_reduce_gap_sessions,
@@ -861,6 +893,17 @@ def oracle_sql() -> dict[str, str]:
         "memory_enrich": (
             "SELECT event_id, LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) "
             "AS mem_value FROM events"
+        ),
+        "ddsketch_buckets": (
+            "SELECT 'type=' || event_type AS tags, date_trunc('day', ts) AS window_start, "
+            "CAST(ceil(ln(value) / ln((1.0 + 0.01) / (1.0 - 0.01))) AS BIGINT) AS bucket, "
+            "count(*) AS \"count\" FROM events WHERE value > 0 "
+            "GROUP BY 1, 2, 3"
+        ),
+        "topk_windows": (
+            "SELECT event_type, event_id, round(value, 3) AS value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value DESC, event_id) <= 3"
         ),
         "reduce_gap_sessions": (
             "WITH x AS (SELECT user_id, event_id, ts, CASE WHEN "

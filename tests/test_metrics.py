@@ -213,3 +213,51 @@ def test_distribution_payload_roundtrip(ray_session):
     row = nested[nested.tags == "svc=a"].iloc[0]
     got = {d["value"]: d["rate"] for d in row["samples"]}
     assert got == {10.0: 2, 30.0: 1, 90.0: 1}
+
+
+def test_ddsketch_quantile_accuracy(ray_session):
+    """Quantile estimates from the sketch must be within the relative
+    accuracy bound alpha of the exact quantiles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages import log_to_metric
+    from vector_ray.stages.sketch import ddsketch_agg, ddsketch_quantile
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(3.0, 1.0, size=20_000)
+    ts = pa.array(np.arange(len(vals)) * 1_000, type=pa.timestamp("us"))
+    t = pa.table({"svc": pa.array(["a"] * len(vals)), "lat": pa.array(vals), "ts": ts})
+    m = log_to_metric(
+        rd.from_arrow(t),
+        [{"type": "distribution", "field": "lat", "name": "lat_sk",
+          "tags": {"svc": "{{svc}}"}}],
+        ts_field="ts",
+    )
+    alpha = 0.01
+    sk = ddsketch_agg(m, interval_ms=10**9, alpha=alpha)
+    out = ddsketch_quantile(sk, quantiles=(0.5, 0.9, 0.99), alpha=alpha).to_pandas()
+    for q in (0.5, 0.9, 0.99):
+        est = out[out["quantile"] == q]["qvalue"].iloc[0]
+        exact = np.quantile(vals, q)
+        assert abs(est - exact) / exact <= alpha * 1.5, (q, est, exact)
+    assert (out["count"] == len(vals)).all()
+
+
+def test_topk_per_group(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.topk import topk_per_group
+
+    t = pa.table({
+        "g": pa.array(["x"] * 5 + ["y"] * 5),
+        "eid": pa.array(list(range(10)), type=pa.int64()),
+        "v": pa.array([1.0, 9.0, 3.0, 9.0, 2.0, 5.0, 4.0, 8.0, 7.0, 6.0]),
+    })
+    out = topk_per_group(rd.from_arrow(t), ["g"], "v", k=2, tie_col="eid").to_pandas()
+    x = out[out.g == "x"].sort_values("eid")
+    assert x["eid"].tolist() == [1, 3]  # both 9.0, tie by eid
+    y = out[out.g == "y"]
+    assert sorted(y["v"]) == [7.0, 8.0]
