@@ -289,3 +289,35 @@ def test_decode_otlp_logs():
     assert j.loads(t["attributes"].to_pylist()[0]) == {"http.status": 200}
     assert j.loads(t["resource"].to_pylist()[0]) == {"service.name": "api"}
     assert t["trace_id"].to_pylist()[0] == "aa" * 16
+
+
+def test_gelf_avro_encode_roundtrip():
+    import json
+
+    from vector_ray.codecs import decode_avro, decode_gelf, encode_avro, encode_gelf
+
+    t = pa.table({"host": ["h1"], "message": ["boom"],
+                  "level": pa.array([3], type=pa.int64()), "app": ["web"]})
+    dec, err = decode_gelf(encode_gelf(t), extra_keys=["app"])
+    assert dec["message"].to_pylist() == ["boom"]
+    assert dec["level"].to_pylist() == [3]
+    assert dec["app"].to_pylist() == ["web"]
+    assert err.to_pylist() == [False]
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "opt", "type": ["null", "double"]},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+    ]}
+    t2 = pa.table({
+        "name": ["alice", "bob"], "n": pa.array([3, -7], type=pa.int64()),
+        "opt": pa.array([1.5, None]),
+        "xs": pa.array([[1, 2], [9]], type=pa.list_(pa.int64())),
+    })
+    dec2, err2 = decode_avro(encode_avro(t2, schema), schema)
+    assert dec2["name"].to_pylist() == ["alice", "bob"]
+    assert dec2["n"].to_pylist() == [3, -7]
+    assert dec2["opt"].to_pylist() == [1.5, None]
+    assert [json.loads(x) for x in dec2["xs"].to_pylist()] == [[1, 2], [9]]
+    assert err2.to_pylist() == [False, False]

@@ -438,3 +438,112 @@ def decode_avro(col, schema: dict, keys: Optional[List[str]] = None):
             )
         err.append(False)
     return pa.table({k: pa.array(rows[k]) for k in keys}), pa.array(err)
+
+
+def encode_gelf(batch: pa.Table, host_col: str = "host",
+                message_col: str = "message") -> pa.Array:
+    """GELF encoder: one JSON line per row with required version/host/
+    short_message; remaining columns become underscore-prefixed
+    additional fields (GELF spec)."""
+    cols = batch.column_names
+    standard = {"level", "full_message", "timestamp"}
+    extras = [c for c in cols if c not in (host_col, message_col) and c not in standard]
+    data = {c: batch[c].to_pylist() for c in cols}
+    out = []
+    for i in range(batch.num_rows):
+        d = {"version": "1.1", "host": data[host_col][i],
+             "short_message": data[message_col][i]}
+        for c in standard & set(cols):
+            v = data[c][i]
+            if v is not None:
+                d[c] = v
+        for c in extras:
+            v = data[c][i]
+            if v is not None:
+                d["_" + c] = v
+        out.append(json.dumps(d, sort_keys=True))
+    return pa.array(out, type=pa.string())
+
+
+class _AvroWriter:
+    """Minimal Avro binary datum encoder (inverse of _AvroReader)."""
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def _varint(self, n: int) -> None:
+        z = (n << 1) ^ (n >> 63)  # zigzag
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                return
+
+    def write(self, schema, value) -> None:
+        t = schema if isinstance(schema, str) else (
+            schema if isinstance(schema, list) else schema["type"])
+        if isinstance(schema, list):  # union
+            for idx, branch in enumerate(schema):
+                bt = branch if isinstance(branch, str) else branch["type"]
+                if (value is None) == (bt == "null"):
+                    if value is None and bt != "null":
+                        continue
+                    self._varint(idx)
+                    return self.write(branch, value)
+            raise ValueError("no union branch for value")
+        if t == "null":
+            return
+        if t == "boolean":
+            self.out.append(1 if value else 0)
+        elif t in ("int", "long"):
+            self._varint(int(value))
+        elif t == "float":
+            import struct as _s
+
+            self.out += _s.pack("<f", value)
+        elif t == "double":
+            import struct as _s
+
+            self.out += _s.pack("<d", value)
+        elif t in ("bytes", "string"):
+            b = value.encode("utf-8") if t == "string" else value
+            self._varint(len(b))
+            self.out += b
+        elif t == "record":
+            for f in schema["fields"]:
+                self.write(f["type"], value[f["name"]])
+        elif t == "enum":
+            self._varint(schema["symbols"].index(value))
+        elif t == "fixed":
+            self.out += value
+        elif t == "array":
+            if value:
+                self._varint(len(value))
+                for x in value:
+                    self.write(schema["items"], x)
+            self._varint(0)
+        elif t == "map":
+            if value:
+                self._varint(len(value))
+                for k, v in value.items():
+                    self.write("string", k)
+                    self.write(schema["values"], v)
+            self._varint(0)
+        else:
+            raise ValueError(f"unsupported avro type {t!r}")
+
+
+def encode_avro(batch: pa.Table, schema: dict) -> pa.Array:
+    """Rows → Avro binary datums per the record ``schema`` (top-level
+    fields read from same-named columns)."""
+    names = [f["name"] for f in schema["fields"]]
+    data = {n: batch[n].to_pylist() for n in names}
+    out = []
+    for i in range(batch.num_rows):
+        w = _AvroWriter()
+        w.write(schema, {n: data[n][i] for n in names})
+        out.append(bytes(w.out))
+    return pa.array(out, type=pa.binary())
