@@ -164,30 +164,28 @@ def bucketed_join(
     )
     both = lt.union(rt)
 
-    out_cols = (
-        left_cols if how in ("semi", "anti")
-        else union_cols
-    )
+    # per-bucket joins run as pyarrow's C++ hash join — exact type
+    # preservation (no pandas float upcasts), native semi/anti, and
+    # the same key-coalescing output shape as Ray's native join, so
+    # the fallback and native paths agree
+    _ARROW_OF_HOW = {
+        "inner": "inner", "left": "left outer", "right": "right outer",
+        "outer": "full outer", "semi": "left semi", "anti": "left anti",
+    }
+    if how == "right":
+        out_cols = [c for c in left_cols if c not in on] + right_cols
+    elif how in ("semi", "anti"):
+        out_cols = left_cols
+    else:
+        out_cols = left_cols + [c for c in right_cols if c not in right_on_renamed]
 
     def _merge(t: pa.Table) -> pa.Table:
-        # split sides while still Arrow so null-padded int columns keep
-        # their types (a pandas split would upcast them to float64 and
-        # break downstream key hashing)
         side = t[SIDE_COL]
-        l = t.filter(pc.equal(side, "l")).select(left_cols).to_pandas()
-        r = t.filter(pc.equal(side, "r")).select(right_cols).to_pandas()
-        if how == "semi":
-            out = l[l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
-        elif how == "anti":
-            out = l[~l.set_index(on).index.isin(r.set_index(right_on_renamed).index)]
-        else:
-            out = l.merge(r, how=how, left_on=on, right_on=right_on_renamed)
-        return pa.table(
-            {
-                c: pa.Array.from_pandas(out[c], type=type_of[c])
-                for c in out_cols
-            }
-        )
+        l = t.filter(pc.equal(side, "l")).select(left_cols)
+        r = t.filter(pc.equal(side, "r")).select(right_cols)
+        out = l.join(r, keys=on, right_keys=right_on_renamed,
+                     join_type=_ARROW_OF_HOW[how])
+        return out.select(out_cols)
 
     return both.groupby(BUCKET_COL).map_groups(_merge, batch_format="pyarrow")
 
