@@ -129,7 +129,7 @@ def run(
     ds = read_parquet_fast(tokens_dir, columns=columns, num_cpus=task_cpus)
     tagged = pipeline(ds, task_cpus=task_cpus)
     if out_dir:
-        tagged.write_parquet(out_dir, partition_cols=["route"])
+        tagged.write_parquet(out_dir, partition_cols=["route"], compression="lz4")
         # aggregate from the written files, reading ONLY the narrow
         # columns (the tokens payload — ~98% of the bytes — stays on disk)
         tagged = rd.read_parquet(out_dir, columns=["route", "region", "status", "n_tok"])

@@ -32,6 +32,9 @@ def write_sinks(
     instead of landing as one file per block.
     """
     kw.setdefault("min_rows_per_file", 100_000)
+    # lz4 measured ~20% faster than the snappy default on incompressible
+    # token payloads at identical size; callers can override
+    kw.setdefault("compression", "lz4")
     formats = formats or {}
     out = {}
     for name, ds in sinks.items():
