@@ -305,30 +305,33 @@ def minhash_lsh_dedup(
         return pa.table({id_col: pa.concat_arrays([a, bb])})
 
     if pairs.count() <= broadcast_sig_limit:
-        # small candidate set: the pair list is bounded, so its distinct
-        # ids are computed locally, the signature table is semi-filtered
-        # in one broadcast pass, and the candidate signature matrix is
+        # small candidate set: the candidate signature matrix is
         # broadcast once (ray.put) for a vectorized per-pair verify —
-        # the same broadcast-small-side pattern as ann's query matrix
-        from ..stages.join import _BroadcastKeyFilter
-
-        pair_blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
-        if not pair_blocks:
+        # the same broadcast-small-side pattern as ann's query matrix.
+        # When the whole sig table fits the limit, collect it directly;
+        # otherwise semi-filter it down to the pair ids first.
+        if pairs.count() == 0:
             return docs
-        pair_tbl = pa.concat_tables(pair_blocks).combine_chunks()
-        cand = pc.unique(
-            pa.concat_arrays(
-                [pair_tbl["a"].combine_chunks(), pair_tbl["b"].combine_chunks()]
+        if sigs.count() <= broadcast_sig_limit:
+            blocks = [t for t in ray.get(sigs.to_arrow_refs()) if t.num_rows]
+        else:
+            from ..stages.join import _BroadcastKeyFilter
+
+            pair_blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+            pair_tbl = pa.concat_tables(pair_blocks).combine_chunks()
+            cand = pc.unique(
+                pa.concat_arrays(
+                    [pair_tbl["a"].combine_chunks(), pair_tbl["b"].combine_chunks()]
+                )
             )
-        )
-        filt = sigs.map_batches(
-            _BroadcastKeyFilter,
-            fn_constructor_args=(ray.put(cand), id_col, True),
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=(1, 4),
-        )
-        blocks = [t for t in ray.get(filt.to_arrow_refs()) if t.num_rows]
+            filt = sigs.map_batches(
+                _BroadcastKeyFilter,
+                fn_constructor_args=(ray.put(cand), id_col, True),
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=(1, 4),
+            )
+            blocks = [t for t in ray.get(filt.to_arrow_refs()) if t.num_rows]
         if not blocks:
             return docs
         tbl = pa.concat_tables(blocks).combine_chunks()
