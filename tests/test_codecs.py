@@ -321,3 +321,19 @@ def test_gelf_avro_encode_roundtrip():
     assert dec2["opt"].to_pylist() == [1.5, None]
     assert [json.loads(x) for x in dec2["xs"].to_pylist()] == [[1, 2], [9]]
     assert err2.to_pylist() == [False, False]
+
+
+def test_parse_syslog_structured_data():
+    import json
+
+    from vector_ray.codecs import decode_syslog, parse_syslog_sd
+
+    line = ('<165>1 2003-10-11T22:14:15.003Z mymachine evntslog 1234 ID47 '
+            '[exampleSDID@32473 iut="3" eventSource="App"] BOMAn event')
+    t, e = decode_syslog(pa.array([line]))
+    assert e.to_pylist() == [False]
+    d = json.loads(parse_syslog_sd(t["sd"]).to_pylist()[0])
+    assert d == {"exampleSDID@32473": {"iut": "3", "eventSource": "App"}}
+    multi = parse_syslog_sd(pa.array(['[a@1 x="1"][b@2 y="esc\\"q"]']))
+    got = json.loads(multi.to_pylist()[0])
+    assert got == {"a@1": {"x": "1"}, "b@2": {"y": 'esc"q'}}

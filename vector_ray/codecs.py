@@ -547,3 +547,30 @@ def encode_avro(batch: pa.Table, schema: dict) -> pa.Array:
         w.write(schema, {n: data[n][i] for n in names})
         out.append(bytes(w.out))
     return pa.array(out, type=pa.binary())
+
+
+def parse_syslog_sd(col):
+    """RFC 5424 STRUCTURED-DATA → JSON object string per row:
+    '[id@123 k="v" k2="v2"][id2 a="b"]' → {"id@123": {...}, "id2": {...}}.
+    Escaped characters (\\" \\] \\\\) unescape per the RFC."""
+    import re as _re
+
+    el_re = _re.compile(r'\[([^\s\]]+)((?:\s+[^\s=\]]+="(?:[^"\\]|\\.)*")*)\]')
+    kv_re = _re.compile(r'([^\s=\]]+)="((?:[^"\\]|\\.)*)"')
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for v in col.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        s = v if v.lstrip().startswith("[") else f"[{v}]"
+        d = {}
+        for m in el_re.finditer(s):
+            sd_id, body = m.group(1), m.group(2)
+            d[sd_id] = {
+                k: val.replace('\\"', '"').replace("\\]", "]").replace("\\\\", "\\")
+                for k, val in kv_re.findall(body)
+            }
+        out.append(json.dumps(d, sort_keys=True) if d else None)
+    return pa.array(out, type=pa.string())

@@ -229,6 +229,27 @@ def _t_tagcard(cfg, inputs):
     )
 
 
+@register("ddsketch")
+def _t_ddsketch(cfg, inputs):
+    from .stages.sketch import ddsketch_agg
+
+    return ddsketch_agg(
+        inputs, interval_ms=cfg.get("interval_ms", 10_000),
+        alpha=cfg.get("alpha", 0.01), ts_field=cfg.get("ts_field", "ts"),
+        value_col=cfg.get("value_col", "value"),
+    )
+
+
+@register("topk")
+def _t_topk(cfg, inputs):
+    from .stages.topk import topk_per_group
+
+    return topk_per_group(
+        inputs, cfg["group_by"], cfg["value_col"], cfg["k"],
+        ascending=cfg.get("ascending", False), tie_col=cfg.get("tie_col"),
+    )
+
+
 @register("distribution_agg")
 def _t_distribution_agg(cfg, inputs):
     from .stages.metric_payload import distribution_agg
