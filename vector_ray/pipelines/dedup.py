@@ -610,53 +610,50 @@ def embedding_dedup(
     seed: int = 11,
 ):
     """Cosine near-dup over embeddings: random-hyperplane LSH buckets →
-    in-bucket numpy cosine → drop non-representatives.
+    in-bucket pairwise cosine → drop the larger id of every near-dup
+    pair (same pairwise semantics as simhash), survivors via anti-join.
 
     Vectors cross from Arrow to numpy zero-copy (list_to_matrix); the
     Ray groupby runs over a FIXED number of hash partitions with the
-    fine-grained hyperplane buckets handled by a local pandas groupby
-    inside each partition."""
+    fine-grained hyperplane buckets handled locally inside each
+    partition.  Rows whose smallest |plane dot| sits inside a float
+    margin are REPLICATED into the sign-flipped bucket — without this,
+    a near-duplicate of a point lying almost on a hyperplane can land
+    on the other side purely from float summation order and escape its
+    bucket (observed ~1 in 200 k at 64 dims)."""
 
     class Bucketer:
         """Actor: hyperplane projection matrix built once per actor."""
+
+        MARGIN = 1e-3  # on unit vectors; well above float32 dot noise
 
         def __init__(self):
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = list_to_matrix(batch[vec_col], np.float32)  # zero-copy
+            vn = vecs / np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9, None)
             if self.planes is None:
                 self.planes = np.random.default_rng(seed).standard_normal(
                     (vecs.shape[1], n_planes)
                 ).astype(np.float32)
-            signs = (vecs @ self.planes) > 0
-            bucket = np.zeros(len(vecs), dtype=np.int64)
-            for j in range(n_planes):
-                bucket = bucket * 2 + signs[:, j]
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    vec_col: batch[vec_col],
-                    "bucket": pa.array(bucket),
-                }
-            )
+            dots = vn @ self.planes
+            signs = dots > 0
+            weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+            bucket = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1).view(np.int64)
+            amin = np.argmin(np.abs(dots), axis=1)
+            near = np.abs(dots[np.arange(len(vecs)), amin]) < self.MARGIN
+            idx = np.concatenate([np.arange(len(vecs)), np.nonzero(near)[0]])
+            flip_bucket = bucket[near] ^ weights[amin[near]].view(np.int64)
+            out_bucket = np.concatenate([bucket, flip_bucket])
+            tbl = batch.select([id_col, vec_col]).take(pa.array(idx))
+            return tbl.append_column("bucket", pa.array(out_bucket))
 
     bucketed = emb_ds.map_batches(
         Bucketer, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)
     )
 
-    def _bucket_survivors(ids: np.ndarray, v: np.ndarray) -> np.ndarray:
-        """ids sorted ascending, v the matching unit vectors; greedy:
-        earlier survivors absorb later dups."""
-        sim = v @ v.T
-        drop = np.zeros(len(ids), dtype=bool)
-        for i in range(len(ids)):
-            if drop[i]:
-                continue
-            drop[i + 1 :] |= sim[i, i + 1 :] >= threshold
-        return ids[~drop]
-
-    def _dedup_part(t: pa.Table) -> pa.Table:
+    def _drops_part(t: pa.Table) -> pa.Table:
         id_type = t.schema.field(id_col).type
         ids_all = t[id_col].to_numpy(zero_copy_only=False)
         vecs = list_to_matrix(t[vec_col], np.float32)  # zero-copy
@@ -669,16 +666,21 @@ def embedding_dedup(
         for s, e in zip(bounds[:-1], bounds[1:]):
             sel = order[s:e]
             if len(sel) < 2:
-                outs.append(ids_all[sel])
-            else:
-                outs.append(_bucket_survivors(ids_all[sel], vecs[sel]))
-        vals = np.concatenate(outs) if outs else []
-        return pa.table({id_col: pa.array(vals, type=id_type)})
+                continue
+            v = vecs[sel]
+            sim = v @ v.T
+            hit = np.triu(sim >= threshold, k=1).any(axis=0)
+            outs.append(ids_all[sel[hit]])
+        vals = np.unique(np.concatenate(outs)) if outs else []
+        return pa.table({"node": pa.array(vals, type=id_type)})
 
-    return (
+    drops = (
         bucketed.map_batches(_with_part(32, ["bucket"]), batch_format="pyarrow",
                              batch_size=None)
         .groupby(_PART)
-        .map_groups(lambda t: _dedup_part(t.drop_columns([_PART])),
+        .map_groups(lambda t: _drops_part(t.drop_columns([_PART])),
                     batch_format="pyarrow")
+    )
+    return anti_join(
+        emb_ds.select_columns([id_col]), drops, on=id_col, keys_on="node"
     )
