@@ -265,6 +265,26 @@ def q_summary_quantiles(sf_dir):
     return _round_cols(df, ["qvalue", "sum"], 3)
 
 
+def q_rolling_value(sf_dir):
+    """Per-user rolling 5-event sum/mean of value (count-based sliding
+    window, SQL ROWS-frame oracle)."""
+    from vector_ray.stages.rolling import rolling_agg
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value", "ts"])
+    out = rolling_agg(
+        ds, ["user_id"], [("value", "sum", "roll_sum"), ("value", "mean", "roll_mean")],
+        window_n=5, order_by="ts",
+    )
+    df = out.to_pandas()[["event_id", "roll_sum", "roll_mean"]]
+    # means land on exact decimal midpoints where the two engines' sums
+    # differ in the last ulp — double-round (6 then 3, half-away) on
+    # BOTH sides so the midpoint decision is made on identical values
+    for c in ("roll_sum", "roll_mean"):
+        x = np.floor(df[c] * 1_000_000 + 0.5) / 1_000_000
+        df[c] = np.floor(x * 1000 + 0.5) / 1000
+    return df
+
+
 def q_ddsketch_buckets(sf_dir):
     """DDSketch metric payloads (MetricValue::Sketch analog): log-γ
     bucket state per (series, day) — deterministic and mergeable, so
@@ -728,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_hourly": q_aggregate_hourly,
         "histogram_buckets": q_histogram_buckets,
         "summary_quantiles": q_summary_quantiles,
+        "rolling_value": q_rolling_value,
         "ddsketch_buckets": q_ddsketch_buckets,
         "topk_windows": q_topk_windows,
         "reduce_sessions": q_reduce_sessions,
@@ -893,6 +914,12 @@ def oracle_sql() -> dict[str, str]:
         "memory_enrich": (
             "SELECT event_id, LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) "
             "AS mem_value FROM events"
+        ),
+        "rolling_value": (
+            "SELECT event_id, round(round(sum(value) OVER w, 6), 3) AS roll_sum, "
+            "round(round(avg(value) OVER w, 6), 3) AS roll_mean FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         ),
         "ddsketch_buckets": (
             "SELECT 'type=' || event_type AS tags, date_trunc('day', ts) AS window_start, "

@@ -196,3 +196,18 @@ def test_reduce_expire_after_gap_sessions(ray_session):
     got = sorted(tuple(v) for v in out["n"])
     assert got == [(1, 2), (3, 4)]
     assert sorted(out["_reduce_count"]) == [2, 2]
+
+
+def test_rolling_agg(ray_session):
+    import numpy as np
+
+    from vector_ray.stages.rolling import rolling_agg
+
+    ts = pa.array(np.arange(6) * 1_000_000, type=pa.timestamp("us"))
+    t = pa.table({"u": ["a"] * 4 + ["b"] * 2,
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0]),
+                  "ts": ts})
+    out = rolling_agg(rd.from_arrow(t), ["u"], [("v", "sum", "s"), ("v", "mean", "m")],
+                      window_n=2, order_by="ts").to_pandas().sort_values(["u", "ts"])
+    assert out[out.u == "a"]["s"].tolist() == [1.0, 3.0, 5.0, 7.0]
+    assert out[out.u == "b"]["m"].tolist() == [10.0, 15.0]
