@@ -337,3 +337,29 @@ def test_parse_syslog_structured_data():
     multi = parse_syslog_sd(pa.array(['[a@1 x="1"][b@2 y="esc\\"q"]']))
     got = json.loads(multi.to_pylist()[0])
     assert got == {"a@1": {"x": "1"}, "b@2": {"y": 'esc"q'}}
+
+
+def test_avro_ocf_roundtrip_and_source(ray_session, tmp_path):
+    import json
+
+    from vector_ray.codecs import read_avro_ocf, write_avro_ocf
+    from vector_ray.topology import build
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "n", "type": "long"},
+    ]}
+    t = pa.table({"name": ["a", "b"], "n": pa.array([1, 2], type=pa.int64())})
+    p = str(tmp_path / "x.avro")
+    write_avro_ocf(p, t, schema, codec="deflate")
+    back = read_avro_ocf(p)
+    assert back["name"].to_pylist() == ["a", "b"]
+    assert back["n"].to_pylist() == [1, 2]
+
+    cfg = {
+        "sources": {"src": {"type": "avro", "path": p}},
+        "transforms": {},
+        "sinks": {"out": {"type": "blackhole", "inputs": ["src"]}},
+    }
+    sinks = build(cfg)
+    assert sorted(sinks["out"].to_pandas()["n"]) == [1, 2]

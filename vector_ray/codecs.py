@@ -574,3 +574,90 @@ def parse_syslog_sd(col):
             }
         out.append(json.dumps(d, sort_keys=True) if d else None)
     return pa.array(out, type=pa.string())
+
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def write_avro_ocf(path: str, batch: pa.Table, schema: dict,
+                   codec: str = "null", sync: bytes = b"\x00" * 16) -> None:
+    """Write an Avro Object Container File (public Avro 1.11 spec:
+    magic, metadata map with avro.schema/avro.codec, sync-marked data
+    blocks).  Codec: null or deflate (raw zlib)."""
+    import zlib
+
+    w = _AvroWriter()
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    w.out += _AVRO_MAGIC
+    w._varint(len(meta))
+    for k, v in meta.items():
+        w.write("string", k)
+        w.write("bytes", v)
+    w._varint(0)  # end of metadata map
+    w.out += sync
+    body = _AvroWriter()
+    names = [f["name"] for f in schema["fields"]]
+    data = {n: batch[n].to_pylist() for n in names}
+    for i in range(batch.num_rows):
+        body.write(schema, {n: data[n][i] for n in names})
+    payload = bytes(body.out)
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+    w._varint(batch.num_rows)
+    w._varint(len(payload))
+    w.out += payload
+    w.out += sync
+    with open(path, "wb") as f:
+        f.write(bytes(w.out))
+
+
+def read_avro_ocf(path: str) -> pa.Table:
+    """Read an Avro Object Container File → Arrow table of top-level
+    record fields (codec null/deflate; complex values as JSON strings)."""
+    import zlib
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != _AVRO_MAGIC:
+        raise ValueError("not an Avro object container file")
+    r = _AvroReader(buf)
+    r.pos = 4
+    meta = {}
+    while True:
+        n = r._varint()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r._varint()
+        for _ in range(n):
+            k = r.read("string")
+            meta[k] = r.read("bytes")
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf[r.pos : r.pos + 16]
+    r.pos += 16
+    names = [f["name"] for f in schema["fields"]]
+    rows = {k: [] for k in names}
+    while r.pos < len(buf):
+        count = r._varint()
+        size = r._varint()
+        payload = buf[r.pos : r.pos + size]
+        r.pos += size
+        if buf[r.pos : r.pos + 16] != sync:
+            raise ValueError("sync marker mismatch")
+        r.pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        br = _AvroReader(payload)
+        for _ in range(count):
+            rec = br.read(schema)
+            for k in names:
+                v = rec.get(k)
+                rows[k].append(
+                    json.dumps(v) if isinstance(v, (dict, list)) else v
+                )
+    return pa.table({k: pa.array(rows[k]) for k in names})

@@ -56,6 +56,13 @@ def _src_parquet(cfg, _inputs):
     return rd.read_parquet(cfg["path"], columns=cfg.get("columns"))
 
 
+@register("avro")
+def _src_avro(cfg, _inputs):
+    from .codecs import read_avro_ocf
+
+    return rd.from_arrow(read_avro_ocf(cfg["path"]))
+
+
 @register("demo_logs")
 def _src_demo(cfg, _inputs):
     from .sources.demo import demo_logs
