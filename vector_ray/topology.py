@@ -207,6 +207,7 @@ def _t_reduce(cfg, inputs):
         ends_when=cfg.get("ends_when"),
         max_events=cfg.get("max_events"),
         end_every_period_ms=cfg.get("end_every_period_ms"),
+        expire_after_ms=cfg.get("expire_after_ms"),
         ts_field=cfg.get("ts_field", "ts"),
     )
 
