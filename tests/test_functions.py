@@ -108,3 +108,24 @@ def test_stdlib_extras_round2b():
     assert json.loads(call("unique_items", pa.array(["[1,2,1,3]"])).to_pylist()[0]) == [1, 2, 3]
     assert json.loads(call("tally", pa.array(['["a","b","a"]'])).to_pylist()[0]) == {"a": 2, "b": 1}
     assert call("includes", pa.array(["[1,2]"]), 2).to_pylist() == [True]
+
+
+def test_stdlib_big_batch():
+    import json
+    import uuid
+
+    from vector_ray.functions.scalar import FUNCTIONS, call
+
+    assert len(FUNCTIONS) >= 95
+    assert call("is_nullish", pa.array([" ", "-", "x", None])).to_pylist() == [
+        True, True, False, True]
+    assert call("is_json", pa.array(['{"a":1}', "nope"])).to_pylist() == [True, False]
+    assert call("is_ipv4", pa.array(["10.0.0.1", "999.0.0.1"])).to_pylist() == [True, False]
+    assert call("is_ipv6", pa.array(["::1", "10.0.0.1"])).to_pylist() == [True, False]
+    assert call("format_number", pa.array([1234567.891])).to_pylist() == ["1,234,567.89"]
+    assert call("decode_base16", call("encode_base16", pa.array(["hi"]))).to_pylist() == ["hi"]
+    assert call("get_path", pa.array(['{"a":{"b":[10,20]}}']), "a.b[1]").to_pylist() == ["20"]
+    assert call("uuid_v5", pa.array(["example.com"])).to_pylist()[0] == str(
+        uuid.uuid5(uuid.NAMESPACE_DNS, "example.com"))
+    assert json.loads(call("encode_json", pa.array(['{"b":2,"a":1}'])).to_pylist()[0]) == {
+        "a": 1, "b": 2}

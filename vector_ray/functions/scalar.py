@@ -637,3 +637,201 @@ def _get_env_var(c, name):
     import os as _os
 
     return pa.array([_os.environ.get(name)] * len(c), type=pa.string())
+
+
+# ----------------------------------------------------- type predicates
+
+def _json_pred(fn):
+    import json as _json
+
+    def _f(c):
+        out = []
+        for v in c.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(fn(_json.loads(v) if isinstance(v, str) else v))
+            except Exception:
+                out.append(False)
+        return pa.array(out, type=pa.bool_())
+
+    return _f
+
+
+register("is_boolean")(lambda c: pa.array([isinstance(v, bool) for v in c.to_pylist()]))
+register("is_integer")(
+    lambda c: pa.array([isinstance(v, int) and not isinstance(v, bool)
+                        for v in c.to_pylist()])
+)
+register("is_float")(lambda c: pa.array([isinstance(v, float) for v in c.to_pylist()]))
+register("is_string")(lambda c: pa.array([isinstance(v, str) for v in c.to_pylist()]))
+register("is_array")(_json_pred(lambda v: isinstance(v, list)))
+register("is_object")(_json_pred(lambda v: isinstance(v, dict)))
+
+
+@register("is_json")
+def _is_json(c):
+    import json as _json
+
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(False)
+            continue
+        try:
+            _json.loads(v)
+            out.append(True)
+        except Exception:
+            out.append(False)
+    return pa.array(out, type=pa.bool_())
+
+
+@register("is_nullish")
+def _is_nullish(c):
+    """VRL is_nullish: null, empty/whitespace string, or '-'."""
+    arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    if pa.types.is_string(arr.type):
+        trimmed = pc.utf8_trim_whitespace(arr)
+        m = pc.or_(pc.is_null(arr),
+                   pc.or_(pc.equal(trimmed, ""), pc.equal(trimmed, "-")))
+        return pc.fill_null(m, True)
+    return pc.is_null(arr)
+
+
+@register("is_empty")
+def _is_empty(c):
+    """Empty string / empty JSON array-object."""
+    import json as _json
+
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+        elif isinstance(v, str):
+            if v.startswith(("[", "{")):
+                try:
+                    out.append(len(_json.loads(v)) == 0)
+                except Exception:
+                    out.append(len(v) == 0)
+            else:
+                out.append(len(v) == 0)
+        else:
+            out.append(False)
+    return pa.array(out, type=pa.bool_())
+
+
+register("is_ipv4")(lambda c: pc.match_substring_regex(
+    c, r"^(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)$"))
+register("is_ipv6")(
+    lambda c: pc.and_(
+        pc.match_substring_regex(c, r"^(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}$"),
+        pc.match_substring(c, ":"),
+    )
+)
+
+
+# ------------------------------------------------------------- math
+
+register("exp")(lambda c: pc.exp(c.cast(pa.float64())))
+register("ln")(lambda c: pc.ln(c.cast(pa.float64())))
+register("log2")(lambda c: pc.log2(c.cast(pa.float64())))
+register("log10")(lambda c: pc.log10(c.cast(pa.float64())))
+register("sqrt")(lambda c: pc.sqrt(c.cast(pa.float64())))
+register("pow")(lambda c, p: pc.power(c.cast(pa.float64()), p))
+
+
+@register("format_number")
+def _format_number(c, scale=2, grouping_separator=",", decimal_separator="."):
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        s = f"{v:,.{scale}f}"
+        s = s.replace(",", "\x00").replace(".", decimal_separator).replace(
+            "\x00", grouping_separator)
+        out.append(s)
+    return pa.array(out, type=pa.string())
+
+
+# -------------------------------------------------- strings / objects
+
+register("strip_left")(lambda c, ch: pc.utf8_ltrim(c, characters=ch))
+register("strip_right")(lambda c, ch: pc.utf8_rtrim(c, characters=ch))
+register("encode_base16")(
+    lambda c: pa.array([None if v is None else
+                        (v.encode() if isinstance(v, str) else v).hex()
+                        for v in c.to_pylist()])
+)
+register("decode_base16")(
+    lambda c: pa.array([None if v is None else bytes.fromhex(v).decode()
+                        for v in c.to_pylist()])
+)
+
+
+@register("encode_json")
+def _encode_json(c):
+    """Canonical JSON re-encoding (sorted keys) of JSON-string values."""
+    import json as _json
+
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(_json.dumps(_json.loads(v) if isinstance(v, str) else v,
+                                   sort_keys=True))
+        except Exception:
+            out.append(_json.dumps(v))
+    return pa.array(out, type=pa.string())
+
+
+@register("get_path")
+def _get_path(c, path):
+    """VRL path get over JSON-object strings: 'a.b[0].c'."""
+    import json as _json
+    import re as _re
+
+    steps = []
+    for part in path.split("."):
+        m = _re.match(r"([^\[\]]*)((?:\[\d+\])*)$", part)
+        if m.group(1):
+            steps.append(m.group(1))
+        for idx in _re.findall(r"\[(\d+)\]", m.group(2)):
+            steps.append(int(idx))
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            cur = _json.loads(v) if isinstance(v, str) else v
+            for s in steps:
+                cur = cur[s]
+            out.append(cur if isinstance(cur, str)
+                       else _json.dumps(cur, sort_keys=True))
+        except Exception:
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+@register("uuid_v5")
+def _uuid_v5(c, namespace="dns"):
+    """Deterministic name-based UUID (RFC 4122 v5)."""
+    import uuid as _uuid
+
+    ns = {"dns": _uuid.NAMESPACE_DNS, "url": _uuid.NAMESPACE_URL,
+          "oid": _uuid.NAMESPACE_OID, "x500": _uuid.NAMESPACE_X500}[namespace]
+    return pa.array(
+        [None if v is None else str(_uuid.uuid5(ns, str(v))) for v in c.to_pylist()]
+    )
+
+
+@register("match_any")
+def _match_any(c, patterns):
+    m = pc.match_substring_regex(c, patterns[0])
+    for p in patterns[1:]:
+        m = pc.or_(m, pc.match_substring_regex(c, p))
+    return m
