@@ -37,7 +37,7 @@ def _window(ds, interval_ms: int, ts_field: str = "ts"):
         ts = batch[ts_field]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (us // iv_us) * iv_us
         return batch.append_column(WIN_COL, pa.array(win).cast(pa.timestamp("us")))
 

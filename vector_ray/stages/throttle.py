@@ -42,7 +42,8 @@ def throttle(
         ts = batch[ts_field]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        secs = ts.cast(pa.int64()).to_numpy() / 1_000_000.0  # us → s
+        # normalize to microseconds first (inputs may carry s/ms/ns units)
+        secs = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy() / 1_000_000.0
         win = np.floor(secs / window_secs).astype(np.int64)
         batch = batch.append_column(WINDOW_COL, pa.array(win))
         if excl is not None:

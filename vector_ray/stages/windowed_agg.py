@@ -31,7 +31,7 @@ def assign_hopping(batch: pa.Table, ts_field: str, size_ms: int, slide_ms: int) 
     ts = batch[ts_field]
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
-    us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
     slide_us = slide_ms * 1000
     size_us = size_ms * 1000
     base = (us // slide_us) * slide_us  # latest window start containing the row
