@@ -124,16 +124,16 @@ class EnrichTable:
             ts = batch[date_field]
             if isinstance(ts, pa.ChunkedArray):
                 ts = ts.combine_chunks()
-            ts_np = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_np = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
             merged["__ts"] = ts_np[merged["__row"].to_numpy()]
             ridx = merged["__ridx"].to_numpy()
             valid = ~np.isnan(ridx)
             ridx_i = np.where(valid, ridx, 0).astype(np.int64)
             if self.valid_from:
-                vf = self.table[self.valid_from].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                vf = self.table[self.valid_from].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
                 valid &= merged["__ts"].to_numpy() >= vf[ridx_i]
             if self.valid_to:
-                vt = self.table[self.valid_to].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                vt = self.table[self.valid_to].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
                 valid &= merged["__ts"].to_numpy() <= vt[ridx_i]
             merged = merged[valid | merged["__ridx"].isna()]
             if strict_single:

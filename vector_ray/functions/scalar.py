@@ -98,7 +98,7 @@ def _coalesce(c, default):
 
 @register("to_unix_timestamp")
 def _to_unix(c):
-    return pc.divide(c.cast(pa.int64()), 1_000_000)  # us → s
+    return pc.divide(c.cast(pa.timestamp("us")).cast(pa.int64()), 1_000_000)  # us → s
 
 
 @register("from_unix_timestamp")

@@ -115,18 +115,20 @@ def reduce_stage(
             sid = sid + bump
         if expire_after_ms and ts_field in group.columns:
             s = group[ts_field]
-            raw = s.astype("int64").to_numpy()
-            if pd.api.types.is_datetime64_any_dtype(s) and str(s.dtype).endswith("[ns]"):
-                raw = raw // 1000  # ns → us
+            if pd.api.types.is_datetime64_any_dtype(s):
+                raw = s.astype("datetime64[us]").astype("int64").to_numpy()
+            else:
+                raw = s.astype("int64").to_numpy()
             gap_us = int(expire_after_ms) * 1000
             brk = np.zeros(n, dtype=np.int64)
             brk[1:] = (np.diff(raw) > gap_us).astype(np.int64)
             sid = sid * (n + 2) + np.cumsum(brk)
         if end_every_period_ms and ts_field in group.columns:
             s = group[ts_field]
-            raw = s.astype("int64").to_numpy()
-            if pd.api.types.is_datetime64_any_dtype(s) and str(s.dtype).endswith("[ns]"):
-                raw = raw // 1000  # ns → us
+            if pd.api.types.is_datetime64_any_dtype(s):
+                raw = s.astype("datetime64[us]").astype("int64").to_numpy()
+            else:
+                raw = s.astype("int64").to_numpy()
             win = raw // (int(end_every_period_ms) * 1000)
             # re-base windows so combining with sid stays collision-free
             _, win_ids = np.unique(win, return_inverse=True)

@@ -46,7 +46,7 @@ class MemoryTableActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_field].to_pylist()
         ts = (
-            batch[self.ts_field].cast(pa.int64()).to_pylist()
+            batch[self.ts_field].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
             if self.ts_field and self.ts_field in batch.column_names
             else [0] * batch.num_rows
         )
