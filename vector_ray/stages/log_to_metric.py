@@ -66,13 +66,22 @@ def _render_template(tpl: str, batch: pa.Table) -> pa.Array:
 
 
 def _canonical_tags(tags: Dict[str, str], batch: pa.Table) -> pa.Array:
-    """Sorted-key 'k=v,k=v' canonical encoding (MetricSeries identity)."""
+    """Sorted-key 'k=v,k=v' canonical encoding (MetricSeries identity).
+
+    A tag whose template references a column the batch does not have is
+    DROPPED (the reference drops tags whose template fails to render —
+    log_to_metric.rs render_tags / count_http_requests_with_tags test)."""
     n = batch.num_rows
-    if not tags:
+    present = {
+        k: tpl
+        for k, tpl in tags.items()
+        if all(col in batch.column_names for col in _TPL.findall(tpl))
+    }
+    if not present:
         return pa.array([""] * n, type=pa.string())
     pieces = []
-    for i, k in enumerate(sorted(tags)):
-        v = _render_template(tags[k], batch)
+    for i, k in enumerate(sorted(present)):
+        v = _render_template(present[k], batch)
         prefix = ("," if i else "") + k + "="
         pieces.append(pa.array([prefix] * n, type=pa.string()))
         pieces.append(v)
@@ -101,6 +110,10 @@ class LogToMetric:
             fcol = None
             valid = None
             if field is not None:
+                if field not in batch.column_names:
+                    # field-not-found: no metric emitted for this batch
+                    # (log_to_metric.rs TransformError::FieldNotFound)
+                    continue
                 fcol = batch[field]
                 if isinstance(fcol, pa.ChunkedArray):
                     fcol = fcol.combine_chunks()
@@ -146,7 +159,22 @@ class LogToMetric:
             if valid is not None:
                 tbl = tbl.filter(valid)  # null field → no metric emitted
             out.append(tbl)
-        return pa.concat_tables(out) if out else pa.table({})
+        if out:
+            return pa.concat_tables(out)
+        # every spec skipped (field columns absent): typed empty block
+        return pa.table(
+            {
+                "name": pa.array([], type=pa.string()),
+                "namespace": pa.array([], type=pa.string()),
+                "tags": pa.array([], type=pa.string()),
+                "kind": pa.array([], type=pa.string()),
+                "value_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "sample_rate": pa.array([], type=pa.int64()),
+                "set_value": pa.array([], type=pa.string()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+            }
+        )
 
 
 def log_to_metric(ds, metrics: List[dict], ts_field: Optional[str] = None, **kw):
