@@ -217,3 +217,26 @@ def test_unnest_stage(ray_session):
     out = unnest(rd.from_arrow(t), "vals").to_pandas().sort_values(["id", "vals"])
     assert out["id"].tolist() == [1, 1, 3]
     assert out["vals"].tolist() == [10, 20, 30]
+
+
+def test_sample_rate_accuracy_reference_parity(ray_session):
+    """Port of sample/tests.rs hash_samples_at_roughly_the_configured_rate:
+    rate-2 hash sampling keeps ~1/2 (±3%), ratio-0.04 keeps ~4% (±3%);
+    and hash_consistently_samples_the_same_events: two runs agree."""
+    import numpy as np
+
+    from vector_ray.stages import sample_hash
+
+    n = 10_000
+    keys = pa.array([f"msg-{i}-{i * 7919 % 104729}" for i in range(n)])
+    ds = rd.from_arrow(pa.table({"k": keys, "i": pa.array(range(n), type=pa.int64())}))
+    kept = sample_hash(ds, "k", rate=2).to_pandas()
+    assert abs(len(kept) / n - 0.5) < 0.03
+    kept_ratio = sample_hash(rd.from_arrow(pa.table({"k": keys})), "k", ratio=0.04).to_pandas()
+    assert abs(len(kept_ratio) / n - 0.04) < 0.03
+    # consistency: the same events sample identically across runs
+    again = sample_hash(
+        rd.from_arrow(pa.table({"k": keys, "i": pa.array(range(n), type=pa.int64())})),
+        "k", rate=2,
+    ).to_pandas()
+    assert sorted(kept["i"]) == sorted(again["i"])
