@@ -240,3 +240,26 @@ def test_sample_rate_accuracy_reference_parity(ray_session):
         "k", rate=2,
     ).to_pandas()
     assert sorted(kept["i"]) == sorted(again["i"])
+
+
+def test_line_agg_per_aggregate_context(ray_session):
+    """ADVICE r2 (low): the 2nd..Nth aggregates must carry their OWN
+    first line's non-message columns, not the group head's."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.line_agg import line_agg
+
+    t = pa.table({
+        "message": pa.array(["ERROR a", "  at x", "ERROR b", "  at y"]),
+        "ts": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "host": pa.array(["h1", "h1", "h2", "h2"]),
+        "src": pa.array(["s"] * 4),
+    })
+    out = line_agg(
+        rd.from_arrow(t), start_pattern=r"^ERROR", condition_pattern=r"^\s",
+        mode="continue_through", group_by=["src"], order_by="ts",
+    ).to_pandas().sort_values("ts").reset_index(drop=True)
+    assert out["message"].tolist() == ["ERROR a\n  at x", "ERROR b\n  at y"]
+    assert out["ts"].tolist() == [1, 3]
+    assert out["host"].tolist() == ["h1", "h2"]

@@ -256,3 +256,120 @@ def test_multimodal_audio_and_resize():
     assert len(rz) == 30
     assert (rz["width"] == 32).all()
     assert all(len(p) == 32 * 32 * 3 for p in rz["payload"])
+
+
+def test_minhash_densification_wrap_borrows_from_own_bin():
+    """ADVICE r2 (high): a doc whose ONLY non-empty bin is mid-range must
+    densify its wrap-around bins from that bin — not from the UMAX
+    sentinel at bin P-1.  Two unrelated short docs must NOT share
+    identical fills in their wrap bins."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vector_ray.pipelines.dedup import MinHasher
+
+    mh = MinHasher(num_perm=16, shingle_k=5, text_col="text", id_col="doc_id")
+    # 'short' docs (< k chars) hash the whole text into a single bin
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["abc", "xyz"])})
+    out = mh(t)
+    sigs = np.array(out["sig"].to_pylist(), dtype=np.int64).view(np.uint64)
+    UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+    assert (sigs != UMAX).all(), "no bin may keep the UMAX sentinel"
+    # each doc's fills derive from its own single hash: since the two
+    # texts hash differently, NO bin position may coincide across docs
+    assert not (sigs[0] == sigs[1]).any(), (
+        "unrelated short docs share fill values — correlated densification"
+    )
+    # structural check: every row has exactly P distinct fill values
+    # (fills are own-hash + distance*odd-const mod 2^64, all distinct)
+    assert len(set(sigs[0].tolist())) == 16
+    assert len(set(sigs[1].tolist())) == 16
+
+
+def test_distribution_agg_distributed_combine_path():
+    """ADVICE r2 (medium): past combine_limit, grouped_aggregate returns
+    a Dataset — distribution_agg / aggregated_histogram must survive
+    (they used to call pandas-only APIs and crash)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.metric_payload import aggregated_histogram, distribution_agg
+
+    n = 64
+    t = pa.table({
+        "name": pa.array(["m"] * n),
+        "namespace": pa.array([""] * n),
+        "tags": pa.array(["svc=a"] * n),
+        "kind": pa.array(["incremental"] * n),
+        "value": pa.array(np.arange(n, dtype=np.float64)),
+        "sample_rate": pa.array(np.ones(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n) * 1_000_000, type=pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t)
+    # combine_limit=1 forces the distributed path at any size
+    long = distribution_agg(ds, interval_ms=3_600_000 * 1000, combine_limit=1)
+    df = long.to_pandas()
+    assert len(df) == n
+    assert set(df["sample_rate"]) == {1}
+    assert "sample_value" in df.columns
+
+    hist = aggregated_histogram(
+        distribution_agg(ds, interval_ms=3_600_000 * 1000, combine_limit=1),
+        limits=[31.5], combine_limit=1,
+    ).to_pandas()
+    got = hist.set_index("bucket_upper")["bucket_count"].to_dict()
+    assert got == {31.5: 32, float("inf"): 32}
+    assert (hist["count"] == 64).all()
+
+
+def test_aggregate_latest_auto_distributed_combine():
+    """VERDICT r2 item 1b: aggregate latest/auto must not materialize the
+    series table on the driver past combine_limit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import aggregate
+
+    n = 50
+    t = pa.table({
+        "name": pa.array(["m"] * n),
+        "namespace": pa.array([""] * n),
+        "tags": pa.array([f"k={i}" for i in range(n // 2)] * 2),
+        "kind": pa.array((["absolute"] * (n // 2)) + (["incremental"] * (n // 2))),
+        "value": pa.array(np.arange(n, dtype=np.float64)),
+        "ts": pa.array(np.arange(n) * 1_000, type=pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t)
+    for mode in ("latest", "auto", "sum"):
+        small = aggregate(ds, mode=mode, interval_ms=10**9).to_pandas()
+        big = aggregate(ds, mode=mode, interval_ms=10**9, combine_limit=1).to_pandas()
+        key = ["name", "namespace", "tags", "kind", "window_start"]
+        s = small.sort_values(key).reset_index(drop=True)
+        b = big.sort_values(key).reset_index(drop=True)
+        assert list(s.columns).sort() == list(b.columns).sort()
+        assert np.allclose(
+            s["value"].to_numpy(), b[s.columns.intersection(b.columns)]["value"].to_numpy()
+        ), mode
+
+
+def test_bucket_edge_cover_chains_within_signature_runs():
+    """ADVICE r2 (low): oversized buckets must chain identical-signature
+    docs adjacently even when unrelated ids interleave."""
+    import numpy as np
+
+    from vector_ray.pipelines.dedup import bucket_edge_cover
+
+    # identical-content docs 1 and 9 (sdig 100) interleaved with
+    # unrelated ids 2..8 (distinct sdigs)
+    ids = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9], dtype=np.int64)
+    sdig = np.array([100, 7, 3, 9, 5, 2, 8, 4, 100], dtype=np.int64)
+    ea, eb = bucket_edge_cover(ids, sdig, max_pairs=4)
+    edges = set(zip(ea.tolist(), eb.tolist()))
+    assert (1, 9) in edges, "identical-sig pair not directly connected"
+    assert len(ea) <= 2 * len(ids)
+    # small bucket still emits all pairs
+    ea2, eb2 = bucket_edge_cover(ids[:3], sdig[:3], max_pairs=10)
+    assert len(ea2) == 3

@@ -217,3 +217,31 @@ def test_python_transform_lifecycle_hooks(ray_session):
     sinks = build(cfg)
     got = sorted(sinks["out"].to_pandas()["v"])
     assert got == [101, 102, 103]
+
+
+def test_checkpoint_accepts_legacy_manifest(tmp_path):
+    """ADVICE r2 (low): manifests committed under the round-1
+    part-<basename> id must still count as done on resume."""
+    import json
+    import os
+
+    from vector_ray.checkpoint import run_partitioned
+
+    src = tmp_path / "in" / "shard0.parquet"
+    src.parent.mkdir()
+    src.write_text("x")
+    out = tmp_path / "out"
+    mdir = out / "_manifest"
+    mdir.mkdir(parents=True)
+    (mdir / "part-shard0.json").write_text(
+        json.dumps({"partition": "part-shard0", "rows": 5})
+    )
+    calls = []
+
+    def process(f, pdir):
+        calls.append(f)
+        return {"rows": 0}
+
+    done = run_partitioned([str(src)], process, str(out))
+    assert calls == [], "legacy-completed partition was reprocessed"
+    assert done == {}

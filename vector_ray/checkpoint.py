@@ -36,9 +36,20 @@ from typing import Callable, Dict, List, Optional, Sequence
 def _default_partition_of(f: str) -> str:
     """Stable partition id from the FULL input path — two shards with
     the same basename in different subdirectories (hive partitioning
-    produces exactly that) must not collide to one pid."""
+    produces exactly that) must not collide to one pid.
+
+    FORMAT BREAK vs the round-1 ``part-<basename>`` layout: resume
+    recognizes legacy manifests too (``_legacy_partition_of``), so runs
+    checkpointed under the old ids skip their completed partitions
+    instead of silently reprocessing them (ADVICE r2)."""
     base = os.path.splitext(os.path.basename(f))[0]
     return f"part-{base}-{hashlib.md5(f.encode()).hexdigest()[:8]}"
+
+
+def _legacy_partition_of(f: str) -> str:
+    """Round-1 default partition id (basename only)."""
+    base = os.path.splitext(os.path.basename(f))[0]
+    return f"part-{base}"
 
 
 class PartitionCheckpointer:
@@ -96,11 +107,16 @@ def run_partitioned(
     Returns {pid: manifest} for this run's newly completed partitions.
     """
     ckpt = PartitionCheckpointer(out_dir)
+    use_default = partition_of is None
     partition_of = partition_of or _default_partition_of
     done: Dict[str, dict] = {}
     for f in input_files:
         pid = partition_of(f)
         if ckpt.is_done(pid):
+            continue
+        # accept manifests committed under the round-1 default id, so
+        # upgrading does not reprocess (and re-append) completed work
+        if use_default and ckpt.is_done(_legacy_partition_of(f)):
             continue
         pdir = ckpt.partition_dir(pid)
         tmp = pdir + ".tmp"

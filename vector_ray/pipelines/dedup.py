@@ -174,7 +174,15 @@ class MinHasher:
         if need.any():
             colidx = np.arange(P, dtype=np.int64)
             src = np.where(~need, colidx[None, :], np.int64(-1))
-            dbl = np.concatenate([src, src + P], axis=1)
+            # keep the -1 empty-bin sentinel OUT of the wrapped half:
+            # src + P would turn -1 into P-1, so rows whose bin P-1 is
+            # empty would borrow from sigs[:, P-1] == UMAX and every
+            # such doc would share identical positional fills in its
+            # wrap bins (correlated fills → inflated Jaccard between
+            # unrelated short docs).
+            dbl = np.concatenate(
+                [src, np.where(src >= 0, src + P, np.int64(-1))], axis=1
+            )
             ff = np.maximum.accumulate(dbl, axis=1)[:, P:]  # nearest ≤ j (circular)
             has_any = ff[:, -1] >= 0
             if has_any.any():
@@ -191,6 +199,29 @@ class MinHasher:
                 "sig": matrix_to_list(sigs.view(np.int64)),
             }
         )
+
+
+def bucket_edge_cover(ids: np.ndarray, sdigs: np.ndarray, max_pairs: int):
+    """Candidate edges for one LSH bucket, bounded at ``max_pairs``.
+
+    Small buckets emit all pairs.  Oversized buckets emit a hub+chain
+    cover ordered by (full-signature digest, id): identical-signature
+    docs form contiguous runs, so every chain edge inside a run is an
+    identical-sig pair that always survives Jaccard verification —
+    identical-content clusters stay exactly connected even when
+    unrelated ids interleave between them (ADVICE r2; plain id-order
+    chaining lost such pairs when both their chain and hub edges failed
+    verification).  Edges are oriented (min, max)."""
+    n = len(ids)
+    if n * (n - 1) // 2 <= max_pairs:
+        s = np.sort(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        return s[iu], s[ju]
+    order = np.lexsort((ids, sdigs))
+    o = ids[order]
+    ea = np.concatenate([np.full(n - 1, o[0]), o[1:-1]])
+    eb = np.concatenate([o[1:], o[2:]])
+    return np.minimum(ea, eb), np.maximum(ea, eb)
 
 
 def minhash_lsh_dedup(
@@ -249,10 +280,16 @@ def minhash_lsh_dedup(
                 k = k * np.uint64(1099511628211) + seg[:, j]
             # mix the band index in so buckets never collide across bands
             keys[b] = k ^ np.uint64((0x9E3779B97F4A7C15 * (b + 1)) & 0xFFFFFFFFFFFFFFFF)
+        # full-signature digest: lets oversized-bucket edge covers chain
+        # within runs of identical signatures (ADVICE r2) — 8 B/row
+        sdig = sig[:, 0].copy()
+        for j in range(1, sig.shape[1]):
+            sdig = sdig * np.uint64(1099511628211) + sig[:, j]
         return pa.table(
             {
                 id_col: pa.concat_arrays([ids] * bands),
                 "bkey": pa.array(keys.reshape(-1).view(np.int64)),
+                "sdig": pa.array(np.tile(sdig, bands).view(np.int64)),
             }
         )
 
@@ -260,22 +297,16 @@ def minhash_lsh_dedup(
 
     def _pairs_in_part(tbl: pa.Table) -> pa.Table:
         id_type = tbl.schema.field(id_col).type
-        df = tbl.select([id_col, "bkey"]).to_pandas()
+        df = tbl.select([id_col, "bkey", "sdig"]).to_pandas()
         outs_a, outs_b = [], []
         for _, g in df.groupby("bkey", sort=False):
             if len(g) < 2:
                 continue
-            ids = np.sort(g[id_col].to_numpy())
-            if len(ids) * (len(ids) - 1) // 2 <= max_bucket_pairs:
-                iu, ju = np.triu_indices(len(ids), k=1)
-                outs_a.append(ids[iu])
-                outs_b.append(ids[ju])
-            else:
-                # hub + chain cover: min-id hub keeps the component
-                # connected; the chain preserves adjacency for
-                # identical-signature runs — O(n) edges, not O(n²)
-                outs_a.append(np.concatenate([np.full(len(ids) - 1, ids[0]), ids[1:-1]]))
-                outs_b.append(np.concatenate([ids[1:], ids[2:]]))
+            ea, eb = bucket_edge_cover(
+                g[id_col].to_numpy(), g["sdig"].to_numpy(), max_bucket_pairs
+            )
+            outs_a.append(ea)
+            outs_b.append(eb)
         if outs_a:
             # local dedup (same pair found by several bands usually
             # lands in different partitions, but cheap to collapse what

@@ -44,27 +44,34 @@ def _window(ds, interval_ms: int, ts_field: str = "ts"):
     return ds.map_batches(_w, batch_format="pyarrow")
 
 
-def aggregate(ds, mode: str = "auto", interval_ms: int = 10_000, ts_field: str = "ts"):
+def aggregate(ds, mode: str = "auto", interval_ms: int = 10_000, ts_field: str = "ts",
+              combine_limit: int = 500_000):
     mode = mode.lower()
     windowed = _window(ds, interval_ms, ts_field)
     keys = SERIES_KEY + [WIN_COL]
 
     if mode in _BUILTIN:
-        return _builtin(windowed, keys, mode)
+        return _builtin(windowed, keys, mode, combine_limit)
     if mode == "latest":
-        return _latest(windowed, keys, ts_field)
+        return _latest(windowed, keys, ts_field, combine_limit)
     if mode == "auto":
         # single pass: kind is part of the series key, so incremental
         # series sum and absolute series take-latest in ONE partial
         # aggregate (sum + last-by-ts computed together per group)
-        import ray.data as rd
+        from .partial_agg import as_dataset, map_result
 
-        df = _partial_sum_and_last(windowed, keys, ts_field)
-        inc = df["kind"] == "incremental"
-        df = df.copy()
-        df.loc[~inc, "value"] = df.loc[~inc, "last_value"]
-        df.loc[inc, "value"] = df.loc[inc, "sum_value"]
-        return rd.from_pandas(df.drop(columns=["sum_value", "last_value", "last_ts"]))
+        res = _partial_sum_and_last(windowed, keys, ts_field, combine_limit)
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            inc = df["kind"] == "incremental"
+            df = df.copy()
+            df.loc[~inc, "value"] = df.loc[~inc, "last_value"]
+            df.loc[inc, "value"] = df.loc[inc, "sum_value"]
+            return df.drop(columns=["sum_value", "last_value", "last_ts"])
+
+        return as_dataset(map_result(res, _fin))
     if mode == "diff":
         latest = _latest(windowed, keys, ts_field)
 
@@ -77,29 +84,43 @@ def aggregate(ds, mode: str = "auto", interval_ms: int = 10_000, ts_field: str =
     raise ValueError(f"unknown aggregate mode {mode!r}")
 
 
-def _builtin(ds, keys, mode):
+def _builtin(ds, keys, mode, combine_limit=500_000):
     """Distributive/algebraic modes run as partial per-batch aggregation
-    + tiny combine (stages/partial_agg) — series keys are
-    low-cardinality, so no raw-row shuffle is ever needed."""
-    import ray.data as rd
-
-    from .partial_agg import grouped_aggregate
+    + tiny combine (stages/partial_agg) — series keys are usually
+    low-cardinality; past combine_limit partial rows the combine runs
+    distributed and everything below stays a Dataset pipeline."""
+    from .partial_agg import as_dataset, grouped_aggregate, map_result
 
     if mode == "count":
-        df = grouped_aggregate(ds, keys, [("value", "count", "count")])
-        df["value"] = df["count"].astype("float64")
-        return rd.from_pandas(df)
-    df = grouped_aggregate(
-        ds, keys, [("value", mode, "value"), ("value", "count", "count")]
+        res = grouped_aggregate(
+            ds, keys, [("value", "count", "count")], combine_limit=combine_limit
+        )
+
+        def _fin(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["value"] = df["count"].astype("float64")
+            return df
+
+        return as_dataset(map_result(res, _fin))
+    res = grouped_aggregate(
+        ds, keys, [("value", mode, "value"), ("value", "count", "count")],
+        combine_limit=combine_limit,
     )
-    return rd.from_pandas(df)
+    return as_dataset(res)
 
 
-def _partial_sum_and_last(ds, keys, ts_field) -> pd.DataFrame:
+def _partial_sum_and_last(ds, keys, ts_field, combine_limit=500_000):
     """One partial pass computing, per group: sum(value), count, and the
     value at max ts (last).  Per batch: pandas sort+groupby tail; the
-    driver combine re-reduces partials the same way (mergeable because
-    max-ts-of-maxes = global max ts)."""
+    combine re-reduces partials the same way (mergeable because
+    max-ts-of-maxes = global max ts).
+
+    Below ``combine_limit`` partial rows the combine happens on the
+    driver and a DataFrame is returned.  Past it — high-cardinality
+    series — the partials are hash-bucketed into a FIXED number of
+    partitions (throttle pattern) and the identical vectorized combine
+    runs inside each, returning a Dataset: the driver never sees the
+    series table (VERDICT r2 item 1b)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = batch.select(keys + ["value", ts_field]).to_pandas()
@@ -113,29 +134,52 @@ def _partial_sum_and_last(ds, keys, ts_field) -> pd.DataFrame:
         ).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("last_ts", kind="mergesort")
+        g = df.groupby(keys, sort=True, dropna=False)
+        return g.agg(
+            sum_value=("sum_value", "sum"),
+            count=("count", "sum"),
+            last_value=("last_value", "last"),
+            last_ts=("last_ts", "last"),
+        ).reset_index()
+
+    partials_ds = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if partials_ds.count() > combine_limit:
+        from ..functions.hashes import hash_columns
+
+        PART = "__agg_part"
+        num_partitions = 64
+
+        def _part(batch: pa.Table) -> pa.Table:
+            h = hash_columns(batch, keys)
+            return batch.append_column(
+                PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+            )
+
+        def _combine_group(g: pd.DataFrame) -> pd.DataFrame:
+            return _combine(g.drop(columns=[PART]))
+
+        parted = partials_ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
+        return parted.groupby(PART).map_groups(_combine_group, batch_format="pandas")
+    partials = partials_ds.to_pandas()
     if partials.empty:
         return partials
-    partials = partials.sort_values("last_ts", kind="mergesort")
-    g = partials.groupby(keys, sort=True, dropna=False)
-    return g.agg(
-        sum_value=("sum_value", "sum"),
-        count=("count", "sum"),
-        last_value=("last_value", "last"),
-        last_ts=("last_ts", "last"),
-    ).reset_index()
+    return _combine(partials)
 
 
-def _latest_df(ds, keys, ts_field) -> pd.DataFrame:
-    df = _partial_sum_and_last(ds, keys, ts_field)
-    if df.empty:
-        return df
-    df = df.copy()
-    df["value"] = df["last_value"]
-    return df.drop(columns=["sum_value", "last_value", "last_ts"])
+def _latest(ds, keys, ts_field, combine_limit=500_000):
+    from .partial_agg import as_dataset, map_result
 
+    res = _partial_sum_and_last(ds, keys, ts_field, combine_limit)
 
-def _latest(ds, keys, ts_field):
-    import ray.data as rd
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.copy()
+        df["value"] = df["last_value"]
+        return df.drop(columns=["sum_value", "last_value", "last_ts"])
 
-    return rd.from_pandas(_latest_df(ds, keys, ts_field))
+    return as_dataset(map_result(res, _fin))

@@ -31,13 +31,18 @@ import pandas as pd
 MODES = ("continue_through", "continue_past", "halt_before", "halt_with")
 
 
-def _assemble(lines: List[str], start_re, cond_re, mode: str) -> List[str]:
-    out: List[str] = []
+def _assemble(lines: List[str], start_re, cond_re, mode: str):
+    """Returns [(joined_text, start_line_index)] — the start index lets
+    the caller take each aggregate's context columns from ITS OWN first
+    line (the reference emits each aggregate with its first line's
+    metadata, src/line_agg.rs logic), not the group's first row."""
+    out: List[tuple] = []
     buf: List[str] = []
+    start_idx = 0
 
     def flush():
         if buf:
-            out.append("\n".join(buf))
+            out.append(("\n".join(buf), start_idx))
             buf.clear()
 
     i = 0
@@ -45,6 +50,7 @@ def _assemble(lines: List[str], start_re, cond_re, mode: str) -> List[str]:
     while i < n:
         line = lines[i]
         if not buf:
+            start_idx = i
             buf.append(line)
             i += 1
             if not start_re.search(line):
@@ -102,11 +108,16 @@ def line_agg(
         if order_by:
             g = g.sort_values(order_by, kind="mergesort")
         merged = _assemble(g[line_col].tolist(), start_re, cond_re, mode)
-        head = g.iloc[0]
-        out = pd.DataFrame({line_col: merged})
+        texts = [t for t, _ in merged]
+        starts = [s for _, s in merged]
+        # per-aggregate context: each output row carries ITS first
+        # line's columns (ADVICE r2: a single g.iloc[0] overwrote the
+        # 2nd..Nth aggregates' timestamps/host/level)
+        heads = g.iloc[starts].reset_index(drop=True)
+        out = pd.DataFrame({line_col: texts})
         for c in g.columns:
             if c != line_col and c != "__one":
-                out[c] = head[c]
+                out[c] = heads[c].to_numpy()
         return out
 
     if group_by:

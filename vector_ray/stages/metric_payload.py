@@ -32,24 +32,36 @@ import pandas as pd
 import pyarrow as pa
 
 from .aggregate import SERIES_KEY, WIN_COL, _window
-from .partial_agg import grouped_aggregate
+from .partial_agg import as_dataset, grouped_aggregate, map_result
 
 
-def distribution_agg(ds, interval_ms: int = 10_000, ts_field: str = "ts"):
+def distribution_agg(ds, interval_ms: int = 10_000, ts_field: str = "ts",
+                     combine_limit: int = 500_000):
     """Merge distribution-typed metric rows into per-(series, window)
     long-form samples: (name, namespace, tags, kind, window_start,
-    sample_value, sample_rate)."""
-    import ray.data as rd
+    sample_value, sample_rate).
+
+    The group key includes the raw sample value, so partial cardinality
+    tracks row count — grouped_aggregate's distributed-combine guard
+    WILL trigger at scale, and the rename/cast below must work on both
+    the small-path DataFrame and the guarded-path Dataset (map_result)."""
 
     windowed = _window(ds, interval_ms, ts_field)
     keys = SERIES_KEY + [WIN_COL, "value"]
-    df = grouped_aggregate(windowed, keys, [("sample_rate", "sum", "sample_rate")])
-    df = df.rename(columns={"value": "sample_value"})
-    df["sample_rate"] = df["sample_rate"].astype("int64")
-    return rd.from_pandas(df)
+    res = grouped_aggregate(
+        windowed, keys, [("sample_rate", "sum", "sample_rate")],
+        combine_limit=combine_limit,
+    )
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"value": "sample_value"})
+        df["sample_rate"] = df["sample_rate"].astype("int64")
+        return df
+
+    return as_dataset(map_result(res, _fin))
 
 
-def aggregated_histogram(long_ds, limits: Sequence[float]):
+def aggregated_histogram(long_ds, limits: Sequence[float], combine_limit: int = 500_000):
     """Long-form samples → per-window histogram buckets.
 
     Bucket i counts samples with value ≤ limits[i] (non-cumulative,
@@ -79,18 +91,48 @@ def aggregated_histogram(long_ds, limits: Sequence[float]):
 
     bucketed = long_ds.map_batches(_bucketize, batch_format="pyarrow", batch_size=None)
     keys = SERIES_KEY + [WIN_COL, "bucket_upper"]
-    df = grouped_aggregate(
+    res = grouped_aggregate(
         bucketed,
         keys,
         [("sample_rate", "sum", "bucket_count"), ("weighted", "sum", "bucket_sum")],
+        combine_limit=combine_limit,
     )
-    df["bucket_count"] = df["bucket_count"].astype("int64")
-    # per-window totals (count, sum) alongside each bucket row
-    totals = df.groupby(SERIES_KEY + [WIN_COL], dropna=False).agg(
-        count=("bucket_count", "sum"), sum=("bucket_sum", "sum")
-    ).reset_index()
-    df = df.drop(columns=["bucket_sum"]).merge(totals, on=SERIES_KEY + [WIN_COL])
-    return rd.from_pandas(df)
+
+    def _totals(df: pd.DataFrame) -> pd.DataFrame:
+        # per-window totals (count, sum) alongside each bucket row —
+        # vectorized, works on the whole table or any window-complete
+        # partition of it
+        df = df.copy()
+        df["bucket_count"] = df["bucket_count"].astype("int64")
+        totals = df.groupby(SERIES_KEY + [WIN_COL], dropna=False).agg(
+            count=("bucket_count", "sum"), sum=("bucket_sum", "sum")
+        ).reset_index()
+        return df.drop(columns=["bucket_sum"]).merge(totals, on=SERIES_KEY + [WIN_COL])
+
+    if isinstance(res, pd.DataFrame):
+        return rd.from_pandas(_totals(res))
+    # distributed-combine path: the totals need every bucket row of a
+    # (series, window) co-located.  Hash the window key into a FIXED
+    # number of partitions (the throttle pattern — group count stays P,
+    # not one Ray group per window) and run the vectorized totals+merge
+    # inside each partition.
+    from ..functions.hashes import hash_columns
+
+    PART = "__hist_part"
+    num_partitions = 64
+    wkeys = SERIES_KEY + [WIN_COL]
+
+    def _part(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, wkeys)
+        return batch.append_column(
+            PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+        )
+
+    def _tot_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _totals(g.drop(columns=[PART]))
+
+    parted = res.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby(PART).map_groups(_tot_group, batch_format="pandas")
 
 
 def aggregated_summary(long_ds, quantiles: Sequence[float] = (0.5, 0.9, 0.99)):

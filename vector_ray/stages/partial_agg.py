@@ -88,6 +88,30 @@ def grouped_aggregate(ds, keys: Sequence[str], aggs: Sequence[AggSpec], num_cpus
     return _project(final, keys, aggs)
 
 
+def as_dataset(res):
+    """Uniform handle for a ``grouped_aggregate`` result: pandas (small
+    combine) and Ray Dataset (distributed combine past combine_limit)
+    both come back as a Dataset."""
+    import ray.data as rd
+
+    if isinstance(res, pd.DataFrame):
+        return rd.from_pandas(res)
+    return res
+
+
+def map_result(res, pandas_fn):
+    """Apply a vectorized pandas transform to a ``grouped_aggregate``
+    result regardless of which side of the cardinality cliff it landed
+    on: directly on the DataFrame, or per-batch on the Dataset."""
+    if isinstance(res, pd.DataFrame):
+        return pandas_fn(res)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(pandas_fn(batch.to_pandas()), preserve_index=False)
+
+    return res.map_batches(_batch, batch_format="pyarrow", batch_size=None)
+
+
 def _project(final: pd.DataFrame, keys, aggs) -> pd.DataFrame:
     out = final[keys].copy()
     for col, fn, alias in aggs:

@@ -53,15 +53,20 @@ def hopping_agg(
     ts_field: str = "ts",
     size_ms: int = 60_000,
     slide_ms: int = 30_000,
-) -> pd.DataFrame:
+    combine_limit: int = 500_000,
+):
     """Hopping-window grouped aggregate → DataFrame of
-    (keys..., window_start, aggs...)."""
+    (keys..., window_start, aggs...) when the combine fits the driver;
+    past ``combine_limit`` partial rows, a Ray Dataset of the same
+    schema (grouped_aggregate's cardinality guard)."""
     exploded = ds.map_batches(
         lambda b: assign_hopping(b, ts_field, size_ms, slide_ms),
         batch_format="pyarrow",
         batch_size=None,
     )
-    return grouped_aggregate(exploded, list(keys) + [WIN_COL], aggs)
+    return grouped_aggregate(
+        exploded, list(keys) + [WIN_COL], aggs, combine_limit=combine_limit
+    )
 
 
 def tumbling_agg(ds, keys, aggs, ts_field: str = "ts", size_ms: int = 60_000):

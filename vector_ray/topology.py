@@ -352,7 +352,9 @@ def _t_hopping(cfg, inputs):
 
     from .stages.windowed_agg import hopping_agg
 
-    df = hopping_agg(
+    from .stages.partial_agg import as_dataset
+
+    res = hopping_agg(
         inputs,
         cfg["keys"],
         [tuple(a) for a in cfg["aggs"]],
@@ -360,7 +362,7 @@ def _t_hopping(cfg, inputs):
         size_ms=cfg["size_ms"],
         slide_ms=cfg.get("slide_ms", cfg["size_ms"]),
     )
-    return _rd.from_pandas(df)
+    return as_dataset(res)
 
 
 @register("sort")
