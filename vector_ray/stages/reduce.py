@@ -11,10 +11,15 @@ flat_unique.  Session boundaries: ``starts_when`` begins a new merge,
 Default strategies (config.rs:84-90): first value for strings/bools,
 sum for numerics, first timestamp kept + ``<ts>_end`` with the last.
 
-Ray mapping: ``groupby(group_by).map_groups`` over rows sorted by
-``order_by`` within the group; session splits happen inside the group
-— the documented partitioning assumption is that one group's rows fit
-one worker (true for transaction-shaped data).
+Ray mapping (round 3): rows are hash-bucketed by ``group_by`` into a
+FIXED number of partitions (Ray group count stays P regardless of key
+cardinality — VERDICT r2 item 2), each partition is sorted by
+(key, order_by), session ids for ALL keys are assigned in one
+vectorized pass (global cumsums of the boundary masks, combined with
+the key-run id via np.unique row-factorization), and the merges run as
+per-strategy pandas groupby aggregations — sum/min/max/first/last hit
+the vectorized C paths; only the array/concat family runs per-session
+Python, and only on the columns that asked for it.
 """
 
 from __future__ import annotations
@@ -23,22 +28,17 @@ from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .remap import ERROR_COL  # noqa: F401  (shared convention)
 from ..expr import compile_condition
 
+_PART = "__reduce_part"
+
 
 def _merge_series(s: pd.Series, strategy: str):
-    if strategy == "discard":
-        return s.iloc[0]
-    if strategy == "retain":
-        return s.iloc[-1]
-    if strategy == "sum":
-        return s.sum()
-    if strategy == "max":
-        return s.max()
-    if strategy == "min":
-        return s.min()
+    """Python-path strategies (the vectorizable ones are dispatched to
+    pandas groupby aggregations in reduce_stage)."""
     if strategy == "array":
         return list(s)
     if strategy == "concat":
@@ -71,6 +71,13 @@ def _default_strategy(dtype) -> str:
     return "discard"
 
 
+def _factorize_rows(cols: List[np.ndarray]) -> np.ndarray:
+    """Row-identity over a tuple of int64 arrays → dense int64 ids."""
+    arr = np.column_stack(cols)
+    _, inv = np.unique(arr, axis=0, return_inverse=True)
+    return inv.astype(np.int64)
+
+
 def reduce_stage(
     ds,
     group_by: List[str],
@@ -82,6 +89,7 @@ def reduce_stage(
     end_every_period_ms: Optional[int] = None,
     expire_after_ms: Optional[int] = None,
     ts_field: str = "ts",
+    num_partitions: int = 64,
 ):
     """``end_every_period_ms`` (config.rs:100-106): sessions additionally
     flush at fixed event-time period boundaries — rows in different
@@ -95,84 +103,113 @@ def reduce_stage(
     starts = compile_condition(starts_when) if starts_when else None
     ends = compile_condition(ends_when) if ends_when else None
 
-    def _session_ids(group: pd.DataFrame) -> np.ndarray:
-        n = len(group)
-        new = np.zeros(n, dtype=bool)
+    from ..functions.hashes import hash_columns
+
+    def _part(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, group_by)
+        return batch.append_column(
+            _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+        )
+
+    def _ts_us(part: pd.DataFrame) -> np.ndarray:
+        s = part[ts_field]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return s.astype("datetime64[us]").astype("int64").to_numpy()
+        return s.astype("int64").to_numpy()
+
+    def _session_ids(part: pd.DataFrame, krun: np.ndarray) -> np.ndarray:
+        """Dense session id per row, across ALL keys in the partition.
+
+        Within one key run every cumsum below is monotone, so pairing
+        (krun, cumsum) reproduces the per-group session identity the
+        round-2 per-key implementation computed — without per-key
+        Python."""
+        n = len(part)
+        comp = [krun]
+        if starts is not None or ends is not None:
+            t = pa.Table.from_pandas(part, preserve_index=False)
         if starts is not None:
-            import pyarrow as pa
-
-            m = starts(pa.Table.from_pandas(group, preserve_index=False))
-            new |= np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool)
-        sid = np.cumsum(new)
+            new = np.asarray(
+                starts(t).to_numpy(zero_copy_only=False), dtype=bool
+            )
+            comp.append(np.cumsum(new).astype(np.int64))
         if ends is not None:
-            import pyarrow as pa
-
-            m = ends(pa.Table.from_pandas(group, preserve_index=False))
-            e = np.asarray(m.to_numpy(zero_copy_only=False), dtype=bool)
+            e = np.asarray(ends(t).to_numpy(zero_copy_only=False), dtype=bool)
             # an end-marker closes the session *including* itself
             bump = np.zeros(n, dtype=np.int64)
-            bump[1:] = np.cumsum(e)[:-1]
-            sid = sid + bump
-        if expire_after_ms and ts_field in group.columns:
-            s = group[ts_field]
-            if pd.api.types.is_datetime64_any_dtype(s):
-                raw = s.astype("datetime64[us]").astype("int64").to_numpy()
-            else:
-                raw = s.astype("int64").to_numpy()
+            if n > 1:
+                bump[1:] = np.cumsum(e)[:-1]
+            comp.append(bump)
+        if expire_after_ms and ts_field in part.columns:
+            raw = _ts_us(part)
             gap_us = int(expire_after_ms) * 1000
             brk = np.zeros(n, dtype=np.int64)
-            brk[1:] = (np.diff(raw) > gap_us).astype(np.int64)
-            sid = sid * (n + 2) + np.cumsum(brk)
-        if end_every_period_ms and ts_field in group.columns:
-            s = group[ts_field]
-            if pd.api.types.is_datetime64_any_dtype(s):
-                raw = s.astype("datetime64[us]").astype("int64").to_numpy()
-            else:
-                raw = s.astype("int64").to_numpy()
+            if n > 1:
+                brk[1:] = (np.diff(raw) > gap_us).astype(np.int64)
+            comp.append(np.cumsum(brk))
+        if end_every_period_ms and ts_field in part.columns:
+            raw = _ts_us(part)
             win = raw // (int(end_every_period_ms) * 1000)
-            # re-base windows so combining with sid stays collision-free
-            _, win_ids = np.unique(win, return_inverse=True)
-            sid = sid * (int(win_ids.max()) + 2) + win_ids if n else sid
+            # window VALUE identity (not adjacency): rows of a key in
+            # the same period merge even if order_by interleaves them —
+            # matches the round-2 np.unique-id semantics
+            comp.append(win)
+        sid = _factorize_rows(comp) if len(comp) > 1 else krun
         if max_events:
-            # cap session length: re-split any run longer than max_events
-            out = np.zeros(n, dtype=np.int64)
-            pos = 0
-            last = None
-            for i, s in enumerate(sid):
-                if s != last:
-                    last, pos = s, 0
-                out[i] = pos // max_events
-                pos += 1
-            sid = sid * (int(out.max()) + 2) + out if n else sid
+            idx = np.arange(n, dtype=np.int64)
+            change = np.ones(n, dtype=bool)
+            if n > 1:
+                change[1:] = sid[1:] != sid[:-1]
+            seg_start = np.maximum.accumulate(np.where(change, idx, 0))
+            pos = idx - seg_start
+            sid = _factorize_rows([sid, pos // max_events])
         return sid
 
-    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
-        if order_by is not None:
-            group = group.sort_values(order_by, kind="mergesort")
-        sessions = (
-            group.groupby(_session_ids(group), sort=True)
+    def _reduce(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop(columns=[_PART])
+        sort_cols = group_by + ([order_by] if order_by is not None else [])
+        part = part.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        krun = part.groupby(group_by, sort=False, dropna=False).ngroup().to_numpy()
+        sid = (
+            _session_ids(part, krun)
             if (starts is not None or ends is not None or max_events
                 or end_every_period_ms or expire_after_ms)
-            else [(0, group)]
+            else krun
         )
-        rows = []
-        for _, sess in sessions:
-            row = {}
-            for col in sess.columns:
-                if col in group_by:
-                    row[col] = sess[col].iloc[0]
-                    continue
-                s = sess[col]
-                ts_like = pd.api.types.is_datetime64_any_dtype(s)
-                if ts_like and col not in strategies:
-                    row[col] = s.iloc[0]
-                    row[col + "_end"] = s.iloc[-1]
-                    continue
-                strat = strategies.get(col) or _default_strategy(s.dtype)
-                sv = s.dropna() if strat != "array" else s
-                row[col] = _merge_series(sv, strat) if len(sv) else None
-            row["_reduce_count"] = np.int64(len(sess))
-            rows.append(row)
-        return pd.DataFrame(rows)
+        g = part.groupby(sid, sort=True)
+        data = {}
+        for col in part.columns:
+            s = g[col]
+            if col in group_by:
+                data[col] = s.first()
+                continue
+            ts_like = pd.api.types.is_datetime64_any_dtype(part[col])
+            if ts_like and col not in strategies:
+                data[col] = s.first()
+                data[col + "_end"] = s.last()
+                continue
+            strat = strategies.get(col) or _default_strategy(part[col].dtype)
+            if strat == "sum":
+                data[col] = s.sum(min_count=1)
+            elif strat == "max":
+                data[col] = s.max()
+            elif strat == "min":
+                data[col] = s.min()
+            elif strat == "discard":
+                data[col] = s.first()  # first non-null, like dropna().iloc[0]
+            elif strat == "retain":
+                data[col] = s.last()
+            elif strat == "array":
+                data[col] = s.apply(list)
+            else:
+                data[col] = s.apply(
+                    lambda v, _st=strat: (
+                        _merge_series(v.dropna(), _st) if v.notna().any() else None
+                    )
+                )
+        out = pd.DataFrame(data)
+        out["_reduce_count"] = g.size().astype(np.int64)
+        return out.reset_index(drop=True)
 
-    return ds.groupby(group_by).map_groups(_reduce, batch_format="pandas")
+    parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby(_PART).map_groups(_reduce, batch_format="pandas")

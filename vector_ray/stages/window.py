@@ -6,9 +6,13 @@ window/config.rs:24-45.  Semantics: events pass through when
 ``num_events_before`` buffered events, the trigger, and the next
 ``num_events_after`` events; everything else is dropped.
 
-Order-dependent → per stream key (``group_by``), rows sorted by
-``order_by``, the deque logic runs inside map_groups.  Partitioning
-assumption: one key's rows fit one worker.
+Ray mapping (round 3): rows are hash-bucketed by ``group_by`` into a
+FIXED number of partitions (the throttle pattern — Ray group count
+stays P regardless of key cardinality), each partition is sorted by
+(key, order_by), and the context windows for ALL keys in the partition
+are marked in one vectorized pass: trigger indices → per-run-clamped
+[lo, hi) ranges → a difference array → cumsum > 0.  No per-key Ray
+group, no per-trigger Python slice assignment over big ranges.
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ import pyarrow as pa
 
 from ..expr import compile_condition
 
+_PART = "__window_part"
+
 
 def window_stage(
     ds,
@@ -30,22 +36,48 @@ def window_stage(
     num_events_before: int = 5,
     num_events_after: int = 5,
     forward_when=None,
+    num_partitions: int = 64,
 ):
     flush = compile_condition(flush_when)
     forward = compile_condition(forward_when) if forward_when else None
 
-    def _win(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        t = pa.Table.from_pandas(group, preserve_index=False)
+    from ..functions.hashes import hash_columns
+
+    def _part(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, group_by)
+        return batch.append_column(
+            _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+        )
+
+    def _win(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(group_by + [order_by], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(part)
+        t = pa.Table.from_pandas(part, preserve_index=False)
         fmask = np.asarray(flush(t).to_numpy(zero_copy_only=False), dtype=bool)
-        keep = np.zeros(len(group), dtype=bool)
+        keep = np.zeros(n, dtype=bool)
         if forward is not None:
             keep |= np.asarray(forward(t).to_numpy(zero_copy_only=False), dtype=bool)
-        idx = np.nonzero(fmask)[0]
-        for i in idx:
-            lo = max(0, i - num_events_before)
-            hi = min(len(group), i + num_events_after + 1)
-            keep[lo:hi] = True
-        return group[keep]
+        # key-run boundaries (keys are contiguous after the sort)
+        krun = part.groupby(group_by, sort=False, dropna=False).ngroup().to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            change[1:] = krun[1:] != krun[:-1]
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        starts_idx = np.nonzero(change)[0]
+        run_end_ex = np.repeat(
+            np.append(starts_idx[1:], n), np.diff(np.append(starts_idx, n))
+        ) if n else idx
+        trig = np.nonzero(fmask)[0]
+        lo = np.maximum(run_start[trig], trig - num_events_before)
+        hi = np.minimum(run_end_ex[trig], trig + num_events_after + 1)
+        delta = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(delta, lo, 1)
+        np.add.at(delta, hi, -1)
+        keep |= np.cumsum(delta[:-1]) > 0
+        return part[keep].drop(columns=[_PART])
 
-    return ds.groupby(group_by).map_groups(_win, batch_format="pandas")
+    parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby(_PART).map_groups(_win, batch_format="pandas")
