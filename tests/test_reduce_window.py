@@ -251,3 +251,72 @@ def test_reduce_window_bounded_groups_many_keys(ray_session):
     # per key: trigger at seq=1 plus one before → rows seq 0 and 1
     assert len(wout) == n_keys * 2
     assert set(wout["seq"]) == {0, 1}
+
+
+# ---- reference-parity ports: src/transforms/window/transform.rs tests ----
+
+def _wstream(ray_session=None, *specs):
+    """Build a single-key event stream from ('msg', count) specs."""
+    msgs = []
+    for s in specs:
+        if isinstance(s, tuple):
+            lo, hi = s
+            msgs += [f"A{i:02d}" for i in range(lo, hi + 1)]
+        else:
+            msgs.append(s)
+    t = pa.table({
+        "message": pa.array(msgs),
+        "host": pa.array(["h"] * len(msgs)),
+        "seq": pa.array(list(range(len(msgs))), type=pa.int64()),
+    })
+    return rd.from_arrow(t)
+
+
+def _wrun(ds, before, after, forward=False):
+    out = window_stage(
+        ds, flush_when=".message == 'flush'", group_by=["host"], order_by="seq",
+        num_events_before=before, num_events_after=after,
+        forward_when=".message == 'forward'" if forward else None,
+    ).to_pandas()
+    return out.sort_values("seq")["message"].tolist()
+
+
+def test_window_reference_basic(ray_session):
+    """transform.rs test_flush / test_pass / test_zero_flush."""
+    assert _wrun(_wstream(None, "flush"), 1, 0) == ["flush"]
+    assert _wrun(_wstream(None, "forward"), 1, 0, forward=True) == ["forward"]
+    got = _wrun(_wstream(None, (1, 50), "flush", (51, 70)), 0, 0)
+    assert got == ["flush"]
+
+
+def test_window_reference_before_windows(ray_session):
+    """transform.rs test_10_in_50 / test_50_in_10 / test_before_and_after
+    / test_zero_before."""
+    got = _wrun(_wstream(None, (1, 10), "flush"), 50, 0)
+    assert got == [f"A{i:02d}" for i in range(1, 11)] + ["flush"]
+    got = _wrun(_wstream(None, (1, 50), "flush"), 10, 0)
+    assert got == [f"A{i:02d}" for i in range(41, 51)] + ["flush"]
+    got = _wrun(_wstream(None, (1, 50), "flush", (51, 70)), 10, 5)
+    assert got == [f"A{i:02d}" for i in range(41, 51)] + ["flush"] + [
+        f"A{i:02d}" for i in range(51, 56)]
+    got = _wrun(_wstream(None, (1, 50), "flush", (51, 70)), 0, 5)
+    assert got == ["flush"] + [f"A{i:02d}" for i in range(51, 56)]
+
+
+def test_window_reference_flush_and_pass(ray_session):
+    """transform.rs test_flush_and_pass: forwarded events pass through
+    WITHOUT consuming buffer or after-counter slots."""
+    ds = _wstream(None, (1, 5), "forward", (6, 10), "forward", "flush",
+                  "forward", (11, 15), "forward", (16, 20))
+    got = _wrun(ds, 50, 5, forward=True)
+    expect = (["A%02d" % i for i in range(1, 6)] + ["forward"]
+              + ["A%02d" % i for i in range(6, 11)] + ["forward", "flush",
+                 "forward"] + ["A%02d" % i for i in range(11, 16)] + ["forward"])
+    assert got == expect
+
+
+def test_window_reference_zero_pass(ray_session):
+    """transform.rs test_zero_pass."""
+    ds = _wstream(None, (1, 50), "forward", "flush", (51, 70))
+    got = _wrun(ds, 0, 0, forward=True)
+    assert got == ["forward", "flush"]

@@ -13,6 +13,15 @@ stays P regardless of key cardinality), each partition is sorted by
 are marked in one vectorized pass: trigger indices → per-run-clamped
 [lo, hi) ranges → a difference array → cumsum > 0.  No per-key Ray
 group, no per-trigger Python slice assignment over big ranges.
+
+Reference-parity notes (transform.rs:50-96): forwarded events pass
+through without occupying buffer/after slots, and forward wins over
+flush.  DOCUMENTED DEVIATION: the batch restatement is an interval
+cover — a row inside a LATER trigger's before-window is kept even if
+the streaming automaton had already discarded it while draining a
+nearby earlier trigger's after-counter (closely-spaced triggers).  The
+interval semantics are the order-insensitive, restartable ones a batch
+engine can honor deterministically.
 """
 
 from __future__ import annotations
@@ -57,26 +66,36 @@ def window_stage(
         t = pa.Table.from_pandas(part, preserve_index=False)
         fmask = np.asarray(flush(t).to_numpy(zero_copy_only=False), dtype=bool)
         keep = np.zeros(n, dtype=bool)
+        fwd = np.zeros(n, dtype=bool)
         if forward is not None:
-            keep |= np.asarray(forward(t).to_numpy(zero_copy_only=False), dtype=bool)
-        # key-run boundaries (keys are contiguous after the sort)
-        krun = part.groupby(group_by, sort=False, dropna=False).ngroup().to_numpy()
-        idx = np.arange(n, dtype=np.int64)
-        change = np.ones(n, dtype=bool)
-        if n > 1:
+            fwd = np.asarray(forward(t).to_numpy(zero_copy_only=False), dtype=bool)
+            keep |= fwd
+            # forward takes precedence: a forwarded event neither
+            # triggers a window nor occupies buffer/after slots
+            # (transform.rs:70-75 checks `pass` before `flush`)
+            fmask &= ~fwd
+        # context windows are counted over NON-forwarded rows only, so
+        # drop to that coordinate space before marking ranges
+        sub = np.nonzero(~fwd)[0]
+        m = len(sub)
+        krun_all = part.groupby(group_by, sort=False, dropna=False).ngroup().to_numpy()
+        krun = krun_all[sub] if m else krun_all
+        idx = np.arange(m, dtype=np.int64)
+        change = np.ones(m, dtype=bool)
+        if m > 1:
             change[1:] = krun[1:] != krun[:-1]
         run_start = np.maximum.accumulate(np.where(change, idx, 0))
         starts_idx = np.nonzero(change)[0]
         run_end_ex = np.repeat(
-            np.append(starts_idx[1:], n), np.diff(np.append(starts_idx, n))
-        ) if n else idx
-        trig = np.nonzero(fmask)[0]
+            np.append(starts_idx[1:], m), np.diff(np.append(starts_idx, m))
+        ) if m else idx
+        trig = np.nonzero(fmask[sub])[0] if m else np.empty(0, dtype=np.int64)
         lo = np.maximum(run_start[trig], trig - num_events_before)
         hi = np.minimum(run_end_ex[trig], trig + num_events_after + 1)
-        delta = np.zeros(n + 1, dtype=np.int64)
+        delta = np.zeros(m + 1, dtype=np.int64)
         np.add.at(delta, lo, 1)
         np.add.at(delta, hi, -1)
-        keep |= np.cumsum(delta[:-1]) > 0
+        keep[sub] |= np.cumsum(delta[:-1]) > 0
         return part[keep].drop(columns=[_PART])
 
     parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
