@@ -128,3 +128,95 @@ def test_memory_enrich_stage():
     out = memory_enrich(rd.from_arrow(t), "k", ["v"], ts_field="ts", concurrency=1)
     vals = sorted(r["mem_v"] if r["mem_v"] is not None else -1 for r in out.take_all())
     assert vals == [-1, 5, 6]
+
+
+# ---- reference-parity ports: src/enrichment_tables/file.rs tests ----
+
+def test_parse_file_with_and_without_headers(tmp_path):
+    """file.rs parse_file_with_headers / parse_file_no_headers: values
+    load as strings; headerless columns are named by position."""
+    from vector_ray.enrich import EnrichTable
+
+    p = tmp_path / "table.csv"
+    p.write_text("foo,bar\na,1\nb,2")
+    t = EnrichTable.from_csv(str(p), ["foo"])
+    assert t.table.column_names == ["foo", "bar"]
+    assert t.table["bar"].to_pylist() == ["1", "2"]  # strings, not ints
+
+    p2 = tmp_path / "nohead.csv"
+    p2.write_text("a,1\nb,2")
+    t2 = EnrichTable.from_csv(str(p2), ["0"], include_headers=False)
+    assert t2.table.column_names == ["0", "1"]
+    assert t2.table["0"].to_pylist() == ["a", "b"]
+
+
+def test_parse_column_schema_types(tmp_path):
+    """file.rs parse_column: string/date/date|fmt (space-tolerant)/
+    timestamp|%+/int specs."""
+    import pandas as pd
+
+    from vector_ray.enrich import parse_schema_column
+
+    arr = pa.array(["zork"])
+    assert parse_schema_column(arr, " string ").to_pylist() == ["zork"]
+    got = parse_schema_column(pa.array(["2020-03-05"]), " date ").to_pylist()
+    assert got == [pd.Timestamp(2020, 3, 5)]
+    got = parse_schema_column(pa.array(["03/05/2020"]), "date|%m/%d/%Y").to_pylist()
+    assert got == [pd.Timestamp(2020, 3, 5)]
+    got = parse_schema_column(pa.array(["03 05 2020"]), "date | %m %d %Y").to_pylist()
+    assert got == [pd.Timestamp(2020, 3, 5)]
+    got = parse_schema_column(
+        pa.array(["2001-07-08T00:34:00.026490+09:30"]), "timestamp | %+"
+    ).to_pylist()
+    assert got == [pd.Timestamp("2001-07-07 15:04:00.026490")]  # UTC-normalized
+    assert parse_schema_column(pa.array(["42"]), "int").to_pylist() == [42]
+
+
+def test_errors_on_missing_index_columns():
+    """file.rs errors_on_missing_columns error message parity."""
+    import pytest
+
+    from vector_ray.enrich import EnrichTable
+
+    t = pa.table({"field1": ["a"], "field2": ["b"], "field3": ["c"]})
+    with pytest.raises(ValueError, match="field\\(s\\) 'apples, bananas' missing"):
+        EnrichTable(t, ["apples", "field2", "bananas"])
+
+
+def test_finds_row_with_wildcard(ray_session):
+    """file.rs finds_row_with_wildcard / .._case_sensitive_and_wildcard:
+    probes with no direct match fall back to the wildcard row."""
+    import ray.data as rd
+
+    from vector_ray.enrich import EnrichTable, enrich
+
+    lut = EnrichTable(
+        pa.table({"field1": ["zip", "zirp"], "field2": ["zup", "zurp"]}),
+        ["field1"],
+    )
+    batch = pa.table({"field1": pa.array(["nonexistent", "zip"])})
+    out = lut.probe(batch, ["field1"], wildcard="zirp")
+    assert out["field2"].to_pylist() == ["zurp", "zup"]
+    # without the wildcard the miss stays null
+    out2 = lut.probe(batch, ["field1"])
+    assert out2["field2"].to_pylist() == [None, "zup"]
+    # through the distributed stage too
+    ds = enrich(rd.from_arrow(batch), lut, ["field1"], wildcard="zirp")
+    got = ds.to_pandas().sort_values("field1")["field2"].tolist()
+    assert got == ["zurp", "zup"]
+
+
+def test_case_insensitive_lookup(ray_session):
+    """file.rs finds_rows_with_index_case_insensitive analog."""
+    from vector_ray.enrich import EnrichTable
+
+    lut = EnrichTable(
+        pa.table({"k": ["ZiP", "zirp"], "v": ["zup", "zurp"]}),
+        ["k"], case_sensitive=False,
+    )
+    out = lut.probe(pa.table({"k": pa.array(["zip", "ZIRP"])}), ["k"])
+    assert out["v"].to_pylist() == ["zup", "zurp"]
+    # sensitive: no match for wrong case
+    lut2 = EnrichTable(pa.table({"k": ["ZiP"], "v": ["zup"]}), ["k"])
+    out2 = lut2.probe(pa.table({"k": pa.array(["zip"])}), ["k"])
+    assert out2["v"].to_pylist() == [None]

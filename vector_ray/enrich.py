@@ -30,6 +30,44 @@ import pyarrow.compute as pc
 import ray
 
 
+def parse_schema_column(arr: pa.Array, typespec: str) -> pa.Array:
+    """Apply one enrichment-schema type spec to a string column.
+
+    Reference: src/enrichment_tables/file.rs:76-167 (FileConfig schema +
+    parse_column): specs are ``string`` / ``int`` / ``float`` / ``bool``
+    / ``date`` (ISO ``%Y-%m-%d``) / ``date|<fmt>`` / ``timestamp``
+    (ISO8601 ``%+``) / ``timestamp|<fmt>``, tolerant of surrounding
+    whitespace (``" date | %m %d %Y "`` parses).  Timestamps normalize
+    to UTC and land as timestamp[us]."""
+    import pandas as pd
+
+    spec = typespec.strip()
+    fmt = None
+    if "|" in spec:
+        spec, fmt = (p.strip() for p in spec.split("|", 1))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if spec == "string":
+        return arr.cast(pa.string())
+    if spec == "int":
+        return arr.cast(pa.string()).cast(pa.int64())
+    if spec == "float":
+        return arr.cast(pa.string()).cast(pa.float64())
+    if spec == "bool":
+        lowered = pc.utf8_lower(arr.cast(pa.string()))
+        return pc.equal(lowered, "true")
+    if spec in ("date", "timestamp"):
+        s = pd.Series(arr.to_pandas(), dtype="object")
+        if spec == "date" and fmt is None:
+            fmt = "%Y-%m-%d"
+        if fmt is None or fmt == "%+":  # chrono %+ = ISO8601
+            parsed = pd.to_datetime(s, utc=True, format="ISO8601")
+        else:
+            parsed = pd.to_datetime(s, format=fmt, utc=True)
+        return pa.array(parsed.dt.tz_localize(None), type=pa.timestamp("us"))
+    raise ValueError(f"unknown enrichment schema type {typespec!r}")
+
+
 class EnrichTable:
     """Immutable lookup table with find_table_row semantics.
 
@@ -52,16 +90,50 @@ class EnrichTable:
         self.valid_from = valid_from
         self.valid_to = valid_to
         self.table = table.combine_chunks()
+        missing = [c for c in self.key_columns if c not in self.table.column_names]
+        if missing:
+            # normalize_index_fields error parity (file.rs:446)
+            raise ValueError(f"field(s) '{', '.join(missing)}' missing from dataset")
         self._key = self._fold(self._composite_key(self.table))
         # detect duplicate keys (legal only when a date range splits them)
         vc = pa.table({"k": self._key}).group_by("k").aggregate([("k", "count")])
         self._has_dups = pc.max(vc["k_count"]).as_py() > 1 if vc.num_rows else False
 
     @classmethod
-    def from_csv(cls, path: str, key_columns: List[str], **kw) -> "EnrichTable":
+    def from_csv(
+        cls,
+        path: str,
+        key_columns: List[str],
+        include_headers: bool = True,
+        delimiter: str = ",",
+        schema: Optional[Dict[str, str]] = None,
+        **kw,
+    ) -> "EnrichTable":
+        """Load a CSV enrichment file (file.rs FileConfig).
+
+        ``include_headers=False`` names columns "0", "1", … by position
+        (file.rs parse_file_no_headers); ``schema`` maps column name →
+        type spec, applied via parse_schema_column."""
         from pyarrow import csv as pa_csv
 
-        return cls(pa_csv.read_csv(path), key_columns, **kw)
+        read_opts = pa_csv.ReadOptions(autogenerate_column_names=not include_headers)
+        parse_opts = pa_csv.ParseOptions(delimiter=delimiter)
+        t = pa_csv.read_csv(path, read_options=read_opts, parse_options=parse_opts)
+        if not include_headers:
+            t = t.rename_columns([str(i) for i in range(t.num_columns)])
+        # the reference loads every cell as a string and lets the schema
+        # specs assign types (file.rs parse_column) — undo inference
+        t = pa.table({c: t[c].cast(pa.string()) for c in t.column_names})
+        if schema:
+            for col, spec in schema.items():
+                if col.strip() in t.column_names:
+                    name = col.strip()
+                    t = t.set_column(
+                        t.column_names.index(name),
+                        name,
+                        parse_schema_column(t[name].cast(pa.string()), spec),
+                    )
+        return cls(t, key_columns, **kw)
 
     def _composite_key(self, t: pa.Table) -> pa.Array:
         cols = []
@@ -91,6 +163,7 @@ class EnrichTable:
         select: Optional[List[str]] = None,
         date_field: Optional[str] = None,
         strict_single: bool = True,
+        wildcard: Optional[str] = None,
     ) -> pa.Table:
         """Left-join enrichment columns onto ``batch``.
 
@@ -98,6 +171,9 @@ class EnrichTable:
         timestamp column checked against [valid_from, valid_to].
         strict_single: raise if any probe key matches >1 table row
         after range filtering (the reference's single-match rule).
+        wildcard: a key value whose table row answers probes that have
+        no direct match (file.rs row_equals wildcard fallback —
+        vectorized restatement: direct match wins, misses fall back).
         """
         probe_key = self._fold(
             self._composite_key(batch.select(on).rename_columns(self.key_columns))
@@ -108,6 +184,12 @@ class EnrichTable:
 
         if not self._has_dups and date_field is None:
             idx = pc.index_in(probe_key, value_set=self._key)
+            if wildcard is not None:
+                wkey = wildcard if self.case_sensitive else wildcard.lower()
+                widx = pc.index_in(pa.scalar(wkey, type=pa.string()),
+                                   value_set=self._key)
+                if widx.is_valid:
+                    idx = pc.fill_null(idx, widx.as_py())
             out = batch
             for c in select:
                 out = out.append_column(c, self.table[c].take(idx))
@@ -183,6 +265,7 @@ def enrich(
     select: Optional[List[str]] = None,
     date_field: Optional[str] = None,
     strict_single: bool = True,
+    wildcard: Optional[str] = None,
     **kw,
 ):
     """Broadcast-hash-join enrichment as a stateless map_batches stage.
@@ -195,7 +278,8 @@ def enrich(
     def _enrich(batch: pa.Table) -> pa.Table:
         table = _resolve_table(table_ref)
         return table.probe(
-            batch, on, select=select, date_field=date_field, strict_single=strict_single
+            batch, on, select=select, date_field=date_field,
+            strict_single=strict_single, wildcard=wildcard,
         )
 
     kw.pop("concurrency", None)  # stateless tasks: no actor pool to starve
