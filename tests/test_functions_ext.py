@@ -1,0 +1,284 @@
+"""Round-3 stdlib batch tests (functions/scalar_ext.py) — spec behavior
+from website/cue/reference/remap/functions/<name>.cue examples."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from vector_ray.functions.scalar import FUNCTIONS, call
+
+
+def s(*vals):
+    return pa.array(list(vals))
+
+
+def test_casts():
+    assert call("int", s("42")).to_pylist() == [42]
+    assert call("float", s("1.5")).to_pylist() == [1.5]
+    assert call("bool", s("true", "false")).to_pylist() == [True, False]
+    assert call("string", pa.array([7])).to_pylist() == ["7"]
+    assert call("strlen", s("héllo")).to_pylist() == [5]
+    assert call("length", pa.array([[1, 2, 3]])).to_pylist() == [3]
+    assert call("exists", pa.array(["a", None])).to_pylist() == [True, False]
+
+
+def test_assertions():
+    call("assert", pa.array([True, True]))
+    with pytest.raises(AssertionError):
+        call("assert", pa.array([True, False]))
+    call("assert_eq", s("a"), pa.array(["a"]))
+
+
+def test_path_functions():
+    assert call("basename", s("/usr/local/bin/tool")).to_pylist() == ["tool"]
+    assert call("dirname", s("/usr/local/bin/tool")).to_pylist() == ["/usr/local/bin"]
+    assert call("split_path", s("/a/b/c")).to_pylist() == [["a", "b", "c"]]
+
+
+def test_string_helpers():
+    assert call("screamingsnakecase", s("inputString")).to_pylist() == ["INPUT_STRING"]
+    assert call("contains_all", s("the quick fox"), ["quick", "fox"]).to_pylist() == [True]
+    assert call("contains_all", s("the quick fox"), ["quick", "dog"]).to_pylist() == [False]
+    assert call("chunks", s("abcdef"), 4).to_pylist() == [["abcd", "ef"]]
+    got = call("sieve", s("test123%456.fun"), r"[a-z0-9.]+", "").to_pylist()
+    assert got == ["test123456.fun"]
+    ent = call("shannon_entropy", s("aaaa")).to_pylist()[0]
+    assert ent == 0.0
+    ent2 = call("shannon_entropy", s("abcd")).to_pylist()[0]
+    assert abs(ent2 - 2.0) < 1e-9
+
+
+def test_punycode_roundtrip():
+    enc = call("encode_punycode", s("www.CAFé.com")).to_pylist()
+    assert enc == ["www.xn--caf-dma.com"]
+    dec = call("decode_punycode", s("www.xn--caf-dma.com")).to_pylist()
+    assert dec == ["www.café.com"]
+
+
+def test_math_and_hash():
+    assert abs(call("log", pa.array([math_e := 2.718281828459045])).to_pylist()[0] - 1.0) < 1e-9
+    assert call("log", pa.array([100.0]), 10).to_pylist() == [2.0]
+    d = call("haversine", pa.array([0.0]), pa.array([0.0]), 0.0, 1.0).to_pylist()[0]
+    assert abs(d - 111.19) < 0.5  # one degree of longitude at the equator, km
+    crc = call("crc", s("hello")).to_pylist()
+    import binascii
+
+    assert crc == [str(binascii.crc32(b"hello"))]
+    h = call("sha2", s("abc"), "SHA-256").to_pylist()[0]
+    import hashlib
+
+    assert h == hashlib.sha256(b"abc").hexdigest()
+    assert call("seahash", s("x")).to_pylist() == call("seahash", s("x")).to_pylist()
+
+
+def test_community_id_known_vector():
+    """Corelight spec v1 example: tcp 66.35.250.204:80 -> 128.232.110.120:34855."""
+    got = call(
+        "community_id",
+        pa.array([6]), pa.array(["66.35.250.204"]), pa.array([80]),
+        pa.array(["128.232.110.120"]), pa.array([34855]),
+    ).to_pylist()
+    # symmetric: reversed direction gives the same id
+    rev = call(
+        "community_id",
+        pa.array([6]), pa.array(["128.232.110.120"]), pa.array([34855]),
+        pa.array(["66.35.250.204"]), pa.array([80]),
+    ).to_pylist()
+    assert got == rev == ["1:LQU9qZlK+B5F3KDmev6m5PMibrg="]
+
+
+def test_ip_family():
+    assert call("ip_to_ipv6", s("192.168.0.1")).to_pylist() == ["::ffff:192.168.0.1"]
+    assert call("ipv6_to_ipv4", s("::ffff:192.168.0.1")).to_pylist() == ["192.168.0.1"]
+    assert call("ip_subnet", s("192.168.10.32"), "/16").to_pylist() == ["192.168.0.0"]
+    assert call("ip_ntop", call("ip_pton", s("10.1.2.3"))).to_pylist() == ["10.1.2.3"]
+    with pytest.raises(Exception):
+        call("ipv6_to_ipv4", s("2404:6800:4003:c02::64")).to_pylist()
+
+
+def test_syslog_codes():
+    assert call("to_syslog_facility_code", s("kern", "local7")).to_pylist() == [0, 23]
+    assert call("to_syslog_severity", s("alert", "info")).to_pylist() == [1, 6]
+
+
+def test_block_compression_roundtrip():
+    data = s("the quick brown fox " * 20)
+    for name in ("zstd", "lz4", "snappy"):
+        enc = call(f"encode_{name}", data)
+        dec = call(f"decode_{name}", enc)
+        assert dec.to_pylist()[0].decode() == data.to_pylist()[0]
+        assert len(enc.to_pylist()[0]) < len(data.to_pylist()[0])
+
+
+def test_charset():
+    enc = call("encode_charset", s("héllo"), "latin-1").to_pylist()[0]
+    assert enc == "héllo".encode("latin-1")
+    assert call("decode_charset", pa.array([enc]), "latin-1").to_pylist() == ["héllo"]
+
+
+def test_array_functions():
+    l = pa.array([[1, 2, 2, None, 3]])
+    assert call("compact", l).to_pylist() == [[1, 2, 2, 3]]
+    assert call("unique", pa.array([["a", "b", "a"]])).to_pylist() == [["a", "b"]]
+    assert call("push", pa.array([["a"]]), "b").to_pylist() == [["a", "b"]]
+    assert call("pop", pa.array([["a", "b"]])).to_pylist() == [["a"]]
+    assert call("append", pa.array([["a"]]), ["b", "c"]).to_pylist() == [["a", "b", "c"]]
+    assert call("flatten", pa.array([[[1, 2], [3]]])).to_pylist() == [[1, 2, 3]]
+    assert call("zip", pa.array([["a", "b"]]), pa.array([["1", "2"]])).to_pylist() == [
+        [["a", "1"], ["b", "2"]]]
+    assert call("match_array", pa.array([["foo", "bar"]]), "^b").to_pylist() == [True]
+    assert call("match_array", pa.array([["foo", "bar"]]), "^z").to_pylist() == [False]
+
+
+def test_for_each_and_filter():
+    l = pa.array([["ab", "cde"], ["f"]])
+    up = call("for_each", l, "upcase").to_pylist()
+    assert up == [["AB", "CDE"], ["F"]]
+    # filter needs a predicate fn — use starts_with via a registered helper
+    FUNCTIONS["_starts_x"] = lambda c: __import__("pyarrow").compute.starts_with(c, pattern="x")
+    kept = call("filter", pa.array([["x1", "y2", "x3"], ["y4"]]), "_starts_x").to_pylist()
+    assert kept == [["x1", "x3"], []]
+
+
+def test_object_functions():
+    m = pa.array([[("a", "1"), ("b", None)]], type=pa.map_(pa.string(), pa.string()))
+    assert call("keys", m).to_pylist() == [["a", "b"]]
+    assert call("values", m).to_pylist() == [["1", None]]
+    got = call("set", m, "c", "3").to_pylist()
+    assert dict(got[0])["c"] == "3"
+    got = call("del", m, "a").to_pylist()
+    assert "a" not in dict(got[0])
+    mk = call("map_keys", m, "upcase").to_pylist()
+    assert dict(mk[0]) == {"A": "1", "B": None}
+    obj = call("object_from_array", pa.array([[["k", "v"]]])).to_pylist()
+    assert dict(obj[0]) == {"k": "v"}
+    comp = call("compact", m).to_pylist()
+    assert dict(comp[0]) == {"a": "1"}
+
+
+def test_parsers():
+    j = call("parse_json", s('{"a": 1, "b": "x"}')).to_pylist()
+    assert dict(j[0]) == {"a": "1", "b": "x"}
+    csvr = call("parse_csv", s('a,"b,c",d')).to_pylist()
+    assert csvr == [["a", "b,c", "d"]]
+    kv = call("parse_key_value", s('k1=v1 k2="v 2"'), "=", " ").to_pylist()
+    assert dict(kv[0])["k1"] == "v1"
+    lf = call("parse_logfmt", s("level=info msg=hello")).to_pylist()
+    assert dict(lf[0]) == {"level": "info", "msg": "hello"}
+    rb = call("parse_ruby_hash", s('{"a" => 1, "b" => nil}')).to_pylist()
+    assert dict(rb[0]) == {"a": "1", "b": None}
+    x = call("parse_xml", s('<row id="7"><name>zed</name><age>30</age></row>')).to_pylist()
+    assert dict(x[0]) == {"row@id": "7", "name": "zed", "age": "30"}
+    g = call("parse_grok", s("2020 alpha"), "%{NUMBER:year} %{WORD:w}").to_pylist()
+    assert dict(g[0]) == {"year": "2020", "w": "alpha"}
+    toks = call("parse_tokens",
+                s('127.0.0.1 - [10/Oct/2000:13:55:36] "GET /x" 200')).to_pylist()
+    assert toks == [["127.0.0.1", "-", "10/Oct/2000:13:55:36", "GET /x", "200"]]
+    b = call("parse_bytes", s("1 MiB", "2kb"), "byte").to_pylist()
+    assert b == [1048576.0, 2000.0]
+    assert call("parse_etld", s("sub.example.co.uk")).to_pylist() == ["co.uk"]
+    assert call("parse_etld", s("sub.example.co.uk"), 1).to_pylist() == ["example.co.uk"]
+
+
+def test_parse_influxdb():
+    got = call(
+        "parse_influxdb",
+        s('cpu,host=a,region=us usage=0.5,idle=99i 1556813561098000000'),
+    ).to_pylist()
+    d = dict(got[0])
+    assert d["measurement"] == "cpu"
+    assert d["tag.host"] == "a"
+    assert d["field.usage"] == "0.5"
+    assert d["timestamp"] == "1556813561098000000"
+
+
+def test_decode_influxdb_table():
+    from vector_ray.codecs import decode_influxdb
+
+    t = decode_influxdb(s(
+        "cpu,host=a usage=0.5,idle=99i,state=\"up\" 1556813561098000000",
+        "mem value=1.0",
+    ))
+    df = t.to_pandas()
+    assert sorted(df["name"]) == ["cpu_idle", "cpu_usage", "mem_value"]  # string field skipped
+    assert (df["kind"] == "absolute").all()
+    cpu = df[df["name"] == "cpu_usage"].iloc[0]
+    assert cpu["tags"] == "host=a"
+    assert cpu["value"] == 0.5
+    assert str(cpu["ts"]).startswith("2019-05-02")
+
+
+def test_decode_native_json():
+    from vector_ray.codecs import decode_native_json
+
+    t = decode_native_json(s(
+        '{"log": {"message": "hello", "n": 5}}',
+        '{"metric": {"name": "req", "kind": "incremental", "counter": {"value": 2.5}, "tags": {"svc": "a"}}}',
+    ))
+    df = t.to_pandas()
+    assert df["event_type"].tolist() == ["log", "metric"]
+    assert dict(df["fields"][0]) == {"message": "hello", "n": "5"}
+    m = df.iloc[1]
+    assert (m["name"], m["kind"], m["value"], m["tags"]) == ("req", "incremental", 2.5, "svc=a")
+
+
+def test_crypto_roundtrip():
+    key = "k" * 32
+    iv = "i" * 16
+    enc = call("encrypt", s("secret message"), "AES-256-CFB", key, iv)
+    dec = call("decrypt", enc, "AES-256-CFB", key, iv).to_pylist()
+    assert dec[0].decode() == "secret message"
+    enc2 = call("encrypt", s("padded!"), "AES-128-CBC-PKCS7", "k" * 16, iv)
+    dec2 = call("decrypt", enc2, "AES-128-CBC-PKCS7", "k" * 16, iv).to_pylist()
+    assert dec2[0].decode() == "padded!"
+
+
+def test_encrypt_ip_roundtrip():
+    key = "0123456789abcdef"
+    enc = call("encrypt_ip", s("192.168.1.1", "10.0.0.7"), key).to_pylist()
+    assert all(":" in e for e in enc)  # encrypted form is an ipv6 address
+    dec = call("decrypt_ip", pa.array(enc), key).to_pylist()
+    assert dec == ["192.168.1.1", "10.0.0.7"]
+
+
+def test_secrets_store():
+    call("set_secret", s("x"), "dd_api_key", "abc123")
+    assert call("get_secret", s("x", "y"), "dd_api_key").to_pylist() == ["abc123", "abc123"]
+    call("remove_secret", s("x"), "dd_api_key")
+    assert call("get_secret", s("x"), "dd_api_key").to_pylist() == [None]
+
+
+def test_uuid_and_random_deterministic():
+    u1 = call("uuid_v4", s("a", "b"), 7).to_pylist()
+    u2 = call("uuid_v4", s("a", "b"), 7).to_pylist()
+    assert u1 == u2 and u1[0] != u1[1]
+    assert all(v[14] == "4" for v in u1)
+    ts = pa.array([1700000000000000], type=pa.timestamp("us"))
+    u7 = call("uuid_v7", ts).to_pylist()
+    assert u7[0][14] == "7"
+    r = call("random_int", s("a", "b", "c"), 0, 10, 42).to_pylist()
+    assert r == call("random_int", s("a", "b", "c"), 0, 10, 42).to_pylist()
+    assert all(0 <= v < 10 for v in r)
+
+
+def test_encode_object_formats():
+    m = pa.array([[("lvl", "info"), ("msg", "hi there")]],
+                 type=pa.map_(pa.string(), pa.string()))
+    assert call("encode_logfmt", m).to_pylist() == ['lvl=info msg="hi there"']
+    assert call("encode_key_value", m, ":", ",").to_pylist() == ["lvl:info,msg:hi there"]
+
+
+def test_replace_with_and_validate():
+    got = call("replace_with", s("hello world"), r"\w+", "upcase").to_pylist()
+    assert got == ["HELLO WORLD"]
+    schema = '{"type": "object", "required": ["a"]}'
+    ok = call("validate_json_schema", s('{"a": 1}', '{"b": 1}'), schema).to_pylist()
+    assert ok == [True, False]
+
+
+def test_enrichment_bridge():
+    from vector_ray.enrich import EnrichTable
+
+    lut = EnrichTable(pa.table({"k": ["a", "b"], "v": ["1", "2"]}), ["k"])
+    got = call("get_enrichment_table_record", s("b", "a"), lut).to_pylist()
+    assert [dict(d) for d in got] == [{"v": "2"}, {"v": "1"}]

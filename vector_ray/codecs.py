@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
@@ -661,3 +662,170 @@ def read_avro_ocf(path: str) -> pa.Table:
                     json.dumps(v) if isinstance(v, (dict, list)) else v
                 )
     return pa.table({k: pa.array(rows[k]) for k in names})
+
+
+# ------------------------------------------------- influxdb + native_json
+
+
+def parse_influx_line(line: str) -> dict:
+    """Parse ONE InfluxDB line-protocol line into a flat dict:
+    measurement, tag.<k>, field.<k> (stringified), timestamp (ns).
+
+    Escaping per the public line-protocol spec: ``\\,`` ``\\ `` ``\\=``
+    inside identifiers/tags; string field values in double quotes with
+    ``\\"`` escapes; integer fields carry an ``i`` suffix, booleans are
+    t/f/true/false.  (lib/codecs decoding/format/influxdb.rs parses via
+    the influxdb_line_protocol crate — same grammar.)"""
+    out: dict = {}
+
+    def _split_unescaped(s: str, sep: str):
+        parts, cur, i = [], [], 0
+        while i < len(s):
+            ch = s[i]
+            if ch == "\\" and i + 1 < len(s):
+                cur.append(s[i : i + 2])
+                i += 2
+                continue
+            if ch == sep:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        parts.append("".join(cur))
+        return parts
+
+    def _unescape(s: str) -> str:
+        return re.sub(r"\\([,= ])", r"\1", s)
+
+    # split off the field set + optional timestamp at the first
+    # unescaped, un-quoted space
+    segments, cur, in_quotes, i = [], [], False, 0
+    while i < len(line):
+        ch = line[i]
+        if ch == "\\" and i + 1 < len(line):
+            cur.append(line[i : i + 2])
+            i += 2
+            continue
+        if ch == '"':
+            in_quotes = not in_quotes
+        if ch == " " and not in_quotes:
+            segments.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    segments.append("".join(cur))
+    segments = [s for s in segments if s != ""]
+    if len(segments) < 2:
+        raise ValueError(f"influx line missing field set: {line!r}")
+    series, fieldset = segments[0], segments[1]
+    if len(segments) > 2:
+        out["timestamp"] = segments[2]
+
+    series_parts = _split_unescaped(series, ",")
+    out["measurement"] = _unescape(series_parts[0])
+    for tag in series_parts[1:]:
+        k, _, v = tag.partition("=")
+        out[f"tag.{_unescape(k)}"] = _unescape(v)
+
+    for fld in _split_unescaped(fieldset, ","):
+        k, _, v = fld.partition("=")
+        out[f"field.{_unescape(k)}"] = v
+    return out
+
+
+def decode_influxdb(col, default_ts_ns: int = 0) -> pa.Table:
+    """InfluxDB line-protocol column → metric rows, one per NUMERIC
+    field: name = measurement_field, kind=absolute (gauge), canonical
+    tags string, value float64, ts timestamp[us]
+    (decoding/format/influxdb.rs:87-146; string fields are skipped
+    exactly as the reference does)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    names, tags_out, values, ts_out = [], [], [], []
+    for line in col.to_pylist():
+        if line is None or not line.strip():
+            continue
+        d = parse_influx_line(line)
+        tags = {k[4:]: v for k, v in d.items() if k.startswith("tag.")}
+        canon = ",".join(f"{k}={tags[k]}" for k in sorted(tags))
+        ts_ns = int(d.get("timestamp", default_ts_ns))
+        for k, v in d.items():
+            if not k.startswith("field."):
+                continue
+            fname = k[6:]
+            if v.startswith('"'):
+                continue  # string fields cannot be modelled (reference parity)
+            if v in ("t", "T", "true", "True"):
+                fv = 1.0
+            elif v in ("f", "F", "false", "False"):
+                fv = 0.0
+            elif v.endswith(("i", "u")):
+                fv = float(int(v[:-1]))
+            else:
+                fv = float(v)
+            names.append(f"{d['measurement']}_{fname}")
+            tags_out.append(canon)
+            values.append(fv)
+            ts_out.append(ts_ns // 1000)
+    return pa.table({
+        "name": pa.array(names, type=pa.string()),
+        "namespace": pa.array([""] * len(names), type=pa.string()),
+        "tags": pa.array(tags_out, type=pa.string()),
+        "kind": pa.array(["absolute"] * len(names), type=pa.string()),
+        "value": pa.array(values, type=pa.float64()),
+        "ts": pa.array(ts_out, type=pa.int64()).cast(pa.timestamp("us")),
+    })
+
+
+def decode_native_json(col) -> pa.Table:
+    """Vector native JSON event format → typed rows
+    (lib/codecs/src/decoding/format/native_json.rs; the schema is the
+    public vector data model: {"log": {...}} | {"metric": {"name",
+    "kind", "counter"/"gauge"/"set"/... }}).
+
+    Logs land as (event_type="log", fields=map); metrics land as
+    (event_type="metric", name, kind, value, tags) — the engine's
+    canonical metric columns."""
+    import json as _json
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    etype, fields, names, kinds, values, tags_l = [], [], [], [], [], []
+    for s in col.to_pylist():
+        if s is None:
+            continue
+        ev = _json.loads(s)
+        if "log" in ev:
+            etype.append("log")
+            fields.append([(k, _json.dumps(v) if isinstance(v, (dict, list))
+                            else (None if v is None else str(v)))
+                           for k, v in ev["log"].items()])
+            names.append(None)
+            kinds.append(None)
+            values.append(None)
+            tags_l.append(None)
+        elif "metric" in ev:
+            m = ev["metric"]
+            etype.append("metric")
+            fields.append(None)
+            names.append(m.get("name"))
+            kinds.append(m.get("kind", "absolute"))
+            val = None
+            for mv_key in ("counter", "gauge"):
+                if mv_key in m:
+                    val = float(m[mv_key]["value"])
+            values.append(val)
+            tags = m.get("tags") or {}
+            tags_l.append(",".join(f"{k}={tags[k]}" for k in sorted(tags)))
+        else:
+            raise ValueError(f"native_json: unknown event shape {sorted(ev)}")
+    return pa.table({
+        "event_type": pa.array(etype, type=pa.string()),
+        "fields": pa.array(fields, type=pa.map_(pa.string(), pa.string())),
+        "name": pa.array(names, type=pa.string()),
+        "kind": pa.array(kinds, type=pa.string()),
+        "value": pa.array(values, type=pa.float64()),
+        "tags": pa.array(tags_l, type=pa.string()),
+    })

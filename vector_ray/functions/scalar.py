@@ -835,3 +835,30 @@ def _match_any(c, patterns):
     for p in patterns[1:]:
         m = pc.or_(m, pc.match_substring_regex(c, p))
     return m
+
+
+# ---- round-3 batch: casts, arrays/objects, IP family, codecs, parsers
+# (vector_ray/functions/scalar_ext.py registers into this table)
+from . import scalar_ext  # noqa: E402,F401  (registration side effect)
+
+# named-log parsers live in vector_ray/parse.py — register them by
+# their VRL names so remap "apply" steps reach them
+from .. import parse as _parse_mod  # noqa: E402
+
+for _name in (
+    "parse_apache_log", "parse_nginx_log", "parse_glog", "parse_klog",
+    "parse_aws_vpc_flow_log", "parse_aws_alb_log",
+    "parse_linux_authorization", "parse_common_log", "parse_url",
+):
+    if _name not in FUNCTIONS:
+        FUNCTIONS[_name] = getattr(_parse_mod, _name)
+
+from .. import codecs as _codecs_mod  # noqa: E402
+
+if "parse_cef" not in FUNCTIONS:
+    FUNCTIONS["parse_cef"] = _codecs_mod.parse_cef
+if "parse_syslog" not in FUNCTIONS:
+    FUNCTIONS["parse_syslog"] = lambda c, rfc="5424": _codecs_mod.decode_syslog(c, rfc)
+
+if "parse_proto" not in FUNCTIONS:
+    FUNCTIONS["parse_proto"] = _codecs_mod.decode_protobuf
