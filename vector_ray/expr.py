@@ -429,6 +429,17 @@ def compile_condition(cond: Union[str, Condition, Callable]) -> Callable:
         return cond
     if isinstance(cond, str):
         return Condition(cond)
+    if isinstance(cond, dict):
+        # AnyCondition config shape (src/conditions/mod.rs): a typed
+        # {"type": ..., "source": ...} block selects the dialect
+        ctype = cond.get("type", "vrl")
+        if ctype in ("vrl", "expr"):
+            return Condition(cond["source"])
+        if ctype == "datadog_search":
+            from .datadog_search import compile_datadog_search
+
+            return compile_datadog_search(cond["source"])
+        raise ValueError(f"unknown condition type {ctype!r}")
     if callable(cond):
         return cond
     raise TypeError(f"not a condition: {cond!r}")

@@ -862,3 +862,18 @@ if "parse_syslog" not in FUNCTIONS:
 
 if "parse_proto" not in FUNCTIONS:
     FUNCTIONS["parse_proto"] = _codecs_mod.decode_protobuf
+
+if "match_datadog_query" not in FUNCTIONS:
+    def _match_datadog_query(c, query):
+        """Datadog search query over the message column analog
+        (vector_ray/datadog_search.py holds the full dialect; table-level
+        conditions use {"type": "datadog_search"} blocks)."""
+        import pyarrow as _pa
+
+        from ..datadog_search import compile_datadog_search
+
+        if isinstance(c, _pa.ChunkedArray):
+            c = c.combine_chunks()
+        return compile_datadog_search(query)(_pa.table({"message": c}))
+
+    FUNCTIONS["match_datadog_query"] = _match_datadog_query
