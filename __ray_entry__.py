@@ -730,6 +730,60 @@ def q_memory_enrich(sf_dir):
     return out.select_columns(["event_id", "mem_value"])
 
 
+def q_sample_ratio(sf_dir):
+    """Count-mode RATIO sampling (reference accumulator semantics,
+    transform.rs:64-73) per user stream — the closed-form keep rule is
+    SQL-reproducible (stages/sample.py sample_count)."""
+    from vector_ray.stages import sample_count
+
+    ds = _events(sf_dir, ["event_id", "user_id"])
+    out = sample_count(ds, ratio=0.3, group_by="user_id", order_by="event_id")
+    return out.select_columns(["event_id"])
+
+
+def q_dd_search_filter(sf_dir):
+    """filter with a DatadogSearch condition (src/conditions/
+    datadog_search.rs dialect; vector_ray/datadog_search.py)."""
+    from vector_ray.stages import filter_stage
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    out = filter_stage(ds, {
+        "type": "datadog_search",
+        "source": "(@event_type:purchase AND @value:>100) OR @event_type:error",
+    })
+    return out.select_columns(["event_id"])
+
+
+def q_reduce_concat(sf_dir):
+    """reduce with the concat merge strategy (merge_strategy.rs:17-55)
+    — event_type streams collapse to space-joined transcripts."""
+    from vector_ray.stages import reduce_stage
+
+    ds = _events(sf_dir, ["user_id", "event_type", "event_id"])
+    out = reduce_stage(
+        ds, ["user_id"], merge_strategies={"event_type": "concat"},
+        order_by="event_id",
+    )
+    return out.select_columns(["user_id", "event_type", "_reduce_count"])
+
+
+def q_enrich_wildcard(sf_dir):
+    """Enrichment wildcard fallback (enrichment_tables/file.rs
+    row_equals wildcard): unmatched keys take the wildcard row."""
+    import ray.data as rd
+
+    from vector_ray.enrich import EnrichTable, enrich
+
+    lut = EnrichTable(
+        pa.table({"k": ["purchase", "signup", "other"],
+                  "label": ["buy", "join", "misc"]}),
+        ["k"],
+    )
+    ds = _events(sf_dir, ["event_id", "event_type"])
+    out = enrich(ds, lut, ["event_type"], select=["label"], wildcard="other")
+    return out.select_columns(["event_id", "label"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "filter_events": q_filter_events,
@@ -773,6 +827,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
+        "sample_ratio": q_sample_ratio,
+        "dd_search_filter": q_dd_search_filter,
+        "reduce_concat": q_reduce_concat,
+        "enrich_wildcard": q_enrich_wildcard,
         # rows-only checks (non-SQL-expressible)
         "token_pipeline": q_token_pipeline,
         "ivf_topk": q_ivf_topk,
@@ -784,6 +842,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_ratio": (
+            "SELECT event_id FROM ("
+            "SELECT event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id) - 1 AS pos FROM events"
+            ") WHERE floor(pos * 0.3) <> floor((pos - 1) * 0.3)"
+        ),
+        "dd_search_filter": (
+            "SELECT event_id FROM events WHERE "
+            "(event_type = 'purchase' AND value > 100) OR event_type = 'error'"
+        ),
+        "reduce_concat": (
+            "SELECT user_id, string_agg(event_type, ' ' ORDER BY event_id) "
+            "AS event_type, count(*) AS _reduce_count "
+            "FROM events GROUP BY user_id"
+        ),
+        "enrich_wildcard": (
+            "SELECT e.event_id, CASE e.event_type "
+            "WHEN 'purchase' THEN 'buy' WHEN 'signup' THEN 'join' "
+            "ELSE 'misc' END AS label FROM events e"
+        ),
         "filter_events": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_type = 'click' AND value > 50"
