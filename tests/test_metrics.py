@@ -113,7 +113,8 @@ def test_aggregate_stdev_and_mean():
     assert rows["cpu"]["value"] == 3.5
     out2 = aggregate(rd.from_arrow(metric_table()), mode="stdev", interval_ms=30_000)
     rows2 = {r["name"]: r for r in out2.take_all()}
-    assert abs(rows2["cpu"]["value"] - np.std([1, 2, 3, 4, 5, 6], ddof=1)) < 1e-9
+    # POPULATION stdev (aggregate.rs absolute_stdev parity)
+    assert abs(rows2["cpu"]["value"] - np.std([1, 2, 3, 4, 5, 6], ddof=0)) < 1e-9
 
 
 def test_aggregate_diff_mode():
@@ -261,3 +262,52 @@ def test_topk_per_group(ray_session):
     assert x["eid"].tolist() == [1, 3]  # both 9.0, tie by eid
     y = out[out.g == "y"]
     assert sorted(y["v"]) == [7.0, 8.0]
+
+
+def test_aggregate_reference_mode_matrix(ray_session):
+    """Ported from src/transforms/aggregate.rs inline tests
+    (incremental_auto/absolute_auto/sum/count/mean/min/max/stdev):
+    series a records 42, 43 (incremental) and b records 44; the
+    absolute_stdev fixture 25..55 step 5 must give EXACTLY 10.0
+    (population stdev, aggregate.rs:296-313)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import aggregate
+
+    def table(values, kinds, names):
+        n = len(values)
+        return pa.table({
+            "name": pa.array(names),
+            "namespace": pa.array([""] * n),
+            "tags": pa.array([""] * n),
+            "kind": pa.array(kinds),
+            "value": pa.array([float(v) for v in values]),
+            "ts": pa.array(list(range(n)), type=pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    t = table([42, 43, 44], ["incremental"] * 3, ["a", "a", "b"])
+    win = 10**9
+
+    def run(mode, tbl=t):
+        out = aggregate(rd.from_arrow(tbl), mode=mode, interval_ms=win).to_pandas()
+        return dict(zip(out["name"], out["value"]))
+
+    # incremental auto → sum; separate series stay separate
+    assert run("auto") == {"a": 85.0, "b": 44.0}
+    assert run("sum") == {"a": 85.0, "b": 44.0}
+    assert run("count") == {"a": 2.0, "b": 1.0}
+    assert run("mean") == {"a": 42.5, "b": 44.0}
+    assert run("min") == {"a": 42.0, "b": 44.0}
+    assert run("max") == {"a": 43.0, "b": 44.0}
+
+    # absolute auto → latest
+    t_abs = table([42, 43, 44], ["absolute"] * 3, ["a", "a", "b"])
+    assert run("auto", t_abs) == {"a": 43.0, "b": 44.0}
+    assert run("latest", t_abs) == {"a": 43.0, "b": 44.0}
+
+    # absolute_stdev fixture: exactly 10.0 (population)
+    t_sd = table([25, 30, 35, 40, 45, 50, 55], ["absolute"] * 7, ["a"] * 7)
+    got = run("stdev", t_sd)
+    assert got == {"a": 10.0}

@@ -123,7 +123,10 @@ def _project(final: pd.DataFrame, keys, aggs) -> pd.DataFrame:
             n = final[f"{col}_count"]
             s = final[f"{col}_sum"]
             ss = final[f"{col}__sq_sum"]
-            var = (ss - s * s / n) / (n - 1)
+            # POPULATION stdev (divide by n): aggregate.rs:296-313 sums
+            # squared deviations over entries.len() — parity confirmed
+            # by its absolute_stdev test (25..55 step 5 → exactly 10.0)
+            var = (ss - s * s / n) / n
             out[alias] = np.sqrt(var.clip(lower=0.0))
         elif fn == "count":
             out[alias] = final[f"{keys[0]}_count"].astype("int64")
