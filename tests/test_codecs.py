@@ -363,3 +363,31 @@ def test_avro_ocf_roundtrip_and_source(ray_session, tmp_path):
     }
     sinks = build(cfg)
     assert sorted(sinks["out"].to_pandas()["n"]) == [1, 2]
+
+
+def test_protobuf_encode_decode_roundtrip():
+    """encode_protobuf ∘ decode_protobuf == identity (cross-checked
+    against google.protobuf itself, like the OTLP crosscheck)."""
+    from google.protobuf import descriptor_pb2
+
+    from vector_ray.codecs import decode_protobuf, encode_protobuf
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "ev.proto"
+    fdp.package = "t"
+    m = fdp.message_type.add()
+    m.name = "Ev"
+    f1 = m.field.add()
+    f1.name, f1.number, f1.type, f1.label = "msg", 1, 9, 1  # string
+    f2 = m.field.add()
+    f2.name, f2.number, f2.type, f2.label = "n", 2, 3, 1  # int64
+    fds = descriptor_pb2.FileDescriptorSet()
+    fds.file.append(fdp)
+    blob = fds.SerializeToString()
+
+    batch = pa.table({"msg": ["hello", "world"], "n": [7, 9]})
+    enc = encode_protobuf(batch, blob, "t.Ev")
+    dec, err = decode_protobuf(enc, blob, "t.Ev")
+    assert not any(err.to_pylist())
+    assert dec["msg"].to_pylist() == ["hello", "world"]
+    assert [int(v) for v in dec["n"].to_pylist()] == [7, 9]

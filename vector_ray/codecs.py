@@ -829,3 +829,35 @@ def decode_native_json(col) -> pa.Table:
         "value": pa.array(values, type=pa.float64()),
         "tags": pa.array(tags_l, type=pa.string()),
     })
+
+
+def encode_protobuf(batch: pa.Table, descriptor_set: bytes, message_type: str) -> pa.Array:
+    """Protobuf encoder (lib/codecs/src/encoding/format/protobuf.rs
+    semantics, symmetric to decode_protobuf): each row's columns become
+    one serialized message of ``message_type``.  String cells holding
+    JSON objects/arrays fill nested/repeated fields."""
+    from google.protobuf import descriptor_pb2, descriptor_pool, json_format, message_factory
+
+    pool = descriptor_pool.DescriptorPool()
+    fds = descriptor_pb2.FileDescriptorSet.FromString(descriptor_set)
+    for f in fds.file:
+        pool.Add(f)
+    desc = pool.FindMessageTypeByName(message_type)
+    cls = message_factory.GetMessageClass(desc)
+    field_names = {f.name for f in desc.fields}
+    rows = batch.to_pylist()
+    out = []
+    for row in rows:
+        d = {}
+        for k, v in row.items():
+            if k not in field_names or v is None:
+                continue
+            if isinstance(v, str) and v[:1] in ("{", "["):
+                try:
+                    v = json.loads(v)
+                except ValueError:
+                    pass
+            d[k] = v
+        msg = json_format.ParseDict(d, cls(), ignore_unknown_fields=True)
+        out.append(msg.SerializeToString())
+    return pa.array(out, type=pa.binary())

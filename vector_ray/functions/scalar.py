@@ -877,3 +877,17 @@ if "match_datadog_query" not in FUNCTIONS:
         return compile_datadog_search(query)(_pa.table({"message": c}))
 
     FUNCTIONS["match_datadog_query"] = _match_datadog_query
+
+if "encode_proto" not in FUNCTIONS:
+    def _encode_proto(c, descriptor_set, message_type, field="value"):
+        """Single-column convenience wrapper over codecs.encode_protobuf
+        (the table-level encoder handles multi-field messages)."""
+        import pyarrow as _pa
+
+        if isinstance(c, _pa.ChunkedArray):
+            c = c.combine_chunks()
+        return _codecs_mod.encode_protobuf(
+            _pa.table({field: c}), descriptor_set, message_type
+        )
+
+    FUNCTIONS["encode_proto"] = _encode_proto
