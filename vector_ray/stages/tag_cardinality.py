@@ -83,7 +83,9 @@ def tag_cardinality_limit(
         for k, vals in accepted.items():
             bf = BloomFilter(capacity=max(16, len(vals)))
             if vals:
-                bf.add_array(sorted(vals))
+                # Arrow array so the add side takes the same cast->hash
+                # path as the probe side (no per-row str()).
+                bf.add_array(pa.array(sorted(vals)))
             blooms[k] = bf
 
         def _apply_bloom(batch: pa.Table) -> pa.Table:
@@ -91,9 +93,11 @@ def tag_cardinality_limit(
 
             keep = None
             for col, bf in blooms.items():
-                vals = batch[col].to_pylist()
-                ok = bf.contains_array(vals)
-                nulls = np.array([v is None for v in vals])
+                c = batch[col]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                ok = bf.contains_array(c)
+                nulls = pc.is_null(c).to_numpy(zero_copy_only=False)
                 ok = ok | nulls
                 if limit_exceeded_action == "drop_event":
                     keep = ok if keep is None else (keep & ok)

@@ -15,6 +15,25 @@ import numpy as np
 from ..functions.hashes import hash_string_column
 
 
+def _string_array(values):
+    """Normalize input to an Arrow string array without a per-row loop.
+
+    Arrow arrays/chunked arrays are cast via the C++ kernel; only plain
+    Python sequences fall back to str() per element.  add and contains
+    must go through the SAME normalization so int/str tag values hash
+    identically on both sides (the accepted set is added as Python
+    values, the probe side arrives as Arrow columns)."""
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+            return values
+        return values.cast(pa.string())
+    return pa.array(["" if v is None else str(v) for v in values], type=pa.string())
+
+
 class BloomFilter:
     def __init__(self, capacity: int, fp_rate: float = 0.01):
         m = int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)) + 1
@@ -30,16 +49,12 @@ class BloomFilter:
         return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m)).astype(np.int64)
 
     def add_array(self, values) -> None:
-        import pyarrow as pa
-
-        h = hash_string_column(pa.array([str(v) for v in values]))
+        h = hash_string_column(_string_array(values))
         pos = self._positions(h).ravel()
         np.bitwise_or.at(self.bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
 
     def contains_array(self, values) -> np.ndarray:
-        import pyarrow as pa
-
-        h = hash_string_column(pa.array([str(v) for v in values]))
+        h = hash_string_column(_string_array(values))
         pos = self._positions(h)
         word = self.bits[pos // 64]
         bit = (word >> (pos % 64).astype(np.uint64)) & np.uint64(1)
