@@ -840,6 +840,7 @@ def _match_any(c, patterns):
 # ---- round-3 batch: casts, arrays/objects, IP family, codecs, parsers
 # (vector_ray/functions/scalar_ext.py registers into this table)
 from . import scalar_ext  # noqa: E402,F401  (registration side effect)
+from . import binary_formats  # noqa: E402,F401  (parse_cbor/parse_dnstap/...)
 
 # named-log parsers live in vector_ray/parse.py — register them by
 # their VRL names so remap "apply" steps reach them
