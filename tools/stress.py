@@ -1,5 +1,6 @@
 """Scale stress harness — the BASELINE.md large-run numbers reproduce
-from here (python tools/stress.py {flagship10m|resume10m|minhash|simhash|embedding}).
+from here (python tools/stress.py
+{flagship10m|resume10m|minhash|simhash|embedding|tagcard1m|aggseries1m}).
 
 Each mode synthesizes its input deterministically, runs the pipeline at
 a scale 20-100× the oracle fixtures, asserts the EXACT expected result,
@@ -131,6 +132,85 @@ def embedding():
     assert n_out == n, (n_out, n)
     return {"corpus": nc, "survivors": n_out, "wall": round(wall, 1),
             "vecs_per_sec": round(nc / wall)}
+
+
+def tagcard1m():
+    """1M DISTINCT tag values through tag_cardinality_limit (VERDICT r2
+    item 1a done-criterion): the accepted set is computed with a
+    distributed groupby→sort→limit, so the driver only ever holds
+    value_limit rows — a cardinality 10,000× the limit must pass
+    without driver-side distinct-set materialization, and the survivors
+    must be exactly the rows carrying the value_limit first-seen
+    values."""
+    import ray.data as rd
+
+    from vector_ray.stages.tag_cardinality import tag_cardinality_limit
+
+    n, limit = 1_000_000, 100
+
+    def gen(batch):
+        ids = batch["id"].to_numpy()
+        return pa.table({
+            "order": pa.array(ids, type=pa.int64()),
+            # every row a DISTINCT tag value; first-seen order == id
+            "tag": pa.array(["v%09d" % i for i in ids.tolist()]),
+        })
+
+    ds = rd.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    t0 = time.time()
+    out = tag_cardinality_limit(
+        ds, ["tag"], value_limit=limit, order_by="order",
+        limit_exceeded_action="drop_event",
+    )
+    kept = out.to_pandas()
+    wall = time.time() - t0
+    assert len(kept) == limit, len(kept)
+    assert sorted(kept["order"]) == list(range(limit))
+    return {"rows": n, "distinct": n, "value_limit": limit,
+            "wall": round(wall, 1), "rows_per_sec": round(n / wall)}
+
+
+def aggseries1m():
+    """1M distinct (series) keys through aggregate mode=latest (VERDICT
+    r2 item 1b done-criterion): partial cardinality 1M > combine_limit
+    500k forces the distributed last-by-ts combine; the driver never
+    holds the partial table.  Asserts exact per-series latest values."""
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import aggregate
+
+    n_series, per = 1_000_000, 3
+    n = n_series * per
+
+    def gen(batch):
+        ids = batch["id"].to_numpy()
+        series = ids % n_series
+        seq = ids // n_series  # 0,1,2 per series; latest has seq=2
+        return pa.table({
+            "name": pa.array(["m"] * len(ids)),
+            "namespace": pa.array([""] * len(ids)),
+            "tags": pa.array(["s=%d" % s for s in series.tolist()]),
+            "kind": pa.array(["absolute"] * len(ids)),
+            "ts": pa.array((seq + 1) * 1_000_000, type=pa.int64()),
+            "value": pa.array(series * 10 + seq, type=pa.float64()),
+        })
+
+    ds = rd.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    t0 = time.time()
+    out = aggregate(ds, mode="latest", interval_ms=10**9, ts_field="ts")
+    res = out.to_pandas() if hasattr(out, "to_pandas") else out
+    wall = time.time() - t0
+    assert len(res) == n_series, len(res)
+    # latest value for series s is s*10 + 2
+    sample = res.head(1000).copy()
+    s = sample["tags"].str.slice(2).astype(int)
+    assert (sample["value"].to_numpy() == (s * 10 + 2).to_numpy()).all()
+    return {"rows": n, "series": n_series, "wall": round(wall, 1),
+            "rows_per_sec": round(n / wall)}
 
 
 if __name__ == "__main__":

@@ -252,3 +252,97 @@ def metric_to_log(ds, **kw):
         return pa.table(cols)
 
     return ds.map_batches(_proj, batch_format="pyarrow", **kw)
+
+
+def metric_to_log_typed(ds, host_tag: str | None = None, **kw):
+    """Typed-payload metric → log flattening — full parity with the
+    reference's field layout (src/transforms/metric_to_log.rs:419-676
+    tests): the payload selected by ``value_type`` lands under its
+    typed name, tags unpack to ``tags.<k>`` columns, and ``host_tag``
+    (when set) promotes that tag to a top-level ``host`` field.
+
+    Payload columns by value_type (absent columns are simply skipped;
+    mixed streams produce the union of typed columns with nulls):
+
+    - counter / gauge: ``value``            → ``counter.value`` / ``gauge.value``
+    - set:             ``set_values``       → ``set.values``           (list<string>)
+    - distribution:    ``samples``+``statistic``
+                       → ``distribution.samples`` (list<struct{value,rate}>)
+                         + ``distribution.statistic``
+    - histogram:       ``buckets``+``count``+``sum``
+                       → ``aggregated_histogram.buckets`` (+ .count/.sum)
+    - summary:         ``quantiles``+``count``+``sum``
+                       → ``aggregated_summary.quantiles`` (+ .count/.sum)
+    """
+
+    def _masked(batch: pa.Table, src: str, vt_mask, out_type=None):
+        c = batch[src]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if out_type is not None:
+            c = c.cast(out_type)
+        return pc.if_else(vt_mask, c, pa.scalar(None, type=c.type))
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        have = set(batch.column_names)
+        vt = batch["value_type"]
+        if isinstance(vt, pa.ChunkedArray):
+            vt = vt.combine_chunks()
+        cols: dict = {
+            "name": batch["name"],
+            "namespace": batch["namespace"],
+            "kind": batch["kind"],
+            "timestamp": batch["ts"],
+        }
+        present = set(pc.unique(vt).to_pylist())
+        if "value" in have:
+            for t, out in (("counter", "counter.value"), ("gauge", "gauge.value")):
+                if t in present:
+                    cols[out] = _masked(batch, "value", pc.equal(vt, t))
+        if "set" in present and "set_values" in have:
+            cols["set.values"] = _masked(batch, "set_values", pc.equal(vt, "set"))
+        if "distribution" in present and "samples" in have:
+            m = pc.equal(vt, "distribution")
+            cols["distribution.samples"] = _masked(batch, "samples", m)
+            if "statistic" in have:
+                cols["distribution.statistic"] = _masked(batch, "statistic", m)
+        if "histogram" in present and "buckets" in have:
+            m = pc.equal(vt, "histogram")
+            cols["aggregated_histogram.buckets"] = _masked(batch, "buckets", m)
+            if "count" in have:
+                cols["aggregated_histogram.count"] = _masked(batch, "count", m)
+            if "sum" in have:
+                cols["aggregated_histogram.sum"] = _masked(batch, "sum", m)
+        if "summary" in present and "quantiles" in have:
+            m = pc.equal(vt, "summary")
+            cols["aggregated_summary.quantiles"] = _masked(batch, "quantiles", m)
+            if "count" in have:
+                cols["aggregated_summary.count"] = _masked(batch, "count", m)
+            if "sum" in have:
+                cols["aggregated_summary.sum"] = _masked(batch, "sum", m)
+
+        # tags: canonical "k=v,k2=v2" string → tags.<k> columns.  Key
+        # discovery per batch, then one vectorized regex extract per key
+        # (no Python row loop).
+        tags = batch["tags"]
+        if isinstance(tags, pa.ChunkedArray):
+            tags = tags.combine_chunks()
+        keys: set = set()
+        nonempty = pc.fill_null(tags, "")
+        for kv_list in pc.split_pattern(nonempty, pattern=",").to_pylist():
+            for kv in kv_list:
+                if "=" in kv:
+                    keys.add(kv.split("=", 1)[0])
+        import re
+
+        for k in sorted(keys):
+            pat = r"(?:^|,)" + re.escape(k) + r"=(?P<v>[^,]*)"
+            ext = pc.extract_regex(nonempty, pattern=pat)
+            vals = pc.struct_field(ext, [0])
+            out_name = "host" if host_tag is not None and k == host_tag else f"tags.{k}"
+            cols[out_name] = vals
+        return pa.table(cols)
+
+    kw.setdefault("batch_size", None)
+    return ds.map_batches(_proj, batch_format="pyarrow", **kw)
