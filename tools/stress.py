@@ -10,9 +10,12 @@ and prints one JSON line with wall time and throughput.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pyarrow as pa
