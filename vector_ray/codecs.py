@@ -831,6 +831,196 @@ def decode_native_json(col) -> pa.Table:
     })
 
 
+# ------------------------------------------------------- native (protobuf)
+
+
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _pb_len(field: int, payload: bytes) -> bytes:
+    return _pb_varint((field << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_vint(field: int, v: int) -> bytes:
+    return _pb_varint(field << 3) + _pb_varint(v)
+
+
+def _native_value_decode(buf: bytes) -> object:
+    """event.proto Value (lib/vector-core/proto/event.proto:60-71):
+    raw_bytes=1, timestamp=2, integer=4, float=5, boolean=6, map=7,
+    array=8, null=9."""
+    import struct as _struct
+
+    from .otlp import _fields
+
+    for f, _wt, v in _fields(buf):
+        if f == 1:
+            return v.decode("utf-8", "replace")
+        if f == 2:
+            sec = nanos = 0
+            for tf, _tw, tv in _fields(v):
+                if tf == 1:
+                    sec = tv
+                elif tf == 2:
+                    nanos = tv
+            return sec * 1_000_000_000 + nanos
+        if f == 4:
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if f == 5:
+            return _struct.unpack("<d", v)[0]
+        if f == 6:
+            return bool(v)
+        if f == 7:
+            out = {}
+            for mf, _mw, mv in _fields(v):
+                if mf == 1:
+                    k, val = _native_map_entry(mv)
+                    out[k] = val
+            return out
+        if f == 8:
+            return [_native_value_decode(iv) for i, _w, iv in _fields(v) if i == 1]
+        if f == 9:
+            return None
+    return None
+
+
+def _native_map_entry(buf: bytes):
+    from .otlp import _fields
+
+    k, val = "", None
+    for f, _wt, v in _fields(buf):
+        if f == 1:
+            k = v.decode("utf-8", "replace")
+        elif f == 2:
+            val = _native_value_decode(v)
+    return k, val
+
+
+def decode_native(col) -> pa.Table:
+    """Vector native protobuf event format → typed rows
+    (lib/codecs/src/decoding/format/native.rs; wire schema is the
+    public lib/vector-core/proto/event.proto EventWrapper).  Output
+    shape matches decode_native_json: logs/traces land as
+    (event_type, fields=map), metrics as (event_type="metric", name,
+    kind, value, tags)."""
+    from .otlp import _fields
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+
+    def _stringify(v):
+        if v is None:
+            return None
+        if isinstance(v, (dict, list)):
+            return json.dumps(v)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    etype, fields, names, kinds, values, tags_l = [], [], [], [], [], []
+    for raw in col.to_pylist():
+        if raw is None:
+            continue
+        kind_name, payload = None, None
+        for f, _wt, v in _fields(bytes(raw)):
+            if f in (1, 2, 3):
+                kind_name = {1: "log", 2: "metric", 3: "trace"}[f]
+                payload = v
+        if kind_name in ("log", "trace"):
+            fmap = {}
+            for f, _wt, v in _fields(payload):
+                if f == 1:
+                    k, val = _native_map_entry(v)
+                    fmap[k] = _stringify(val)
+            etype.append(kind_name)
+            fields.append(list(fmap.items()))
+            names.append(None)
+            kinds.append(None)
+            values.append(None)
+            tags_l.append(None)
+        elif kind_name == "metric":
+            import struct as _struct
+
+            name = ""
+            kind = "incremental"
+            val = None
+            tags = {}
+            for f, _wt, v in _fields(payload):
+                if f == 1:
+                    name = v.decode("utf-8", "replace")
+                elif f == 3:  # tags_v1 map<string,string>
+                    tk, tv = "", ""
+                    for mf, _mw, mv in _fields(v):
+                        if mf == 1:
+                            tk = mv.decode("utf-8", "replace")
+                        elif mf == 2:
+                            tv = mv.decode("utf-8", "replace")
+                    tags[tk] = tv
+                elif f == 4:
+                    kind = "absolute" if v == 1 else "incremental"
+                elif f in (5, 6):  # Counter / Gauge {value=1 double}
+                    for cf, _cw, cv in _fields(v):
+                        if cf == 1:
+                            val = _struct.unpack("<d", cv)[0]
+            etype.append("metric")
+            fields.append(None)
+            names.append(name)
+            kinds.append(kind)
+            values.append(val)
+            tags_l.append(",".join(f"{k}={tags[k]}" for k in sorted(tags)))
+        else:
+            raise ValueError("native: EventWrapper without log/metric/trace")
+    return pa.table({
+        "event_type": pa.array(etype, type=pa.string()),
+        "fields": pa.array(fields, type=pa.map_(pa.string(), pa.string())),
+        "name": pa.array(names, type=pa.string()),
+        "kind": pa.array(kinds, type=pa.string()),
+        "value": pa.array(values, type=pa.float64()),
+        "tags": pa.array(tags_l, type=pa.string()),
+    })
+
+
+def encode_native(batch: pa.Table) -> pa.Array:
+    """Symmetric encoder (lib/codecs/src/encoding/format/native.rs):
+    rows in decode_native's output shape → EventWrapper frames.  Log
+    field values encode as raw_bytes strings (our field maps are
+    string→string); metric rows encode name/kind/tags and the value as
+    a Counter for incremental kind, Gauge for absolute."""
+    import struct as _struct
+
+    out = []
+    for row in batch.to_pylist():
+        if row.get("event_type") == "metric":
+            m = _pb_len(1, row["name"].encode())
+            for kv in (row.get("tags") or "").split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    m += _pb_len(3, _pb_len(1, k.encode()) + _pb_len(2, v.encode()))
+            kind_abs = row.get("kind") == "absolute"
+            m += _pb_vint(4, 1 if kind_abs else 0)
+            if row.get("value") is not None:
+                payload = _pb_varint((1 << 3) | 1) + _struct.pack("<d", row["value"])
+                m += _pb_len(6 if kind_abs else 5, payload)
+            out.append(_pb_len(2, m))
+        else:
+            fm = row.get("fields") or []
+            items = fm.items() if isinstance(fm, dict) else fm
+            body = b""
+            for k, v in items:
+                val = _pb_vint(9, 0) if v is None else _pb_len(1, str(v).encode())
+                body += _pb_len(1, _pb_len(1, k.encode()) + _pb_len(2, val))
+            fno = 3 if row.get("event_type") == "trace" else 1
+            out.append(_pb_len(fno, body))
+    return pa.array(out, type=pa.binary())
+
+
 def encode_protobuf(batch: pa.Table, descriptor_set: bytes, message_type: str) -> pa.Array:
     """Protobuf encoder (lib/codecs/src/encoding/format/protobuf.rs
     semantics, symmetric to decode_protobuf): each row's columns become

@@ -186,7 +186,39 @@ def _t_l2m(cfg, inputs):
 
 @register("metric_to_log")
 def _t_m2l(cfg, inputs):
+    if cfg.get("typed_payloads"):
+        from .stages.log_to_metric import metric_to_log_typed
+
+        return metric_to_log_typed(inputs, host_tag=cfg.get("host_tag"))
     return stages.metric_to_log(inputs)
+
+
+@register("decode")
+def _t_decode(cfg, inputs):
+    """``decoding.codec`` analog (reference source decoding configs,
+    lib/codecs/src/decoding/mod.rs): decode one byte/string column with
+    a named wire-format decoder; the decoded rows REPLACE the stream.
+    Codecs: native | native_json | influxdb | gelf | syslog."""
+    codec = cfg["codec"]
+    field = cfg.get("field", "message")
+    from . import codecs as C
+
+    table_decoders = {
+        "native": C.decode_native,
+        "native_json": C.decode_native_json,
+        "influxdb": C.decode_influxdb,
+        "gelf": C.decode_gelf,
+        "syslog": C.decode_syslog,
+    }
+    if codec not in table_decoders:
+        raise ValueError(f"decode: unknown codec {codec!r} "
+                         f"(have {sorted(table_decoders)})")
+    dec = table_decoders[codec]
+
+    def _apply(batch):
+        return dec(batch[field])
+
+    return inputs.map_batches(_apply, batch_format="pyarrow", batch_size=None)
 
 
 @register("aggregate")
