@@ -311,3 +311,37 @@ def test_aggregate_reference_mode_matrix(ray_session):
     t_sd = table([25, 30, 35, 40, 45, 50, 55], ["absolute"] * 7, ["a"] * 7)
     got = run("stdev", t_sd)
     assert got == {"a": 10.0}
+
+
+def test_incremental_to_absolute_reference_matrix(ray_session):
+    """Port of incremental_to_absolute.rs:139-230: repeated incremental
+    counters accumulate (10, 20, 30); absolute gauges and counters pass
+    through unchanged; an absolute row RESETS the series' running state
+    (MetricSet::make_absolute semantics)."""
+    import ray.data as rd
+
+    rows = []
+
+    def m(name, kind, value, ts):
+        rows.append({"name": name, "namespace": "", "tags": "",
+                     "kind": kind, "value": float(value), "ts": ts})
+
+    m("incremental_counter", "incremental", 10.0, 1)
+    m("incremental_counter", "incremental", 10.0, 2)
+    m("incremental_counter", "incremental", 10.0, 3)
+    m("gauge", "absolute", 42.0, 1)
+    m("absolute_counter", "absolute", 42.0, 1)
+    # reset semantics: absolute mid-stream restarts the running sum
+    m("mixed", "incremental", 10.0, 1)
+    m("mixed", "absolute", 100.0, 2)
+    m("mixed", "incremental", 10.0, 3)
+
+    out = incremental_to_absolute(
+        rd.from_arrow(pa.Table.from_pylist(rows))
+    ).to_pandas().sort_values(["name", "ts"])
+    assert (out["kind"] == "absolute").all()
+    got = {(r["name"], r["ts"]): r["value"] for _, r in out.iterrows()}
+    assert [got[("incremental_counter", t)] for t in (1, 2, 3)] == [10.0, 20.0, 30.0]
+    assert got[("gauge", 1)] == 42.0
+    assert got[("absolute_counter", 1)] == 42.0
+    assert [got[("mixed", t)] for t in (1, 2, 3)] == [10.0, 100.0, 110.0]
