@@ -245,3 +245,46 @@ def test_checkpoint_accepts_legacy_manifest(tmp_path):
     done = run_partitioned([str(src)], process, str(out))
     assert calls == [], "legacy-completed partition was reprocessed"
     assert done == {}
+
+
+def test_python_transform_timer_hook(ray_session):
+    """lua v2 timer analog (src/transforms/lua/v2/mod.rs:28-79): the
+    timer hook fires once per elapsed event-time interval and its
+    emitted rows join the stream (null-padded to the union schema)."""
+    import pyarrow as pa
+
+    from vector_ray.topology import build
+
+    rows = [{"ts": t * 1_000_000, "n": i}
+            for i, t in enumerate([1, 2, 11, 22, 35])]
+
+    def init():
+        return {"seen": 0, "fires": []}
+
+    def process(batch, state):
+        state["seen"] += batch.num_rows
+        return batch.append_column(
+            "flush", pa.array([False] * batch.num_rows))
+
+    def timer_hook(state, fire_ts_us):
+        state["fires"].append(fire_ts_us)
+        return [{"ts": fire_ts_us, "n": -1, "flush": True,
+                 "seen_so_far": state["seen"]}]
+
+    cfg = {
+        "sources": {"in": {"type": "inline", "rows": rows}},
+        "transforms": {
+            "udf": {"type": "python", "inputs": ["in"],
+                    "init": init, "process": process,
+                    "timer": {"interval_ms": 10_000, "hook": timer_hook},
+                    "ts_field": "ts"},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["udf"]}},
+    }
+    out = build(cfg)["out"].to_pandas()
+    data = out[~out["flush"]]
+    fires = out[out["flush"]].sort_values("ts")
+    assert len(data) == 5
+    # event time spans 1s..35s → fires at 10s, 20s, 30s boundaries
+    assert list(fires["ts"]) == [10_000_000, 20_000_000, 30_000_000]
+    assert (data["seen_so_far"].isna()).all()  # padded on data rows

@@ -419,19 +419,68 @@ def _t_python(cfg, inputs):
     return value is the state threaded into every call),
     ``process(batch, state) -> batch`` per batch, ``shutdown(state)``
     at actor teardown (side effects only: the streaming model has no
-    terminal emit slot; Vector's timer-driven emission maps to the
-    aggregate stages instead)."""
+    terminal emit slot).
+
+    Timers (src/transforms/lua/v2/mod.rs:28-79 timer_hooks): pass
+    ``timer`` = {"interval_ms": N, "hook": fn(state, fire_ts_us) ->
+    list[dict] | None} and the hook fires once per elapsed EVENT-TIME
+    interval (observed via ``ts_field``, default "ts"); returned rows
+    are appended to the stream, null-padded to the union schema.  The
+    reference runs exactly one Lua VM, so a timer forces
+    concurrency=1 — periodic flushes would otherwise duplicate per
+    actor."""
     if "process" in cfg:
         init_fn = cfg.get("init")
         process_fn = cfg["process"]
         shutdown_fn = cfg.get("shutdown")
+        timer = cfg.get("timer")
+        ts_field = cfg.get("ts_field", "ts")
+
+        def _pad_union(a: "pa.Table", b: "pa.Table") -> "pa.Table":
+            import pyarrow as pa
+
+            for name in a.column_names:
+                if name not in b.column_names:
+                    b = b.append_column(
+                        name, pa.nulls(b.num_rows, type=a.schema.field(name).type)
+                    )
+            for name in b.column_names:
+                if name not in a.column_names:
+                    a = a.append_column(
+                        name, pa.nulls(a.num_rows, type=b.schema.field(name).type)
+                    )
+            b = b.select(a.column_names)
+            return pa.concat_tables([a, b.cast(a.schema)])
 
         class _HookedUDF:
             def __init__(self):
                 self.state = init_fn() if init_fn else None
+                self._next_fire = None
 
             def __call__(self, batch):
-                return process_fn(batch, self.state)
+                import pyarrow as pa
+
+                out = process_fn(batch, self.state)
+                if timer and batch.num_rows:
+                    iv = int(timer["interval_ms"]) * 1000
+                    ts = batch[ts_field]
+                    if isinstance(ts, pa.ChunkedArray):
+                        ts = ts.combine_chunks()
+                    import pyarrow.compute as pc
+
+                    us = ts.cast(pa.timestamp("us")).cast(pa.int64())
+                    lo = pc.min(us).as_py()
+                    hi = pc.max(us).as_py()
+                    if self._next_fire is None:
+                        self._next_fire = (lo // iv) * iv + iv
+                    emitted = []
+                    while hi >= self._next_fire:
+                        rows = timer["hook"](self.state, self._next_fire)
+                        emitted.extend(rows or [])
+                        self._next_fire += iv
+                    if emitted:
+                        out = _pad_union(out, pa.Table.from_pylist(emitted))
+                return out
 
             def __del__(self):  # pragma: no cover - interpreter-timing dependent
                 if shutdown_fn:
@@ -440,7 +489,7 @@ def _t_python(cfg, inputs):
         return inputs.map_batches(
             _HookedUDF,
             batch_format=cfg.get("batch_format", "pyarrow"),
-            concurrency=cfg.get("concurrency", (1, 2)),
+            concurrency=1 if timer else cfg.get("concurrency", (1, 2)),
         )
     fn = cfg["fn"]
     if cfg.get("per_batch", True):
