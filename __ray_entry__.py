@@ -152,6 +152,59 @@ def q_metric_to_log(sf_dir):
     return logs.select_columns(["metric_name", "tags", "value", "timestamp"])
 
 
+def q_metric_to_log_typed(sf_dir):
+    """Typed-payload metric_to_log: gauge lands under gauge.value, tags
+    unpack to tags.<k> columns, the configured host tag promotes to a
+    top-level host field (metric_to_log.rs:419-460 field layout)."""
+    from vector_ray.stages import log_to_metric
+    from vector_ray.stages.log_to_metric import metric_to_log_typed
+
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    metrics = log_to_metric(
+        ds,
+        [{"type": "gauge", "field": "value", "name": "g",
+          "tags": {"host": "node-1", "type": "{{event_type}}"}}],
+        ts_field="ts",
+    )
+    out = metric_to_log_typed(metrics, host_tag="host")
+    return out.select_columns(
+        ["name", "kind", "gauge.value", "timestamp", "host", "tags.type"]
+    )
+
+
+def q_incremental_reset(sf_dir):
+    """incremental_to_absolute with interleaved kinds: purchases arrive
+    as ABSOLUTE metrics and reset the per-user running sum
+    (MetricSet::make_absolute semantics); all other events accumulate
+    incrementally."""
+    from vector_ray.stages import incremental_to_absolute
+
+    ds = _events(sf_dir, ["user_id", "event_type", "value", "ts"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kind = pc.if_else(
+            pc.equal(batch["event_type"], "purchase"),
+            pa.scalar("absolute"), pa.scalar("incremental"),
+        )
+        tags = pc.binary_join_element_wise(
+            pa.array(["u="] * n), batch["user_id"].cast(pa.string()), ""
+        )
+        return pa.table({
+            "name": pa.array(["v"] * n),
+            "namespace": pa.array([""] * n),
+            "tags": tags,
+            "kind": kind,
+            "value": batch["value"],
+            "ts": batch["ts"],
+        })
+
+    metrics = ds.map_batches(_mk, batch_format="pyarrow", batch_size=None)
+    out = incremental_to_absolute(metrics)
+    df = out.to_pandas()[["tags", "ts", "value"]]
+    return _round_cols(df, ["value"], 3)
+
+
 def q_remap_parse_json(sf_dir):
     """remap: parse the props JSON column, project k."""
     from vector_ray.stages import remap
@@ -792,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_rows": q_route_rows,
         "exclusive_route_rows": q_exclusive_route_rows,
         "incremental_to_absolute": q_incremental_to_absolute,
+        "incremental_reset": q_incremental_reset,
+        "metric_to_log_typed": q_metric_to_log_typed,
         "aggregate_latest": q_aggregate_latest,
         "metric_to_log": q_metric_to_log,
         "remap_parse_json": q_remap_parse_json,
@@ -890,6 +945,22 @@ def oracle_sql() -> dict[str, str]:
         "incremental_to_absolute": (
             "SELECT 'type=' || event_type AS tags, ts, round(sum(value) OVER "
             "(PARTITION BY event_type ORDER BY ts), 3) AS value FROM events"
+        ),
+        "incremental_reset": (
+            "WITH m AS (SELECT user_id, ts, value, CASE WHEN event_type = 'purchase' "
+            "THEN 'absolute' ELSE 'incremental' END AS kind FROM events), "
+            "seg AS (SELECT *, count(CASE WHEN kind = 'absolute' THEN 1 END) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS seg FROM m) "
+            "SELECT 'u=' || user_id AS tags, ts, round("
+            "COALESCE(MAX(CASE WHEN kind = 'absolute' THEN value END) OVER "
+            "(PARTITION BY user_id, seg), 0) + "
+            "SUM(CASE WHEN kind = 'incremental' THEN value ELSE 0 END) OVER "
+            "(PARTITION BY user_id, seg ORDER BY ts), 3) AS value FROM seg"
+        ),
+        "metric_to_log_typed": (
+            "SELECT 'g' AS name, 'absolute' AS kind, value AS \"gauge.value\", "
+            "ts AS timestamp, 'node-1' AS host, event_type AS \"tags.type\" "
+            "FROM events"
         ),
         "aggregate_latest": (
             "SELECT 'type=' || event_type AS tags, date_trunc('day', ts) AS window_start, "
