@@ -426,9 +426,12 @@ def _t_python(cfg, inputs):
     list[dict] | None} and the hook fires once per elapsed EVENT-TIME
     interval (observed via ``ts_field``, default "ts"); returned rows
     are appended to the stream, null-padded to the union schema.  The
-    reference runs exactly one Lua VM, so a timer forces
-    concurrency=1 — periodic flushes would otherwise duplicate per
-    actor."""
+    reference runs exactly one Lua VM over an ordered stream, so a
+    timer forces concurrency=1 AND event-time-ordered single-partition
+    delivery (sort + repartition(1)) — without it Ray delivers blocks
+    in arbitrary order (preserve_order defaults off) and boundary
+    fires between out-of-order batches are silently skipped.  Periodic
+    flushes would likewise duplicate per actor at concurrency>1."""
     if "process" in cfg:
         init_fn = cfg.get("init")
         process_fn = cfg["process"]
@@ -486,6 +489,11 @@ def _t_python(cfg, inputs):
                 if shutdown_fn:
                     shutdown_fn(self.state)
 
+        if timer:
+            # Event-time timers need in-order delivery: one ordered
+            # partition through one actor (the reference's single-VM
+            # constraint; see docstring).
+            inputs = inputs.sort(ts_field).repartition(1)
         return inputs.map_batches(
             _HookedUDF,
             batch_format=cfg.get("batch_format", "pyarrow"),
