@@ -32,7 +32,11 @@ def test_assertions():
 def test_path_functions():
     assert call("basename", s("/usr/local/bin/tool")).to_pylist() == ["tool"]
     assert call("dirname", s("/usr/local/bin/tool")).to_pylist() == ["/usr/local/bin"]
-    assert call("split_path", s("/a/b/c")).to_pylist() == [["a", "b", "c"]]
+    # split_path.cue: absolute paths keep the leading "/" component
+    assert call("split_path", s("/a/b/c")).to_pylist() == [["/", "a", "b", "c"]]
+    assert call("split_path", s("/")).to_pylist() == [["/"]]
+    assert call("split_path", s("")).to_pylist() == [[]]
+    assert call("split_path", s("a/b")).to_pylist() == [["a", "b"]]
 
 
 def test_string_helpers():
@@ -58,8 +62,12 @@ def test_punycode_roundtrip():
 def test_math_and_hash():
     assert abs(call("log", pa.array([math_e := 2.718281828459045])).to_pylist()[0] - 1.0) < 1e-9
     assert call("log", pa.array([100.0]), 10).to_pylist() == [2.0]
-    d = call("haversine", pa.array([0.0]), pa.array([0.0]), 0.0, 1.0).to_pylist()[0]
-    assert abs(d - 111.19) < 0.5  # one degree of longitude at the equator, km
+    # haversine.cue example: (0,0)->(10,10) = {distance 1568.5227233, bearing 44.561}
+    d = call("haversine", pa.array([0.0]), pa.array([0.0]), 10.0, 10.0).to_pylist()[0]
+    assert abs(d["distance"] - 1568.5227233) < 1e-4 and abs(d["bearing"] - 44.561) < 1e-2
+    dm = call("haversine", pa.array([0.0]), pa.array([0.0]), 10.0, 10.0,
+              "miles").to_pylist()[0]
+    assert abs(dm["distance"] - 974.6348468) < 1e-4
     crc = call("crc", s("hello")).to_pylist()
     import binascii
 
@@ -75,14 +83,14 @@ def test_community_id_known_vector():
     """Corelight spec v1 example: tcp 66.35.250.204:80 -> 128.232.110.120:34855."""
     got = call(
         "community_id",
-        pa.array([6]), pa.array(["66.35.250.204"]), pa.array([80]),
-        pa.array(["128.232.110.120"]), pa.array([34855]),
+        pa.array(["66.35.250.204"]), pa.array(["128.232.110.120"]),
+        pa.array([6]), pa.array([80]), pa.array([34855]),
     ).to_pylist()
     # symmetric: reversed direction gives the same id
     rev = call(
         "community_id",
-        pa.array([6]), pa.array(["128.232.110.120"]), pa.array([34855]),
-        pa.array(["66.35.250.204"]), pa.array([80]),
+        pa.array(["128.232.110.120"]), pa.array(["66.35.250.204"]),
+        pa.array([6]), pa.array([34855]), pa.array([80]),
     ).to_pylist()
     assert got == rev == ["1:LQU9qZlK+B5F3KDmev6m5PMibrg="]
 
@@ -174,10 +182,15 @@ def test_parsers():
     toks = call("parse_tokens",
                 s('127.0.0.1 - [10/Oct/2000:13:55:36] "GET /x" 200')).to_pylist()
     assert toks == [["127.0.0.1", "-", "10/Oct/2000:13:55:36", "GET /x", "200"]]
+    # base defaults to 2 (parse_bytes.cue): ambiguous kb is binary
     b = call("parse_bytes", s("1 MiB", "2kb"), "byte").to_pylist()
-    assert b == [1048576.0, 2000.0]
-    assert call("parse_etld", s("sub.example.co.uk")).to_pylist() == ["co.uk"]
-    assert call("parse_etld", s("sub.example.co.uk"), 1).to_pylist() == ["example.co.uk"]
+    assert b == [1048576.0, 2048.0]
+    b10 = call("parse_bytes", s("4TB"), "MB", "10").to_pylist()
+    assert b10 == [4000000.0]
+    etld = call("parse_etld", s("sub.example.co.uk")).to_pylist()
+    assert etld[0]["etld"] == "co.uk" and etld[0]["known_suffix"] is True
+    assert call("parse_etld", s("sub.example.co.uk"), 1).to_pylist()[0][
+        "etld_plus"] == "example.co.uk"
 
 
 def test_parse_influxdb():

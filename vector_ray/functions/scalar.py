@@ -34,12 +34,12 @@ def register(name: str):
     return deco
 
 
-def call(name: str, col, *args):
+def call(name: str, col, *args, **kwargs):
     if name not in FUNCTIONS:
         raise ValueError(f"unknown function {name!r} (have {sorted(FUNCTIONS)})")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return FUNCTIONS[name](col, *args)
+    return FUNCTIONS[name](col, *args, **kwargs)
 
 
 # ----------------------------------------------------------- strings
@@ -48,31 +48,177 @@ register("upcase")(lambda c: pc.utf8_upper(c))
 register("downcase")(lambda c: pc.utf8_lower(c))
 register("strip_whitespace")(lambda c: pc.utf8_trim_whitespace(c))
 register("slice")(lambda c, start, stop=None: pc.utf8_slice_codeunits(c, start, stop))
-register("replace")(
-    lambda c, pat, rep: pc.replace_substring_regex(c, pattern=pat, replacement=rep)
-)
-register("truncate")(lambda c, n: pc.utf8_slice_codeunits(c, 0, n))
+
+
+@register("replace")
+def _replace(c, pat, rep, count=-1):
+    """replace(value, pattern, with, count) — count<0 = all
+    (replace.cue); patterns are regexes in our registry convention."""
+    return pc.replace_substring_regex(
+        c, pattern=pat, replacement=rep,
+        max_replacements=None if count is None or count < 0 else int(count),
+    )
+
+
+@register("truncate")
+def _truncate(c, limit, ellipsis=False, suffix=None):
+    """truncate(value, limit, suffix) — appends suffix only to rows
+    that were actually truncated (truncate.cue); ellipsis=True is the
+    deprecated "..." spelling."""
+    cut = pc.utf8_slice_codeunits(c, 0, limit)
+    tail = suffix if suffix is not None else ("..." if ellipsis else "")
+    if not tail:
+        return cut
+    was_cut = pc.greater(pc.utf8_length(c), limit)
+    return pc.if_else(was_cut, pc.binary_join_element_wise(cut, tail, ""), cut)
+
+
 register("string_length")(lambda c: pc.utf8_length(c))
-register("starts_with")(lambda c, p: pc.starts_with(c, pattern=p))
-register("ends_with")(lambda c, p: pc.ends_with(c, pattern=p))
-register("contains")(lambda c, p: pc.match_substring(c, p))
+
+
+def _cased(c, p, case_sensitive):
+    if case_sensitive:
+        return c, p
+    return pc.utf8_lower(c), p.lower()
+
+
+@register("starts_with")
+def _starts_with(c, p, case_sensitive=True):
+    c, p = _cased(c, p, case_sensitive)
+    return pc.starts_with(c, pattern=p)
+
+
+@register("ends_with")
+def _ends_with(c, p, case_sensitive=True):
+    c, p = _cased(c, p, case_sensitive)
+    return pc.ends_with(c, pattern=p)
+
+
+@register("contains")
+def _contains(c, p, case_sensitive=True):
+    c, p = _cased(c, p, case_sensitive)
+    return pc.match_substring(c, p)
+
+
 register("match")(lambda c, p: pc.match_substring_regex(c, p))
-register("split")(lambda c, p: pc.split_pattern(c, pattern=p))
+
+
+@register("split")
+def _split(c, p, limit=None):
+    """split(value, pattern, limit) — limit = max number of
+    substrings returned (split.cue)."""
+    if limit is None:
+        return pc.split_pattern(c, pattern=p)
+    return pc.split_pattern(c, pattern=p, max_splits=max(int(limit) - 1, 0))
+
+
 register("join")(lambda c, sep: pc.binary_join(c, sep))
 
 
+@register("find")
+def _find(c, pattern, from_=0):
+    """find(value, pattern, from) — byte index of first regex match at
+    or after ``from``, -1 when absent (find.cue)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def _one(s):
+        m = rx.search(s, int(from_))
+        return -1 if m is None else m.start()
+
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return pa.array(
+        [None if v is None else _one(v) for v in c.to_pylist()], type=pa.int64()
+    )
+
+
+# named redact filters (redact.cue filter enum; patterns are the
+# well-known public formats)
+_REDACT_NAMED = {
+    "us_social_security_number": r"\b\d{3}-?\d{2}-?\d{4}\b",
+    "credit_card": r"\b(?:\d[ -]*?){13,16}\b",
+}
+
+
 @register("redact")
-def _redact(c, pattern, replacement="[REDACTED]"):
-    """redact() analog: mask regex matches."""
-    return pc.replace_substring_regex(c, pattern=pattern, replacement=replacement)
+def _redact(c, pattern, replacement="[REDACTED]", redactor=None):
+    """redact(value, filters, redactor) — filters is a regex, a named
+    filter, or a list of either; redactor "full" (default) masks with
+    [REDACTED], {"type": "text", "replacement": …} customizes it,
+    "sha2"/"sha3" replace matches with their hash (redact.cue).
+    String values only in the columnar model."""
+    filters = pattern if isinstance(pattern, (list, tuple)) else [pattern]
+    patterns = [_REDACT_NAMED.get(f, f) for f in filters]
+    if redactor is None and isinstance(replacement, (dict, str)) \
+            and replacement not in ("[REDACTED]",):
+        # third positional may be the redactor spec per the cue order
+        if isinstance(replacement, dict) or replacement in ("full", "sha2", "sha3"):
+            redactor, replacement = replacement, "[REDACTED]"
+    if isinstance(redactor, dict):
+        replacement = redactor.get("replacement", "[REDACTED]")
+        redactor = redactor.get("type", "text")
+    if redactor in ("sha2", "sha3"):
+        import hashlib
+        import re as _re
+
+        algo = hashlib.sha512 if redactor == "sha2" else hashlib.sha3_512
+        rxs = [_re.compile(p) for p in patterns]
+
+        def _one(v):
+            for rx in rxs:
+                v = rx.sub(lambda m: algo(m.group(0).encode()).hexdigest(), v)
+            return v
+
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.array(
+            [None if v is None else _one(v) for v in c.to_pylist()],
+            type=pa.string(),
+        )
+    for p in patterns:
+        c = pc.replace_substring_regex(c, pattern=p, replacement=replacement)
+    return c
 
 
 # ----------------------------------------------------------- numeric
 
 register("abs")(lambda c: pc.abs(c))
-register("ceil")(lambda c: pc.ceil(c))
-register("floor")(lambda c: pc.floor(c))
-register("round")(lambda c, nd=0: pc.round(c, ndigits=nd))
+
+
+def _f64_and_mask(c):
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    c = c.cast(pa.float64())
+    mask = pc.is_null(c).to_numpy(zero_copy_only=False)
+    return c.to_numpy(zero_copy_only=False), mask
+
+
+def _scaled(c, precision, kernel):
+    """ceil/floor with decimal precision (ceil.cue/floor.cue): scale,
+    round off binary representation error (4.345*100=434.49999…),
+    apply, unscale."""
+    x, mask = _f64_and_mask(c)
+    f = 10.0 ** int(precision)
+    x9 = np.round(x * f, 9)
+    return pa.array(kernel(x9) / f, mask=mask)
+
+
+register("ceil")(lambda c, precision=0: _scaled(c, precision, np.ceil))
+register("floor")(lambda c, precision=0: _scaled(c, precision, np.floor))
+
+
+@register("round")
+def _round(c, precision=0):
+    """round(value, precision) — half away from zero like Rust
+    f64::round (round.cue: round(4.345, 2) == 4.35), NOT numpy/Arrow
+    banker's rounding."""
+    x, mask = _f64_and_mask(c)
+    f = 10.0 ** int(precision)
+    x9 = np.round(x * f, 9)
+    out = np.sign(x9) * np.floor(np.abs(x9) + 0.5) / f
+    return pa.array(out, mask=mask)
 
 
 @register("mod")
@@ -82,10 +228,51 @@ def _mod(c, m):
 
 # -------------------------------------------------------------- types
 
-register("to_int")(lambda c: c.cast(pa.int64()))
-register("to_float")(lambda c: c.cast(pa.float64()))
+@register("to_int")
+def _to_int(c):
+    """to_int.cue: timestamps coerce to whole epoch seconds."""
+    if pa.types.is_timestamp(c.type):
+        return pc.divide(c.cast(pa.timestamp("us")).cast(pa.int64()), 1_000_000)
+    return c.cast(pa.int64())
+
+
+@register("to_float")
+def _to_float(c):
+    """to_float.cue: timestamps coerce to fractional epoch seconds."""
+    if pa.types.is_timestamp(c.type):
+        us = c.cast(pa.timestamp("us")).cast(pa.int64())
+        return pc.divide(us.cast(pa.float64()), 1_000_000.0)
+    return c.cast(pa.float64())
 register("to_string")(lambda c: c.cast(pa.string()))
-register("to_bool")(lambda c: c.cast(pa.bool_()))
+@register("to_bool")
+def _to_bool(c):
+    """Lenient boolean coercion (to_bool.cue): strings
+    true/t/yes/y/1 → true, false/f/no/n/0 → false; numbers 0/0.0 →
+    false else true; null → false."""
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    t = c.type
+    if pa.types.is_boolean(t):
+        return pc.fill_null(c, False)
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pc.fill_null(pc.not_equal(c, 0), False)
+    if pa.types.is_null(t):
+        return pa.array([False] * len(c), type=pa.bool_())
+    truthy = {"true", "t", "yes", "y", "1"}
+    falsy = {"false", "f", "no", "n", "0"}
+    out = []
+    for v in c.to_pylist():
+        if v is None:
+            out.append(False)
+            continue
+        s = str(v).strip().lower()
+        if s in truthy:
+            out.append(True)
+        elif s in falsy:
+            out.append(False)
+        else:
+            raise ValueError(f"to_bool: unparseable boolean {v!r}")
+    return pa.array(out, type=pa.bool_())
 register("is_null")(lambda c: pc.is_null(c))
 
 
@@ -96,45 +283,127 @@ def _coalesce(c, default):
 
 # --------------------------------------------------------- timestamps
 
+_UNIT_US = {
+    "seconds": 1_000_000, "milliseconds": 1_000, "microseconds": 1,
+    "nanoseconds": None,  # sub-us: scale up instead
+}
+
+
 @register("to_unix_timestamp")
-def _to_unix(c):
-    return pc.divide(c.cast(pa.timestamp("us")).cast(pa.int64()), 1_000_000)  # us → s
+def _to_unix(c, unit="seconds"):
+    us = c.cast(pa.timestamp("us")).cast(pa.int64())
+    if unit == "nanoseconds":
+        return pc.multiply(us, 1_000)
+    return pc.divide(us, _UNIT_US[unit])
 
 
 @register("from_unix_timestamp")
-def _from_unix(c):
-    return pc.multiply(c.cast(pa.int64()), 1_000_000).cast(pa.timestamp("us"))
+def _from_unix(c, unit="seconds"):
+    v = c.cast(pa.int64())
+    if unit == "nanoseconds":
+        return pc.divide(v, 1_000).cast(pa.timestamp("us"))
+    return pc.multiply(v, _UNIT_US[unit]).cast(pa.timestamp("us"))
+
+
+def _chrono_strftime(fmt: str) -> str:
+    """Map chrono-only format specifiers (format_timestamp.cue uses
+    chrono's strftime dialect) onto C strftime ones."""
+    return (
+        fmt.replace("%+", "%Y-%m-%dT%H:%M:%S%:z")
+        .replace("%v", "%-d-%b-%Y")
+        .replace("%R", "%H:%M")
+        .replace("%T", "%H:%M:%S")
+        .replace("%D", "%m/%d/%y")
+        .replace("%F", "%Y-%m-%d")
+    )
 
 
 @register("format_timestamp")
-def _format_ts(c, fmt="%Y-%m-%dT%H:%M:%S"):
+def _format_ts(c, fmt="%Y-%m-%dT%H:%M:%S", timezone=None):
     # cast to second resolution first: Arrow's %S appends the fractional
     # part for sub-second units
+    fmt = _chrono_strftime(fmt)
+    if "%:z" in fmt or "%-" in fmt:
+        # glibc handles %-d; %:z (chrono's +00:00 form) is hand-rolled
+        import datetime as _dt
+
+        arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        out = []
+        for v in arr.cast(pa.timestamp("s")).to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            v = v.replace(tzinfo=_dt.timezone.utc)
+            s = v.strftime(fmt.replace("%:z", "\x01"))
+            out.append(s.replace("\x01", "+00:00"))
+        return pa.array(out, type=pa.string())
     return pc.strftime(c.cast(pa.timestamp("s")), format=fmt)
 
 
 @register("parse_timestamp")
-def _parse_ts(c, fmt="%Y-%m-%dT%H:%M:%S"):
+def _parse_ts(c, fmt="%Y-%m-%dT%H:%M:%S", timezone=None):
+    """parse_timestamp(value, format, timezone) — chrono dialect
+    (parse_timestamp.cue); a named timezone interprets wall-clock
+    inputs in that zone and converts to UTC."""
+    fmt = _chrono_strftime(fmt)
+    if "%:z" in fmt or "%-" in fmt or timezone:
+        import datetime as _dt
+
+        try:
+            from zoneinfo import ZoneInfo
+        except ImportError:  # pragma: no cover
+            ZoneInfo = None
+        tz = ZoneInfo(timezone) if (timezone and ZoneInfo) else None
+        pyfmt = fmt.replace("%:z", "%z").replace("%-d", "%d")
+        arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        out = []
+        for v in arr.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                # %d tolerates non-padded days; chrono's %-d input does too
+                d = _dt.datetime.strptime(v, pyfmt)
+            except ValueError:
+                out.append(None)
+                continue
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            elif tz is not None:
+                d = d.replace(tzinfo=tz).astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            out.append(d)
+        return pa.array(out, type=pa.timestamp("us"))
     return pc.strptime(c, format=fmt, unit="us", error_is_null=True)
 
 
 # ------------------------------------------------------ hashes/codecs
 
 @register("encode_base64")
-def _b64e(c):
+def _b64e(c, padding=True, charset="standard"):
+    """encode_base64(value, padding, charset) — charset "url_safe"
+    uses the URL-safe alphabet (encode_base64.cue)."""
     import base64
 
-    return pa.array(
-        [None if v is None else base64.b64encode(v.encode() if isinstance(v, str) else v).decode()
-         for v in c.to_pylist()]
-    )
+    enc = base64.urlsafe_b64encode if charset == "url_safe" else base64.b64encode
+
+    def _one(v):
+        s = enc(v.encode() if isinstance(v, str) else v).decode()
+        return s.rstrip("=") if not padding else s
+
+    return pa.array([None if v is None else _one(v) for v in c.to_pylist()])
 
 
 @register("decode_base64")
-def _b64d(c):
+def _b64d(c, charset="standard"):
     import base64
 
-    return pa.array([None if v is None else base64.b64decode(v).decode() for v in c.to_pylist()])
+    dec = base64.urlsafe_b64decode if charset == "url_safe" else base64.b64decode
+
+    def _one(v):
+        v = v + "=" * (-len(v) % 4)  # tolerate unpadded input
+        return dec(v).decode()
+
+    return pa.array([None if v is None else _one(v) for v in c.to_pylist()])
 
 
 def _hashlib_fn(algo):
@@ -185,15 +454,35 @@ def _ip_aton(c):
 
 
 @register("ip_cidr_contains")
-def _cidr(c, cidr: str):
-    """cidr_contains analog: membership of each IP in one CIDR block."""
+def _cidr(c, cidr):
+    """ip_cidr_contains analog: membership of each IP in one CIDR
+    block or any of a list of blocks; IPv6 falls back to the stdlib
+    per row (ip_cidr_contains.cue)."""
     import ipaddress
 
-    net = ipaddress.ip_network(cidr, strict=False)
-    base = int(net.network_address)
-    mask = int(net.netmask)
-    ips = _ip_aton(c).to_numpy(zero_copy_only=False)
-    return pa.array((ips & mask) == base)
+    cidrs = cidr if isinstance(cidr, (list, tuple)) else [cidr]
+    nets = [ipaddress.ip_network(x, strict=False) for x in cidrs]
+    if len(nets) == 1 and nets[0].version == 4:
+        net = nets[0]
+        base = int(net.network_address)
+        mask = int(net.netmask)
+        try:
+            ips = _ip_aton(c).to_numpy(zero_copy_only=False)
+            return pa.array((ips & mask) == base)
+        except Exception:
+            pass  # v6 addresses in the column — fall through
+    out = []
+    for v in (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            a = ipaddress.ip_address(v)
+        except ValueError:
+            out.append(None)
+            continue
+        out.append(any(a.version == n.version and a in n for n in nets))
+    return pa.array(out, type=pa.bool_())
 
 
 # ------------------------------------------------- compression / mac
@@ -391,22 +680,26 @@ def _parse_int(c, base=None):
 
 # ----------------------------------------------------- case rewriting
 
+# The optional ``original_case`` argument of the *case functions is a
+# parser hint in the spec (camelcase.cue etc.) — our splitter already
+# handles every listed case, so it is accepted and unused.
+
 @register("snakecase")
-def _snakecase(c):
+def _snakecase(c, original_case=None):
     x = pc.replace_substring_regex(c, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1_\2")
     x = pc.replace_substring_regex(x, pattern=r"[\s-]+", replacement="_")
     return pc.utf8_lower(x)
 
 
 @register("kebabcase")
-def _kebabcase(c):
+def _kebabcase(c, original_case=None):
     x = pc.replace_substring_regex(c, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1-\2")
     x = pc.replace_substring_regex(x, pattern=r"[\s_]+", replacement="-")
     return pc.utf8_lower(x)
 
 
 @register("camelcase")
-def _camelcase(c):
+def _camelcase(c, original_case=None):
     import re as _re
 
     pat = _re.compile(r"[-_\s]+(.)")
@@ -421,7 +714,7 @@ def _camelcase(c):
 
 
 @register("pascalcase")
-def _pascalcase(c):
+def _pascalcase(c, original_case=None):
     cam = _camelcase(c)
     first = pc.utf8_upper(pc.utf8_slice_codeunits(cam, 0, 1))
     rest = pc.utf8_slice_codeunits(cam, 1)
@@ -430,11 +723,49 @@ def _pascalcase(c):
 
 # ------------------------------------------------------------ url / qs
 
+# percent-encoding ASCII sets (encode_percent.cue enum; definitions
+# from the WHATWG URL standard's percent-encode sets)
+_PCT_CONTROLS = set(chr(i) for i in range(0x20)) | {chr(0x7F)}
+_PCT_FRAGMENT = _PCT_CONTROLS | set(' "<>`')
+_PCT_QUERY = _PCT_CONTROLS | set(' "<>#')
+_PCT_SPECIAL = _PCT_QUERY | {"'"}
+_PCT_PATH = _PCT_FRAGMENT | set("#?{}")
+_PCT_USERINFO = _PCT_PATH | set("/:;=@[\\]^|")
+_PCT_COMPONENT = _PCT_USERINFO | set("$%&+,")
+_PCT_WWW_FORM = _PCT_COMPONENT | set("!'()~")
+_PCT_SETS = {
+    "CONTROLS": _PCT_CONTROLS,
+    "FRAGMENT": _PCT_FRAGMENT,
+    "QUERY": _PCT_QUERY,
+    "SPECIAL": _PCT_SPECIAL,
+    "PATH": _PCT_PATH,
+    "USERINFO": _PCT_USERINFO,
+    "COMPONENT": _PCT_COMPONENT,
+    "WWW_FORM_URLENCODED": _PCT_WWW_FORM,
+}
+
+
 @register("encode_percent")
-def _pct_e(c):
+def _pct_e(c, ascii_set="NON_ALPHANUMERIC"):
+    """encode_percent(value, ascii_set) — NON_ALPHANUMERIC (default)
+    encodes everything but [A-Za-z0-9]; the named sets encode only
+    their members (encode_percent.cue)."""
     from urllib.parse import quote
 
-    return pa.array([None if v is None else quote(v, safe="") for v in c.to_pylist()])
+    if ascii_set == "NON_ALPHANUMERIC":
+        return pa.array(
+            [None if v is None else quote(v, safe="") for v in c.to_pylist()]
+        )
+    chars = _PCT_SETS[ascii_set]
+
+    def _one(v):
+        return "".join(
+            "".join(f"%{b:02X}" for b in ch.encode()) if ch in chars or ord(ch) > 0x7E
+            else ch
+            for ch in v
+        )
+
+    return pa.array([None if v is None else _one(v) for v in c.to_pylist()])
 
 
 @register("decode_percent")
@@ -473,7 +804,11 @@ def _ip_ntoa(c):
     return pa.array(dotted.tolist(), type=pa.string())
 
 
-register("sha3")(_hashlib_fn("sha3_256"))
+@register("sha3")
+def _sha3(c, variant="SHA3-512"):
+    """sha3(value, variant) — default SHA3-512 (sha3.cue)."""
+    algo = "sha3_" + variant.rsplit("-", 1)[-1]
+    return _hashlib_fn(algo)(c)
 
 
 @register("parse_user_agent")
@@ -522,9 +857,6 @@ register("reverse_string")(lambda c: pc.utf8_reverse(c))
 register("repeat")(lambda c, n: pc.binary_repeat(c, n))
 register("pad_left")(lambda c, n, ch=" ": pc.utf8_lpad(c, n, padding=ch))
 register("pad_right")(lambda c, n, ch=" ": pc.utf8_rpad(c, n, padding=ch))
-register("find")(lambda c, sub: pc.find_substring(c, pattern=sub))
-
-
 @register("format_int")
 def _format_int(c, base=16):
     fmt = {2: "b", 8: "o", 10: "d", 16: "x"}[base]
@@ -535,12 +867,27 @@ def _format_int(c, base=16):
 
 
 @register("parse_regex")
-def _parse_regex(c, pattern):
+def _parse_regex(c, pattern, numeric_groups=False):
     """VRL parse_regex: named-group regex → JSON object string per row
-    (vectorized extract_regex; null on no-match)."""
+    (vectorized extract_regex; null on no-match).  numeric_groups adds
+    "0".."N" capture indices like the spec (parse_regex.cue)."""
     import json as _json
 
     arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    if numeric_groups:
+        import re as _re
+
+        rx = _re.compile(pattern)
+        out = []
+        for v in arr.to_pylist():
+            m = rx.search(v) if v is not None else None
+            if m is None:
+                out.append(None)
+                continue
+            d = {str(i): g for i, g in enumerate(m.group(0, *range(1, rx.groups + 1)))}
+            d.update(m.groupdict())
+            out.append(_json.dumps(d, sort_keys=True))
+        return pa.array(out, type=pa.string())
     st = pc.extract_regex(arr, pattern=pattern)
     names = [f.name for f in st.type] if len(st) else []
     cols = {n: st.field(n).to_pylist() for n in names}
@@ -671,19 +1018,26 @@ register("is_object")(_json_pred(lambda v: isinstance(v, dict)))
 
 
 @register("is_json")
-def _is_json(c):
+def _is_json(c, variant=None):
+    """is_json(value, variant) — optional variant restricts the JSON
+    type: object/array/string/number/bool/null (is_json.cue)."""
     import json as _json
 
+    checks = {
+        "object": dict, "array": list, "string": str,
+        "number": (int, float), "bool": bool, "null": type(None),
+    }
     out = []
     for v in c.to_pylist():
         if v is None:
             out.append(False)
             continue
         try:
-            _json.loads(v)
-            out.append(True)
+            parsed = _json.loads(v)
         except Exception:
             out.append(False)
+            continue
+        out.append(True if variant is None else isinstance(parsed, checks[variant]))
     return pa.array(out, type=pa.bool_())
 
 
@@ -701,13 +1055,15 @@ def _is_nullish(c):
 
 @register("is_empty")
 def _is_empty(c):
-    """Empty string / empty JSON array-object."""
+    """Empty string / array / object (is_empty.cue)."""
     import json as _json
 
     out = []
     for v in c.to_pylist():
         if v is None:
             out.append(None)
+        elif isinstance(v, (list, dict)):
+            out.append(len(v) == 0)
         elif isinstance(v, str):
             if v.startswith(("[", "{")):
                 try:
@@ -742,7 +1098,9 @@ register("pow")(lambda c, p: pc.power(c.cast(pa.float64()), p))
 
 
 @register("format_number")
-def _format_number(c, scale=2, grouping_separator=",", decimal_separator="."):
+def _format_number(c, scale=2, decimal_separator=".", grouping_separator=","):
+    """format_number(value, scale, decimal_separator,
+    grouping_separator) — spec argument order (format_number.cue)."""
     out = []
     for v in c.to_pylist():
         if v is None:
@@ -790,12 +1148,16 @@ def _encode_json(c):
 
 @register("get_path")
 def _get_path(c, path):
-    """VRL path get over JSON-object strings: 'a.b[0].c'."""
+    """VRL path get over JSON-object strings: 'a.b[0].c' or the
+    spec's array form ["a", "b", 0, "c"] (get.cue)."""
     import json as _json
     import re as _re
 
     steps = []
-    for part in path.split("."):
+    if isinstance(path, (list, tuple)):
+        steps = [p if isinstance(p, int) else str(p) for p in path]
+        path = ""
+    for part in path.split(".") if path else []:
         m = _re.match(r"([^\[\]]*)((?:\[\d+\])*)$", part)
         if m.group(1):
             steps.append(m.group(1))
@@ -866,16 +1228,25 @@ if "parse_proto" not in FUNCTIONS:
 
 if "match_datadog_query" not in FUNCTIONS:
     def _match_datadog_query(c, query):
-        """Datadog search query over the message column analog
-        (vector_ray/datadog_search.py holds the full dialect; table-level
-        conditions use {"type": "datadog_search"} blocks)."""
+        """Datadog search query over an event (match_datadog_query.cue):
+        struct columns expose their fields as the searchable table
+        (message free-text, tags list, attribute columns); plain string
+        columns are the message (vector_ray/datadog_search.py holds the
+        full dialect; table-level conditions use
+        {"type": "datadog_search"} blocks)."""
         import pyarrow as _pa
 
         from ..datadog_search import compile_datadog_search
 
         if isinstance(c, _pa.ChunkedArray):
             c = c.combine_chunks()
-        return compile_datadog_search(query)(_pa.table({"message": c}))
+        if _pa.types.is_struct(c.type):
+            tbl = _pa.table(
+                {f.name: c.field(f.name) for f in c.type}
+            )
+        else:
+            tbl = _pa.table({"message": c})
+        return compile_datadog_search(query)(tbl)
 
     FUNCTIONS["match_datadog_query"] = _match_datadog_query
 

@@ -116,7 +116,7 @@ def _assert_eq(c, other, message="assertion failed"):
 
 
 @register("screamingsnakecase")
-def _scream(c):
+def _scream(c, original_case=None):
     return pc.utf8_upper(FUNCTIONS["snakecase"](c))
 
 
@@ -124,8 +124,10 @@ def _scream(c):
 # replaces: strip trailing slashes, then everything up to the last '/'
 @register("basename")
 def _basename(c):
+    """basename.cue: "/" (and "") have no final component → null."""
     trimmed = pc.replace_substring_regex(c, pattern=r"/+$", replacement="")
-    return pc.replace_substring_regex(trimmed, pattern=r"^.*/", replacement="")
+    base = pc.replace_substring_regex(trimmed, pattern=r"^.*/", replacement="")
+    return pc.if_else(pc.equal(base, ""), pa.scalar(None, pa.string()), base)
 
 
 @register("dirname")
@@ -138,8 +140,13 @@ def _dirname(c):
 
 @register("split_path")
 def _split_path(c):
-    trimmed = pc.replace_substring_regex(c, pattern=r"^/+|/+$", replacement="")
-    return pc.split_pattern(trimmed, pattern="/")
+    """split_path.cue: absolute paths keep a leading "/" component;
+    "" → [], "/" → ["/"]."""
+    def _one(s):
+        parts = [p for p in s.split("/") if p]
+        return (["/"] + parts) if s.startswith("/") else parts
+
+    return _rowmap(c, _one, pa.list_(pa.string()))
 
 
 @register("contains_all")
@@ -182,16 +189,39 @@ def _sieve(c, permitted_pattern, replace_single="", replace_repeated=None):
 
 @register("chunks")
 def _chunks(c, n):
+    """chunks(value, chunk_size) splits BYTES, not codepoints
+    (chunks.cue: chunks("ab你好", 4) == ["ab�", "�好"]) — multibyte
+    codepoints broken at a boundary decode lossily."""
     n = int(n)
-    return _rowmap(c, lambda s: [s[i : i + n] for i in range(0, len(s), n)],
-                   pa.list_(pa.string()))
+
+    def _one(s):
+        b = s.encode() if isinstance(s, str) else s
+        return [b[i : i + n].decode("utf-8", "replace")
+                for i in range(0, len(b), n)]
+
+    return _rowmap(c, _one, pa.list_(pa.string()))
 
 
 @register("decode_mime_q")
 def _decode_mime_q(c):
+    """RFC 2047 encoded-word decoding, plus the spec's bare
+    ``?b?…`` / ``?q?…`` form with no charset prefix
+    (decode_mime_q.cue third example)."""
+    import base64
+    import quopri
     from email.header import decode_header
 
+    bare = re.compile(r"^\?([bqBQ])\?(.*?)(\?=)?$")
+
     def _one(s):
+        m = bare.match(s)
+        if m:
+            enc, payload = m.group(1).lower(), m.group(2)
+            if enc == "b":
+                payload = payload + "=" * (-len(payload) % 4)
+                return base64.b64decode(payload).decode("utf-8", "replace")
+            return quopri.decodestring(
+                payload.replace("_", " ").encode()).decode("utf-8", "replace")
         parts = decode_header(s)
         return "".join(
             p.decode(enc or "ascii", errors="replace") if isinstance(p, bytes) else p
@@ -218,15 +248,26 @@ def _encode_punycode(c, validate=True):
 
 @register("decode_punycode")
 def _decode_punycode(c, validate=True):
+    """Per-label punycode decode; preserves a trailing root dot
+    (decode_punycode.cue decodes "xn--8hbb.….xn--eib." label by
+    label)."""
     import idna
+
+    def _label(l):
+        if l.lower().startswith("xn--"):
+            return l[4:].encode("ascii").decode("punycode")
+        return l
 
     def _one(s):
         try:
             return idna.decode(s)
         except idna.IDNAError:
-            if validate:
-                raise
-            return s
+            try:
+                return ".".join(_label(l) for l in s.split("."))
+            except (UnicodeError, UnicodeDecodeError):
+                if validate:
+                    raise
+                return s
 
     return _rowmap(c, _one, pa.string())
 
@@ -248,22 +289,42 @@ def _shannon_entropy(c):
 
 
 @register("log")
-def _log(c, base=None):
+def _log(c, base_or_level=None, rate_limit_secs=None):
+    """Dual role: VRL ``log(value, level, rate_limit_secs)`` is the
+    event logger (returns null, log.cue) — engaged when the second
+    arg is a level string; with no/numeric second arg this is the
+    math logarithm (our pre-existing registry meaning)."""
+    if isinstance(base_or_level, str):
+        import logging
+
+        logging.getLogger("vector_ray.vrl").info(
+            "%s", _arr(c)[0].as_py() if len(_arr(c)) else "")
+        return pa.nulls(len(_arr(c)))
     c = _arr(c).cast(pa.float64())
-    if base is None:
+    if base_or_level is None:
         return pc.ln(c)
-    return pc.logb(c, float(base))
+    return pc.logb(c, float(base_or_level))
 
 
 @register("haversine")
 def _haversine(lat1, lon1, lat2, lon2, measurement_system="kilometers"):
-    """Great-circle distance; args may be aligned arrays or scalars."""
+    """Great-circle distance AND initial bearing (haversine.cue
+    returns {distance, bearing}); args may be aligned arrays or
+    scalars.  IUGG mean earth radius 6371.0088 km / 3958.7613 mi,
+    distance rounded to 7 decimals and bearing to 3 like the spec
+    examples."""
     a1, o1 = np.radians(_np_or_scalar(lat1)), np.radians(_np_or_scalar(lon1))
     a2, o2 = np.radians(_np_or_scalar(lat2)), np.radians(_np_or_scalar(lon2))
     h = (np.sin((a2 - a1) / 2) ** 2
          + np.cos(a1) * np.cos(a2) * np.sin((o2 - o1) / 2) ** 2)
-    r = 6371.0 if measurement_system == "kilometers" else 3960.0
-    return pa.array(np.atleast_1d(2 * r * np.arcsin(np.sqrt(h))))
+    r = 6371.0088 if measurement_system == "kilometers" else 3958.7613832
+    dist = np.round(np.atleast_1d(2 * r * np.arcsin(np.sqrt(h))), 7)
+    y = np.sin(o2 - o1) * np.cos(a2)
+    x = np.cos(a1) * np.sin(a2) - np.sin(a1) * np.cos(a2) * np.cos(o2 - o1)
+    bearing = np.round(np.atleast_1d(np.degrees(np.arctan2(y, x))) % 360.0, 3)
+    return pa.StructArray.from_arrays(
+        [pa.array(dist), pa.array(bearing)], names=["distance", "bearing"]
+    )
 
 
 # ------------------------------------------------------------- hashes
@@ -283,44 +344,256 @@ def _sha2(c, variant="SHA-512/224"):
     return _rowmap(c, _one, pa.string())
 
 
-@register("crc")
-def _crc(c, algorithm="CRC-32"):
-    import binascii
+# CRC parameter catalog — (width, poly, init, refin, refout, xorout)
+# from the public CRC RevEng database (the names crc.cue exposes).
+_CRC_CATALOG = {
+    "CRC_8_SMBUS": (8, 0x07, 0x00, False, False, 0x00),
+    "CRC_8_MAXIM_DOW": (8, 0x31, 0x00, True, True, 0x00),
+    "CRC_16_ARC": (16, 0x8005, 0x0000, True, True, 0x0000),
+    "CRC_16_IBM_SDLC": (16, 0x1021, 0xFFFF, True, True, 0xFFFF),
+    "CRC_16_IBM_3740": (16, 0x1021, 0xFFFF, False, False, 0x0000),
+    "CRC_16_KERMIT": (16, 0x1021, 0x0000, True, True, 0x0000),
+    "CRC_16_XMODEM": (16, 0x1021, 0x0000, False, False, 0x0000),
+    "CRC_16_MODBUS": (16, 0x8005, 0xFFFF, True, True, 0x0000),
+    "CRC_16_USB": (16, 0x8005, 0xFFFF, True, True, 0xFFFF),
+    "CRC_32_ISO_HDLC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
+    "CRC_32_CKSUM": (32, 0x04C11DB7, 0x00000000, False, False, 0xFFFFFFFF),
+    "CRC_32_BZIP2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False, 0xFFFFFFFF),
+    "CRC_32_ISCSI": (32, 0x1EDC6F41, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
+    "CRC_32_JAMCRC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True, 0x00000000),
+    "CRC_32_MPEG_2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False, 0x00000000),
+    "CRC_32_XFER": (32, 0x000000AF, 0x00000000, False, False, 0x00000000),
+    "CRC_64_ECMA_182": (64, 0x42F0E1EBA9EA3693, 0x0, False, False, 0x0),
+    "CRC_64_GO_ISO": (64, 0x000000000000001B, 0xFFFFFFFFFFFFFFFF, True, True,
+                      0xFFFFFFFFFFFFFFFF),
+    "CRC_64_XZ": (64, 0x42F0E1EBA9EA3693, 0xFFFFFFFFFFFFFFFF, True, True,
+                  0xFFFFFFFFFFFFFFFF),
+    "CRC_64_REDIS": (64, 0xAD93D23594C935A9, 0x0, True, True, 0x0),
+}
 
-    if algorithm not in ("CRC-32", "CRC-32/ISO-HDLC"):
-        raise ValueError(f"crc: only CRC-32 implemented, got {algorithm!r}")
-    return _rowmap(c, lambda s: str(binascii.crc32(s.encode() if isinstance(s, str) else s)
-                                    & 0xFFFFFFFF), pa.string())
+
+def _crc_compute(data: bytes, width, poly, init, refin, refout, xorout) -> int:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    crc = init
+    for byte in data:
+        if refin:
+            byte = int(f"{byte:08b}"[::-1], 2)
+        crc ^= byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+            crc &= mask
+    if refout:
+        crc = int(f"{crc:0{width}b}"[::-1], 2)
+    return crc ^ xorout
+
+
+@register("crc")
+def _crc(c, algorithm="CRC_32_ISO_HDLC"):
+    """crc(value, algorithm) — generic bitwise CRC over the RevEng
+    parameter catalog (crc.cue names; default CRC_32_ISO_HDLC = the
+    zlib crc32); returns the checksum as a decimal string."""
+    if algorithm in ("CRC-32", "CRC-32/ISO-HDLC"):
+        algorithm = "CRC_32_ISO_HDLC"
+    if algorithm not in _CRC_CATALOG:
+        raise ValueError(
+            f"crc: unknown algorithm {algorithm!r} (have {sorted(_CRC_CATALOG)})")
+    params = _CRC_CATALOG[algorithm]
+    if algorithm == "CRC_32_ISO_HDLC":
+        import binascii
+
+        return _rowmap(
+            c, lambda s: str(binascii.crc32(s.encode() if isinstance(s, str) else s)
+                             & 0xFFFFFFFF), pa.string())
+    return _rowmap(
+        c, lambda s: str(_crc_compute(s.encode() if isinstance(s, str) else s,
+                                      *params)), pa.string())
+
+
+_SEA_M = 0x6EED0E9DA4D94A4F
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _sea_diffuse(x: int) -> int:
+    x = (x * _SEA_M) & _U64
+    x ^= (x >> 32) >> (x >> 60)
+    return (x * _SEA_M) & _U64
 
 
 @register("seahash")
 def _seahash(c):
-    """Stable 64-bit string hash — seahash-equivalent PROPERTIES, our
-    bits (same note as the sample stage)."""
-    from .hashes import hash_string_column
+    """Real SeaHash (public algorithm, seahash crate / ticki's spec):
+    4 lanes round-robin, diffuse(x*M; x^=(x>>32)>>(x>>60); x*M),
+    finalize diffuse(a^b^c^d^len).  Bit-for-bit with seahash.cue
+    examples."""
+    def _one(s):
+        b = s.encode() if isinstance(s, str) else s
+        lanes = [0x16F11FE89B0D677C, 0xB480A793D8E6C86C,
+                 0x6FE2E5AAF078EBC9, 0x14F994A4C5259381]
+        for i in range(0, len(b), 8):
+            chunk = int.from_bytes(b[i : i + 8], "little")
+            lanes[(i // 8) % 4] = _sea_diffuse(lanes[(i // 8) % 4] ^ chunk)
+        h = _sea_diffuse(
+            lanes[0] ^ lanes[1] ^ lanes[2] ^ lanes[3] ^ len(b))
+        return h - (1 << 64) if h >= (1 << 63) else h
 
-    return pa.array(hash_string_column(_arr(c)).view(np.int64))
+    return _rowmap(c, _one, pa.int64())
 
 
-register("xxhash")(lambda c, seed=0: FUNCTIONS["xxhash64"](c, seed))
+# ---- real xxHash (public algorithm, Cyan4973/xxHash spec)
+
+_XXH32_P = (2654435761, 2246822519, 3266489917, 668265263, 374761393)
+_XXH64_P = (11400714785074694791, 14029467366897019727, 1609587929392839161,
+            9650029242287828579, 2870177450012600261)
+
+
+def _rotl32(x, r):
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def _rotl64(x, r):
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh32(b: bytes, seed: int = 0) -> int:
+    P1, P2, P3, P4, P5 = _XXH32_P
+    n = len(b)
+    i = 0
+    if n >= 16:
+        v1 = (seed + P1 + P2) & 0xFFFFFFFF
+        v2 = (seed + P2) & 0xFFFFFFFF
+        v3 = seed & 0xFFFFFFFF
+        v4 = (seed - P1) & 0xFFFFFFFF
+        while i <= n - 16:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(b[i + 4 * j : i + 4 * j + 4], "little")
+                v = (v + lane * P2) & 0xFFFFFFFF
+                v = (_rotl32(v, 13) * P1) & 0xFFFFFFFF
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
+             + _rotl32(v4, 18)) & 0xFFFFFFFF
+    else:
+        h = (seed + P5) & 0xFFFFFFFF
+    h = (h + n) & 0xFFFFFFFF
+    while i <= n - 4:
+        h = (h + int.from_bytes(b[i : i + 4], "little") * P3) & 0xFFFFFFFF
+        h = (_rotl32(h, 17) * P4) & 0xFFFFFFFF
+        i += 4
+    while i < n:
+        h = (h + b[i] * P5) & 0xFFFFFFFF
+        h = (_rotl32(h, 11) * P1) & 0xFFFFFFFF
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * P3) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _xxh64_round(acc, lane):
+    acc = (acc + lane * _XXH64_P[1]) & _U64
+    return (_rotl64(acc, 31) * _XXH64_P[0]) & _U64
+
+
+def _xxh64_merge(h, acc):
+    h ^= _xxh64_round(0, acc)
+    return (h * _XXH64_P[0] + _XXH64_P[3]) & _U64
+
+
+def _xxh64(b: bytes, seed: int = 0) -> int:
+    P1, P2, P3, P4, P5 = _XXH64_P
+    n = len(b)
+    i = 0
+    if n >= 32:
+        v = [(seed + P1 + P2) & _U64, (seed + P2) & _U64, seed & _U64,
+             (seed - P1) & _U64]
+        while i <= n - 32:
+            for j in range(4):
+                lane = int.from_bytes(b[i + 8 * j : i + 8 * j + 8], "little")
+                v[j] = _xxh64_round(v[j], lane)
+            i += 32
+        h = (_rotl64(v[0], 1) + _rotl64(v[1], 7) + _rotl64(v[2], 12)
+             + _rotl64(v[3], 18)) & _U64
+        for j in range(4):
+            h = _xxh64_merge(h, v[j])
+    else:
+        h = (seed + P5) & _U64
+    h = (h + n) & _U64
+    while i <= n - 8:
+        h ^= _xxh64_round(0, int.from_bytes(b[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * P1 + P4) & _U64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(b[i : i + 4], "little") * P1) & _U64
+        h = (_rotl64(h, 23) * P2 + P3) & _U64
+        i += 4
+    while i < n:
+        h ^= (b[i] * P5) & _U64
+        h = (_rotl64(h, 11) * P1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & _U64
+    h ^= h >> 29
+    h = (h * P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+@register("xxhash")
+def _xxhash(c, variant="XXH32", seed=0):
+    """xxhash(value, variant) — real XXH32 (default) / XXH64
+    (xxhash.cue).  XXH3 variants are not implemented (documented
+    gap)."""
+    if variant in ("XXH32", 32, "32"):
+        return _rowmap(
+            c, lambda s: _xxh32(s.encode() if isinstance(s, str) else s, seed),
+            pa.int64())
+
+    def _one(s):
+        h = _xxh64(s.encode() if isinstance(s, str) else s, seed)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    if variant in ("XXH64", 64, "64"):
+        return _rowmap(c, _one, pa.int64())
+    raise ValueError(f"xxhash: unsupported variant {variant!r}")
+
+
+# upgrade the early stand-in registration to the real algorithm
+register("xxhash64")(lambda c, seed=0: FUNCTIONS["xxhash"](c, "XXH64", seed))
 
 
 @register("community_id")
-def _community_id(proto, src_ip, src_port, dst_ip, dst_port, seed=0):
+def _community_id(src_ip, dst_ip, proto, src_port=0, dst_port=0, seed=0):
     """Corelight Community ID v1 flow hash (public spec
     corelight/community-id-spec): sha1 over seed + sorted endpoint
-    tuple, base64, "1:" prefix."""
+    tuple, base64, "1:" prefix.  Argument order follows
+    community_id.cue: (source_ip, destination_ip, protocol,
+    source_port, destination_port, seed)."""
     import base64
     import hashlib
     import socket
     import struct
 
+    def _strs(x, n=None):
+        if isinstance(x, str):
+            return [x] * (n or 1)
+        return _arr(x).to_pylist()
+
+    sips = _strs(src_ip)
+    n = len(sips)
+    dips = _strs(dst_ip, n)
     protos = _np_or_scalar(proto)
-    sips = _arr(src_ip).to_pylist()
-    dips = _arr(dst_ip).to_pylist()
     sps = _np_or_scalar(src_port)
     dps = _np_or_scalar(dst_port)
-    n = len(sips)
 
     def _pack_ip(ip):
         try:
@@ -562,8 +835,14 @@ def _unique(c):
 
 
 @register("zip")
-def _zip(a, b):
+def _zip(a, b=None):
+    """zip(array_0, array_1) pairs two arrays (truncating to the
+    shorter); zip(array_of_arrays) transposes (zip.cue)."""
     av = _arr(a).to_pylist()
+    if b is None:
+        return pa.array(
+            [None if l is None else [list(t) for t in zip(*l)] for l in av]
+        )
     bv = _arr(b).to_pylist() if isinstance(b, (pa.Array, pa.ChunkedArray)) else b
     out = []
     for i, l in enumerate(av):
@@ -633,19 +912,29 @@ def _map_values(c, fn_name):
 
 
 @register("object_from_array")
-def _object_from_array(c):
-    """list<list[k, v]> or list<struct<key,value>> → map."""
+def _object_from_array(c, keys=None):
+    """list<list[k, v]> / list<struct<key,value>> → map; with
+    ``keys``, pairs keys[i] with values[i].  Null keys drop the entry
+    (object_from_array.cue)."""
     def _one(l):
         out = {}
         for item in l:
             if isinstance(item, dict):
-                out[item.get("key")] = item.get("value")
-            else:
+                k = item.get("key")
+                if k is not None:
+                    out[k] = item.get("value")
+            elif item is not None and item[0] is not None:
                 out[item[0]] = item[1] if len(item) > 1 else None
         return out
 
-    return _to_map_array([None if l is None else _one(l)
-                          for l in _arr(c).to_pylist()])
+    vals = _arr(c).to_pylist()
+    if keys is not None:
+        return _to_map_array(
+            [None if l is None else
+             {k: v for k, v in zip(keys, l) if k is not None}
+             for l in vals]
+        )
+    return _to_map_array([None if l is None else _one(l) for l in vals])
 
 
 @register("unflatten")
@@ -668,8 +957,19 @@ def _unflatten(c, separator=".", recursive=True):
                     type=pa.string())
 
 
+def _path_key(key):
+    """set/remove accept the spec's array paths (set.cue: ["a","b"]).
+    Our maps are flat string maps, so nested paths address dotted
+    keys."""
+    if isinstance(key, (list, tuple)):
+        return ".".join(str(k) for k in key)
+    return key
+
+
 @register("set")
 def _set(c, key, value):
+    key = _path_key(key)
+
     def _upd(d):
         d = dict(d)
         d[key] = value
@@ -680,6 +980,8 @@ def _set(c, key, value):
 
 @register("del")
 def _del(c, key):
+    key = _path_key(key)
+
     def _upd(d):
         d = dict(d)
         d.pop(key, None)
@@ -688,7 +990,9 @@ def _del(c, key):
     return _to_map_array([None if d is None else _upd(d) for d in _map_to_dicts(c)])
 
 
-register("remove")(lambda c, key: FUNCTIONS["del"](c, key))
+@register("remove")
+def _remove(c, key, compact=False):
+    return FUNCTIONS["del"](c, _path_key(key))
 
 
 @register("filter")
@@ -791,10 +1095,14 @@ def _parse_groks(c, patterns):
 
 @register("parse_ruby_hash")
 def _parse_ruby_hash(c):
+    """Ruby-hash literals → string map; nested objects/arrays keep
+    JSON serialization (parse_ruby_hash.cue nesting), scalars
+    stringify like parse_json."""
     def _one(s):
         t = re.sub(r"\bnil\b", "null", s.replace("=>", ":"))
         v = json.loads(t)
-        return {k: (None if x is None else str(x)) for k, x in v.items()}
+        return {k: (json.dumps(x) if isinstance(x, (dict, list))
+                    else (None if x is None else str(x))) for k, x in v.items()}
 
     return _to_map_array([None if s is None else _one(s)
                           for s in _arr(c).to_pylist()])
@@ -828,11 +1136,23 @@ def _parse_influxdb(c):
 
 
 @register("parse_bytes")
-def _parse_bytes(c, unit="byte", base=None):
-    units = {"b": 1, "kb": 1000, "mb": 1000**2, "gb": 1000**3, "tb": 1000**4,
-             "kib": 1024, "mib": 1024**2, "gib": 1024**3, "tib": 1024**4}
-    if base == "2":
-        units.update({"kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4})
+def _parse_bytes(c, unit="B", base=2):
+    """parse_bytes(value, unit, base) — parse a byte quantity and
+    express it IN ``unit`` (parse_bytes.cue: parse_bytes("1024KiB",
+    unit: "MiB") == 1.0).  ``base`` (2 default, or "10") resolves
+    ambiguous KB/MB/… suffixes; KiB/MiB/… are always binary."""
+    def _units(b):
+        k = 1024 if str(b) == "2" else 1000
+        u = {"b": 1, "byte": 1, "bytes": 1,
+             "kb": k, "mb": k**2, "gb": k**3, "tb": k**4, "pb": k**5,
+             "kib": 1024, "mib": 1024**2, "gib": 1024**3, "tib": 1024**4,
+             "pib": 1024**5}
+        return u
+
+    units = _units(base)
+    out_size = units.get(str(unit).lower())
+    if out_size is None:
+        raise ValueError(f"parse_bytes: unknown unit {unit!r}")
     rx = re.compile(r"^\s*([\d.]+)\s*([A-Za-z]+)?\s*$")
 
     def _one(s):
@@ -843,7 +1163,7 @@ def _parse_bytes(c, unit="byte", base=None):
         u = (m.group(2) or "B").lower()
         if u not in units:
             raise ValueError(f"parse_bytes: unknown unit {u!r}")
-        return float(qty * units[u])
+        return float(qty * units[u]) / out_size
 
     return _rowmap(c, _one, pa.float64())
 
@@ -851,23 +1171,54 @@ def _parse_bytes(c, unit="byte", base=None):
 register("parse_float")(lambda c: _arr(c).cast(pa.string()).cast(pa.float64()))
 
 
+# well-known single + two-level public suffixes (honest subset — the
+# reference embeds the full Mozilla public-suffix list; this container
+# has no data file for it, documented deviation)
+_KNOWN_SUFFIXES = {
+    "com", "net", "org", "edu", "gov", "mil", "int", "io", "co", "uk",
+    "de", "fr", "jp", "au", "br", "cn", "mx", "in", "ru", "nl", "it",
+    "es", "dev", "app", "ai",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "com.br", "com.cn", "com.mx",
+    "co.in", "co.nz", "com.sg",
+}
+
+
 @register("parse_etld")
-def _parse_etld(c, plus_parts=0):
-    """Effective TLD without a PSL database: the registrable suffix is
-    approximated as the final label (+ known 2-level suffixes).
-    DOCUMENTED DEVIATION: the reference embeds the full public-suffix
-    list; this container has no data file for it."""
-    two_level = {"co.uk", "org.uk", "ac.uk", "com.au", "net.au", "org.au",
-                 "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx"}
+def _parse_etld(c, plus_parts=0, psl=None):
+    """parse_etld(value, plus_parts, psl) → struct {etld, etld_plus,
+    known_suffix} (parse_etld.cue).  Suffix knowledge comes from an
+    embedded well-known subset, or a caller-supplied PSL file path."""
+    suffixes = set(_KNOWN_SUFFIXES)
+    if psl:
+        with open(psl) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("//"):
+                    suffixes.add(line.lstrip("*."))
 
-    def _one(s):
+    etlds, pluses, knowns = [], [], []
+    for s in _arr(c).to_pylist():
+        if s is None:
+            etlds.append(None), pluses.append(None), knowns.append(None)
+            continue
         labels = s.lower().rstrip(".").split(".")
-        tail2 = ".".join(labels[-2:]) if len(labels) >= 2 else None
-        n = 2 if tail2 in two_level else 1
+        n = 1
+        known = False
+        # longest known suffix wins
+        for k in range(len(labels), 0, -1):
+            if ".".join(labels[-k:]) in suffixes:
+                n, known = k, True
+                break
+        etlds.append(".".join(labels[-n:]))
         k = min(len(labels), n + int(plus_parts))
-        return ".".join(labels[-k:])
-
-    return _rowmap(c, _one, pa.string())
+        pluses.append(".".join(labels[-k:]))
+        knowns.append(known)
+    return pa.StructArray.from_arrays(
+        [pa.array(etlds, pa.string()), pa.array(pluses, pa.string()),
+         pa.array(knowns, pa.bool_())],
+        names=["etld", "etld_plus", "known_suffix"],
+    )
 
 
 # ----------------------------------------------------- time / identity
@@ -1070,9 +1421,16 @@ def _uuid_from_friendly_id(c):
 
 
 @register("validate_json_schema")
-def _validate_json_schema(c, schema_json):
+def _validate_json_schema(c, schema_json, ignore_unknown_formats=False):
+    """validate_json_schema(value, schema_definition,
+    ignore_unknown_formats) — schema_definition is inline JSON or a
+    file path (validate_json_schema.cue).  Unknown-format leniency is
+    jsonschema's default behavior, so the flag only gates strictness."""
     import jsonschema
 
+    if isinstance(schema_json, str) and not schema_json.lstrip().startswith("{"):
+        with open(schema_json) as fh:
+            schema_json = fh.read()
     schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
     validator = jsonschema.Draft202012Validator(schema)
 
