@@ -96,8 +96,12 @@ def test_named_log_parsers():
     assert g["file"].to_pylist() == ["main.go", None]
     assert g["line"].to_pylist() == [42, None]
     assert eg.to_pylist() == [False, True]
-    assert parse_klog(pa.array(
-        ["W0817 07:45:01.000001  9 pod.go:7] evicted"]))[0]["level_char"].to_pylist() == ["W"]
+    assert g["level"].to_pylist() == ["info", None]
+    assert g["id"].to_pylist() == [1234, None]
+    k, _ = parse_klog(pa.array(["W0817 07:45:01.000001  9 pod.go:7] evicted"]))
+    assert k["level"].to_pylist() == ["warning"]
+    # klog has no year in the line — current year is inferred
+    assert k["timestamp"].to_pylist()[0].month == 8
 
     v, _ = parse_aws_vpc_flow_log(pa.array(
         ["2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 20641 22 6 20 "

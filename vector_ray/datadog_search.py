@@ -113,7 +113,14 @@ def _compare_pred(op: str, rhs: str) -> Callable:
     return lambda c: k(c.cast(pa.string()), rhs)
 
 
+def _unquote(s: str) -> str:
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        return s[1:-1].replace('\\"', '"')
+    return s
+
+
 def _range_pred(lo: str, hi: str) -> Callable:
+    lo, hi = _unquote(lo), _unquote(hi)
     if _NUM_RX.match(lo) and _NUM_RX.match(hi):
         flo, fhi = float(lo), float(hi)
         return lambda c: pc.and_(
@@ -251,7 +258,10 @@ def _build_term(term: str) -> Callable:
 
     rm = re.match(r"^(@?[\w.\-]+):\[(.+) TO (.+)\]$", term)
     if rm:
-        return _field_matcher(rm.group(1), _range_pred(rm.group(2), rm.group(3)))
+        return _field_matcher(
+            rm.group(1),
+            _range_pred(rm.group(2).strip(), rm.group(3).strip()),
+        )
 
     fm = re.match(r"^(@?[\w.\-]+):(.+)$", term)
     if fm:

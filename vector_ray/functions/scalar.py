@@ -112,7 +112,7 @@ def _split(c, p, limit=None):
     return pc.split_pattern(c, pattern=p, max_splits=max(int(limit) - 1, 0))
 
 
-register("join")(lambda c, sep: pc.binary_join(c, sep))
+register("join")(lambda c, sep="": pc.binary_join(c, sep))
 
 
 @register("find")
@@ -156,23 +156,52 @@ def _redact(c, pattern, replacement="[REDACTED]", redactor=None):
         # third positional may be the redactor spec per the cue order
         if isinstance(replacement, dict) or replacement in ("full", "sha2", "sha3"):
             redactor, replacement = replacement, "[REDACTED]"
+    variant = encoding = None
     if isinstance(redactor, dict):
         replacement = redactor.get("replacement", "[REDACTED]")
+        variant = redactor.get("variant")
+        encoding = redactor.get("encoding", "base64")
         redactor = redactor.get("type", "text")
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if pa.types.is_struct(c.type):
+        # object input (redact.cue ex. 2): redact every string field
+        kids = []
+        for f in c.type:
+            kid = c.field(f.name)
+            if pa.types.is_string(kid.type):
+                kid = _redact(kid, pattern, replacement, redactor)
+            kids.append(kid)
+        return pa.StructArray.from_arrays(kids, names=[f.name for f in c.type])
     if redactor in ("sha2", "sha3"):
+        # defaults per redact.cue: sha2 → SHA-512/256, sha3 → SHA3-512,
+        # base64 output; {"variant": …, "encoding": "base16"} overrides
+        import base64
         import hashlib
         import re as _re
 
-        algo = hashlib.sha512 if redactor == "sha2" else hashlib.sha3_512
+        name = (variant or ("SHA-512/256" if redactor == "sha2" else "SHA3-512"))
+        _hname = {
+            "SHA-224": "sha224", "SHA-256": "sha256", "SHA-384": "sha384",
+            "SHA-512": "sha512", "SHA-512/224": "sha512_224",
+            "SHA-512/256": "sha512_256", "SHA3-224": "sha3_224",
+            "SHA3-256": "sha3_256", "SHA3-384": "sha3_384",
+            "SHA3-512": "sha3_512",
+        }[name]
+
+        def _digest(b):
+            d = hashlib.new(_hname, b).digest()
+            if encoding == "base16":
+                return d.hex()
+            return base64.b64encode(d).decode()
+
         rxs = [_re.compile(p) for p in patterns]
 
         def _one(v):
             for rx in rxs:
-                v = rx.sub(lambda m: algo(m.group(0).encode()).hexdigest(), v)
+                v = rx.sub(lambda m: _digest(m.group(0).encode()), v)
             return v
 
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
         return pa.array(
             [None if v is None else _one(v) for v in c.to_pylist()],
             type=pa.string(),
@@ -355,16 +384,26 @@ def _parse_ts(c, fmt="%Y-%m-%dT%H:%M:%S", timezone=None):
             ZoneInfo = None
         tz = ZoneInfo(timezone) if (timezone and ZoneInfo) else None
         pyfmt = fmt.replace("%:z", "%z").replace("%-d", "%d")
+        # chrono treats whitespace before a zone offset as optional;
+        # Python's strptime demands it — try both spellings
+        fmts = [pyfmt]
+        if " %z" in pyfmt:
+            fmts.append(pyfmt.replace(" %z", "%z"))
         arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         out = []
         for v in arr.to_pylist():
             if v is None:
                 out.append(None)
                 continue
-            try:
-                # %d tolerates non-padded days; chrono's %-d input does too
-                d = _dt.datetime.strptime(v, pyfmt)
-            except ValueError:
+            d = None
+            for f in fmts:
+                try:
+                    # %d tolerates non-padded days; chrono's %-d input does too
+                    d = _dt.datetime.strptime(v, f)
+                    break
+                except ValueError:
+                    continue
+            if d is None:
                 out.append(None)
                 continue
             if d.tzinfo is not None:

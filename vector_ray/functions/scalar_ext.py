@@ -966,16 +966,121 @@ def _path_key(key):
     return key
 
 
+def _obj_rows(c):
+    """Rows of a map/struct/list column as plain Python objects, or
+    None if the column isn't object-shaped."""
+    c = _arr(c)
+    if pa.types.is_map(c.type):
+        return [None if v is None else dict(v) for v in c.to_pylist()], "map"
+    if pa.types.is_struct(c.type) or pa.types.is_list(c.type) \
+            or pa.types.is_large_list(c.type):
+        return c.to_pylist(), "py"
+    return None, None
+
+
+def _rebuild_obj(rows, kind):
+    if kind == "map":
+        return _to_map_array(rows)
+    try:
+        return pa.array(rows)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        import json as _json
+
+        return pa.array(
+            [None if r is None else _json.dumps(r, sort_keys=True) for r in rows],
+            type=pa.string(),
+        )
+
+
+def _path_set(obj, path, value):
+    """VRL path assignment (set.cue): string segments key into maps,
+    int segments index arrays; intermediate containers are created."""
+    if not isinstance(path, (list, tuple)):
+        path = [path]
+    cur = obj
+    for i, seg in enumerate(path):
+        last = i == len(path) - 1
+        if isinstance(seg, int):
+            if not isinstance(cur, list):
+                return obj
+            while len(cur) <= seg:
+                cur.append(None)
+            if last:
+                cur[seg] = value
+            else:
+                if not isinstance(cur[seg], (dict, list)):
+                    cur[seg] = {} if isinstance(path[i + 1], str) else []
+                cur = cur[seg]
+        else:
+            if not isinstance(cur, dict):
+                return obj
+            if last:
+                cur[seg] = value
+            else:
+                if not isinstance(cur.get(seg), (dict, list)):
+                    cur[seg] = {} if isinstance(path[i + 1], str) else []
+                cur = cur[seg]
+    return obj
+
+
+def _path_remove(obj, path, compact=False):
+    """VRL path removal (remove.cue): negative ints index from the
+    end; ``compact`` drops emptied containers on the way back up."""
+    if not isinstance(path, (list, tuple)):
+        path = [path]
+    parents = []
+    cur = obj
+    for seg in path[:-1]:
+        parents.append((cur, seg))
+        if isinstance(seg, int) and isinstance(cur, list):
+            if not -len(cur) <= seg < len(cur):
+                return obj
+            cur = cur[seg]
+        elif isinstance(cur, dict) and seg in cur:
+            cur = cur[seg]
+        else:
+            return obj
+    leaf = path[-1]
+    if isinstance(leaf, int) and isinstance(cur, list):
+        if -len(cur) <= leaf < len(cur):
+            del cur[leaf]
+    elif isinstance(cur, dict):
+        cur.pop(leaf, None)
+    if compact:
+        for parent, seg in reversed(parents):
+            child = parent[seg]
+            if isinstance(child, (dict, list)) and not child:
+                if isinstance(seg, int):
+                    del parent[seg]
+                else:
+                    parent.pop(seg, None)
+            else:
+                break
+    return obj
+
+
 @register("set")
 def _set(c, key, value):
-    key = _path_key(key)
+    """set(value, path, data) — nested object/array path assignment
+    (set.cue); flat maps address dotted keys for compatibility."""
+    rows, kind = _obj_rows(c)
+    if kind == "map" and not (isinstance(key, (list, tuple))
+                              and any(isinstance(s, int) for s in key)):
+        key = _path_key(key)
 
-    def _upd(d):
-        d = dict(d)
-        d[key] = value
-        return d
+        def _upd(d):
+            d = dict(d)
+            d[key] = value
+            return d
 
-    return _to_map_array([None if d is None else _upd(d) for d in _map_to_dicts(c)])
+        return _to_map_array([None if d is None else _upd(d) for d in rows])
+    if kind is None:
+        raise ValueError("set() needs a map/struct/array column")
+    import copy
+
+    return _rebuild_obj(
+        [None if r is None else _path_set(copy.deepcopy(r), key, value)
+         for r in rows], "py")
 
 
 @register("del")
@@ -992,7 +1097,21 @@ def _del(c, key):
 
 @register("remove")
 def _remove(c, key, compact=False):
-    return FUNCTIONS["del"](c, _path_key(key))
+    """remove(value, path, compact) — nested path removal with
+    negative array indexing and optional empty-container compaction
+    (remove.cue)."""
+    rows, kind = _obj_rows(c)
+    if kind == "map" and not compact and not (
+            isinstance(key, (list, tuple))
+            and any(isinstance(s, int) for s in key)):
+        return FUNCTIONS["del"](c, _path_key(key))
+    if kind is None:
+        raise ValueError("remove() needs a map/struct/array column")
+    import copy
+
+    return _rebuild_obj(
+        [None if r is None else _path_remove(copy.deepcopy(r), key, compact)
+         for r in rows], "py")
 
 
 @register("filter")

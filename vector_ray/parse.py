@@ -73,12 +73,62 @@ URL_REGEX = (
 )
 
 
-def parse_url(col, drop_failed: bool = False):
+_KNOWN_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
+
+
+def _idna_host(h):
+    """Punycode-encode non-ASCII hostnames (parse_url.cue: IDN hosts
+    return their xn-- form; case folds first)."""
+    if h is None or h.isascii():
+        return h
+    try:
+        return h.lower().encode("idna").decode("ascii")
+    except UnicodeError:
+        return h
+
+
+def parse_url(col, default_known_ports: bool = False, drop_failed: bool = False):
     """parse_url VRL-function analog: URL column → struct of components
-    (scheme/username/password/host/port/path/query/fragment) + error mask.
-    Vectorized extract_regex; port casts to int."""
+    (scheme/username/password/host/port/path/query/fragment) + error
+    mask (parse_url.cue).  Vectorized extract_regex; port casts to int;
+    absent path is "/"; ``default_known_ports`` fills 80/443/21 per
+    scheme; non-ASCII hosts are punycode-encoded; query decodes to a
+    key→value map."""
     parser = RegexParser(URL_REGEX, types={"port": pa.int64()})
-    return parser.parse(col)
+    cols, err = parser.parse(col)
+    cols["path"] = pc.if_else(
+        pc.equal(pc.fill_null(cols["path"], ""), ""), "/", cols["path"]
+    )
+    for k in ("username", "password"):
+        cols[k] = pc.fill_null(cols[k], "")
+    # absent fragment is null (not the extract_regex "" convention)
+    cols["fragment"] = pc.if_else(
+        pc.equal(pc.fill_null(cols["fragment"], ""), ""),
+        pa.scalar(None, type=pa.string()), cols["fragment"],
+    )
+    host = cols["host"]
+    ascii_only = pc.all(
+        pc.invert(pc.match_substring_regex(pc.fill_null(host, ""), "[^\\x00-\\x7f]"))
+    ).as_py()
+    if not ascii_only:
+        cols["host"] = pa.array(
+            [_idna_host(h) for h in host.to_pylist()], type=pa.string()
+        )
+    if default_known_ports:
+        scheme = cols["scheme"].to_pylist()
+        port = cols["port"].to_pylist()
+        cols["port"] = pa.array(
+            [p if p is not None else _KNOWN_PORTS.get(s) for s, p in zip(scheme, port)],
+            type=pa.int64(),
+        )
+    from urllib.parse import parse_qsl
+
+    qmaps = [
+        {} if q in (None, "") else dict(parse_qsl(q, keep_blank_values=True))
+        for q in cols["query"].to_pylist()
+    ]
+    cols["query"] = pa.array(qmaps, type=pa.map_(pa.string(), pa.string()))
+    return cols, err
 
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
@@ -246,12 +296,20 @@ def render_messages(batch: pa.Table) -> pa.Table:
 APACHE_COMMON_GROK = (
     "%{IPORHOST:host} %{NOTSPACE:identity} %{NOTSPACE:user} "
     "\\[%{HTTPDATE:timestamp}\\] "
-    '"%{WORD:method} %{NOTSPACE:path} HTTP/%{NUMBER:protocol}" '
+    '"(?P<message>%{WORD:method} %{NOTSPACE:path} %{NOTSPACE:protocol})" '
     "%{POSINT:status:int} %{NOTSPACE:size}"
 )
 
 APACHE_COMBINED_GROK = (
     APACHE_COMMON_GROK + ' "%{DATA:referrer}" "%{DATA:agent}"'
+)
+
+APACHE_ERROR_GROK = (
+    "\\[%{HTTPDATE:timestamp}\\] "
+    "\\[(?:%{WORD:module}:)?%{WORD:severity}\\] "
+    "\\[pid %{POSINT:pid:int}(?::tid %{POSINT:thread})?\\]"
+    "(?: \\[client %{IPORHOST:client}(?::%{POSINT:port:int})?\\])? "
+    "%{GREEDYDATA:message}"
 )
 
 NGINX_COMBINED_GROK = (
@@ -262,11 +320,48 @@ NGINX_COMBINED_GROK = (
 )
 
 
-def parse_apache_log(col, format: str = "common"):
-    """Apache access-log line → columns (+error mask).  ``format`` is
-    "common" or "combined" (error-log parsing is a separate grok)."""
-    pattern = {"common": APACHE_COMMON_GROK, "combined": APACHE_COMBINED_GROK}[format]
-    return GrokParser(pattern).parse(col)
+def _parse_log_timestamp(arr, fmt):
+    """Access/error-log timestamp string column → timestamp[us] UTC.
+    ``fmt`` is the chrono-style format (parse_apache_log.cue default
+    "%d/%b/%Y:%T %z"; "%+" = RFC 3339)."""
+    import pandas as pd
+
+    s = pd.Series(arr.to_pylist(), dtype="object")
+    if fmt in ("%+", None):
+        ts = pd.to_datetime(s, errors="coerce", utc=True)
+    else:
+        pyfmt = fmt.replace("%T", "%H:%M:%S").replace("%:z", "%z")
+        ts = pd.to_datetime(s, format=pyfmt, errors="coerce", utc=True)
+    ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    return pa.Array.from_pandas(ts).cast(pa.timestamp("us"))
+
+
+def parse_apache_log(col, format: str = "common",
+                     timestamp_format: str = "%d/%b/%Y:%T %z"):
+    """Apache log line → typed columns (+error mask) per
+    parse_apache_log.cue: formats "common" / "combined" / "error";
+    timestamps convert to UTC timestamp[us]; size "-" is null."""
+    pattern = {
+        "common": APACHE_COMMON_GROK,
+        "combined": APACHE_COMBINED_GROK,
+        "error": APACHE_ERROR_GROK,
+    }[format]
+    cols, err = GrokParser(pattern).parse(col)
+    cols["timestamp"] = _parse_log_timestamp(cols["timestamp"], timestamp_format)
+    if "size" in cols:
+        size = pc.if_else(
+            pc.equal(pc.fill_null(cols["size"], "-"), "-"),
+            pa.scalar(None, type=pa.string()), cols["size"],
+        )
+        cols["size"] = size.cast(pa.int64())
+    if format == "error":
+        # optional groups extract as "" — null them (module/thread/client)
+        for k in ("module", "thread", "client"):
+            cols[k] = pc.if_else(
+                pc.equal(pc.fill_null(cols[k], ""), ""),
+                pa.scalar(None, type=pa.string()), cols[k],
+            )
+    return cols, err
 
 
 def parse_nginx_log(col, format: str = "combined"):
@@ -281,22 +376,28 @@ def parse_nginx_log(col, format: str = "combined"):
 # on the vectorized grok machinery.
 
 GLOG_GROK = (
-    "%{GLOGLEVEL:level_char}%{MMDD:date} "
+    "%{GLOGLEVEL:level_char}%{GLOGDATE:date} "
     "%{TIME:time} +%{POSINT:thread_id} %{NOTSPACE:file}:%{POSINT:line:int}\\] "
     "%{GREEDYDATA:message}"
 )
 
-_GLOG_EXTRA = {"GLOGLEVEL": r"[IWEF]", "MMDD": r"\d{4}"}
+# glog dates are YYYYMMDD; klog's are MMDD with the year inferred
+_GLOG_EXTRA = {"GLOGLEVEL": r"[IWEF]", "GLOGDATE": r"(?:\d{8}|\d{4})"}
+
+_GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
 
 KLOG_GROK = GLOG_GROK  # klog shares the glog line shape
 
-VPC_FLOW_GROK = (
-    "%{POSINT:version:int} %{NOTSPACE:account_id} %{NOTSPACE:interface_id} "
-    "%{NOTSPACE:srcaddr} %{NOTSPACE:dstaddr} %{NOTSPACE:srcport} "
-    "%{NOTSPACE:dstport} %{NOTSPACE:protocol} %{NOTSPACE:packets} "
-    "%{NOTSPACE:bytes} %{POSINT:start:int} %{POSINT:end:int} "
-    "%{WORD:action} %{WORD:log_status}"
+VPC_FLOW_DEFAULT_FORMAT = (
+    "version account_id interface_id srcaddr dstaddr srcport dstport "
+    "protocol packets bytes start end action log_status"
 )
+
+# fields that parse as integers in the documented v2-v5 field set
+_VPC_INT_FIELDS = {
+    "version", "srcport", "dstport", "protocol", "packets", "bytes",
+    "start", "end", "tcp_flags", "traffic_path",
+}
 
 ALB_GROK = (
     '%{NOTSPACE:type} %{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb} '
@@ -316,19 +417,71 @@ AUTH_GROK = (
 _AUTH_EXTRA = {"PROG": r"[\w./-]+?"}
 
 
+def _glog_assemble(cols, err):
+    """Shared glog/klog post-processing (parse_glog.cue layout):
+    level word, timestamp[us] (year inferred when the line has none),
+    id int, file, line int, message."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    lv = cols.pop("level_char")
+    level = pa.array(
+        [None if v is None else _GLOG_LEVELS.get(v) for v in lv.to_pylist()],
+        type=pa.string(),
+    )
+    date = pd.Series(cols.pop("date").to_pylist(), dtype="object")
+    time = pd.Series(cols.pop("time").to_pylist(), dtype="object")
+    year = str(_dt.date.today().year)
+    full = date.where(date.str.len() == 8, year + date)
+    ts = pd.to_datetime(full + " " + time, format="%Y%m%d %H:%M:%S.%f",
+                        errors="coerce")
+    out = {
+        "level": level,
+        "timestamp": pa.Array.from_pandas(ts).cast(pa.timestamp("us")),
+        "id": cols.pop("thread_id").cast(pa.int64()),
+        "file": cols.pop("file"),
+        "line": cols.pop("line"),
+        "message": cols.pop("message"),
+    }
+    return out, err
+
+
 def parse_glog(col):
-    """Google glog lines: Lmmdd hh:mm:ss.uuuuuu threadid file:line] msg."""
-    return GrokParser(GLOG_GROK, _GLOG_EXTRA).parse(col)
+    """Google glog lines: Lyyyymmdd hh:mm:ss.uuuuuu threadid
+    file:line] msg → {level, timestamp, id, file, line, message}
+    (parse_glog.cue)."""
+    return _glog_assemble(*GrokParser(GLOG_GROK, _GLOG_EXTRA).parse(col))
 
 
 def parse_klog(col):
-    """Kubernetes klog lines (glog-shaped)."""
-    return GrokParser(KLOG_GROK, _GLOG_EXTRA).parse(col)
+    """Kubernetes klog lines (glog-shaped, year inferred as current —
+    parse_klog.cue)."""
+    return _glog_assemble(*GrokParser(KLOG_GROK, _GLOG_EXTRA).parse(col))
 
 
-def parse_aws_vpc_flow_log(col):
-    """AWS VPC flow log v2 default format."""
-    return GrokParser(VPC_FLOW_GROK).parse(col)
+def parse_aws_vpc_flow_log(col, format: Optional[str] = None):
+    """AWS VPC flow log → typed columns (parse_aws_vpc_flow_log.cue):
+    space-separated fields per ``format`` (default = the documented v2
+    layout), "-" placeholders become null, numeric fields cast to
+    int64.  Vectorized: one split_pattern + per-field list_element."""
+    fields = (format or VPC_FLOW_DEFAULT_FORMAT).split()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(col, pattern=" ")
+    nfield = pc.list_value_length(parts)
+    err = pc.fill_null(pc.not_equal(nfield, len(fields)), True)
+    # rows with the wrong field count yield all-null columns
+    parts = pc.if_else(err, pa.scalar(None, type=parts.type), parts)
+    cols = {}
+    for i, name in enumerate(fields):
+        v = pc.list_element(parts, i)
+        v = pc.if_else(pc.equal(pc.fill_null(v, "-"), "-"),
+                       pa.scalar(None, type=pa.string()), v)
+        if name in _VPC_INT_FIELDS:
+            v = v.cast(pa.int64())
+        cols[name] = v
+    return cols, err
 
 
 def parse_aws_alb_log(col):
@@ -341,6 +494,6 @@ def parse_linux_authorization(col):
     return GrokParser(AUTH_GROK, _AUTH_EXTRA).parse(col)
 
 
-def parse_common_log(col):
-    """Alias for Apache common log parsing (VRL parse_common_log)."""
-    return parse_apache_log(col, format="common")
+def parse_common_log(col, timestamp_format: str = "%d/%b/%Y:%T %z"):
+    """Apache common log parsing (VRL parse_common_log)."""
+    return parse_apache_log(col, "common", timestamp_format)
