@@ -169,26 +169,25 @@ class TestDnstap:
 class TestTagTypes:
     def test_scalars(self):
         out = call("tag_types_externally", pa.array([123], type=pa.int64()))
-        assert dict(out.to_pylist()[0]) == {"integer": "123"}
+        assert out.to_pylist()[0] == {"integer": 123}
         out = call("tag_types_externally", pa.array(["foo"]))
-        assert dict(out.to_pylist()[0]) == {"string": "foo"}
+        assert out.to_pylist()[0] == {"string": "foo"}
         out = call("tag_types_externally", pa.array([67.9]))
-        assert dict(out.to_pylist()[0]) == {"float": "67.9"}
+        assert out.to_pylist()[0] == {"float": 67.9}
         out = call("tag_types_externally", pa.array([None], type=pa.string()))
         assert out.to_pylist()[0] is None
 
     def test_nested_object(self):
         col = pa.array([{"message": "Hello world", "duration_ms": 67.9}])
         out = call("tag_types_externally", col)
-        m = dict(out.to_pylist()[0])
-        assert json.loads(m["message"]) == {"string": "Hello world"}
-        assert json.loads(m["duration_ms"]) == {"float": 67.9}
+        m = out.to_pylist()[0]
+        assert m["message"] == {"string": "Hello world"}
+        assert m["duration_ms"] == {"float": 67.9}
 
     def test_root_array(self):
         col = pa.array([["foo", "bar"]], type=pa.list_(pa.string()))
         out = call("tag_types_externally", col)
-        m = dict(out.to_pylist()[0])
-        assert json.loads(m["_array"]) == [{"string": "foo"}, {"string": "bar"}]
+        assert out.to_pylist()[0] == [{"string": "foo"}, {"string": "bar"}]
 
 
 def test_set_semantic_meaning_noop():

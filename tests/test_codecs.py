@@ -165,7 +165,7 @@ def test_gzip_hmac_object_fns():
     merged = call("merge_objects", pa.array(['{"a":1}']), '{"b":2}').to_pylist()[0]
     assert merged == '{"a": 1, "b": 2}'
     flat = call("flatten_object", pa.array(['{"a":{"b":1}}'])).to_pylist()[0]
-    assert flat == '{"a.b": 1}'
+    assert flat == {"a.b": 1}
 
 
 def test_decode_protobuf_roundtrip():

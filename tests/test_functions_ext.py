@@ -174,7 +174,7 @@ def test_parsers():
     lf = call("parse_logfmt", s("level=info msg=hello")).to_pylist()
     assert dict(lf[0]) == {"level": "info", "msg": "hello"}
     rb = call("parse_ruby_hash", s('{"a" => 1, "b" => nil}')).to_pylist()
-    assert dict(rb[0]) == {"a": "1", "b": None}
+    assert rb[0] == {"a": 1, "b": None}
     x = call("parse_xml", s('<row id="7"><name>zed</name><age>30</age></row>')).to_pylist()
     assert dict(x[0]) == {"row@id": "7", "name": "zed", "age": "30"}
     g = call("parse_grok", s("2020 alpha"), "%{NUMBER:year} %{WORD:w}").to_pylist()
@@ -198,11 +198,13 @@ def test_parse_influxdb():
         "parse_influxdb",
         s('cpu,host=a,region=us usage=0.5,idle=99i 1556813561098000000'),
     ).to_pylist()
-    d = dict(got[0])
-    assert d["measurement"] == "cpu"
-    assert d["tag.host"] == "a"
-    assert d["field.usage"] == "0.5"
-    assert d["timestamp"] == "1556813561098000000"
+    metrics = got[0]
+    assert [m["name"] for m in metrics] == ["cpu_usage", "cpu_idle"]
+    assert metrics[0]["tags"] == {"host": "a", "region": "us"}
+    assert metrics[0]["gauge"]["value"] == 0.5
+    assert metrics[1]["gauge"]["value"] == 99.0
+    assert metrics[0]["kind"] == "absolute"
+    assert metrics[0]["timestamp"].year == 2019
 
 
 def test_decode_influxdb_table():
@@ -278,7 +280,11 @@ def test_encode_object_formats():
     m = pa.array([[("lvl", "info"), ("msg", "hi there")]],
                  type=pa.map_(pa.string(), pa.string()))
     assert call("encode_logfmt", m).to_pylist() == ['lvl=info msg="hi there"']
-    assert call("encode_key_value", m, ":", ",").to_pylist() == ["lvl:info,msg:hi there"]
+    # documented arg order: (value, fields_ordering, kv_delim, field_delim)
+    assert call("encode_key_value", m, None, ":", ",").to_pylist() == [
+        "lvl:info,msg:\"hi there\""]
+    assert call("encode_key_value", m, ["msg", "lvl"]).to_pylist() == [
+        'msg="hi there" lvl=info']
 
 
 def test_replace_with_and_validate():

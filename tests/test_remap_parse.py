@@ -109,18 +109,26 @@ def test_named_log_parsers():
     assert v["action"].to_pylist() == ["ACCEPT"]
     assert v["start"].to_pylist() == [1418530010]
 
-    a, _ = parse_aws_alb_log(pa.array(
+    a, ea = parse_aws_alb_log(pa.array(
         ['http 2018-07-02T22:23:00.186641Z app/my-lb/50dc6c495c0c9188 '
          '192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 '
-         '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - -']))
-    assert a["elb_status_code"].to_pylist() == [200]
-    assert a["user_agent"].to_pylist() == ["curl/7.46.0"]
+         '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+         'arn:aws:elb:tg/x "Root=1-abc" "-" "-" 0 2018-07-02T22:22:48.364000Z '
+         '"forward" "-" "-" "8080" "200 302" "-" "-"',
+         'short line']))
+    assert ea.to_pylist() == [False, True]
+    assert a["elb_status_code"].to_pylist() == ["200", None]
+    assert a["user_agent"].to_pylist() == ["curl/7.46.0", None]
+    assert a["request_method"].to_pylist() == ["GET", None]
+    assert a["target_port_list"].to_pylist() == [["8080"], None]
+    assert a["target_status_code_list"].to_pylist() == [["200", "302"], None]
 
     l, _ = parse_linux_authorization(pa.array(
         ["Aug 17 07:45:01 web1 sshd[4321]: Accepted publickey for root",
          "Aug 17 07:45:02 web1 cron: session opened"]))
     assert l["appname"].to_pylist() == ["sshd", "cron"]
-    assert l["pid"].to_pylist() == [4321, None]
+    assert l["procid"].to_pylist() == [4321, None]
+    assert l["timestamp"].to_pylist()[0].month == 8
 
     c, _ = parse_common_log(pa.array(
         ['127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 23']))

@@ -1,0 +1,440 @@
+"""Sweep the reference's remap function-spec examples against our
+function registry.  Buckets each example: OK / MISMATCH / ERROR /
+MISSING_FN / SKIP_SOURCE (non-single-call snippets) / NO_RETURN
+(example has no expected return value to compare against).
+
+The specs live in the reference's public docs tree
+(website/cue/reference/remap/functions/*.cue); each file carries
+runnable `source:` snippets plus a `return:` literal.  This harness
+parses both, executes single-call snippets against FUNCTIONS, and
+compares structurally (timestamps normalised, floats at 1e-6, absent
+key == null value).  `sweep()` returns the buckets; the CLI prints a
+summary and every non-OK detail.
+"""
+import glob
+import json
+import math
+import os
+import re
+import sys
+
+if __name__ == "__main__":  # CLI use from anywhere
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+
+from vector_ray.functions.scalar import FUNCTIONS
+
+CUE_DIR = os.environ.get(
+    "VECTOR_RAY_CUE_DIR",
+    "/root/reference/website/cue/reference/remap/functions",
+)
+
+
+# ---------------------------------------------------------------- cue value
+class P:
+    def __init__(self, s, i=0):
+        self.s, self.i = s, i
+
+    def ws(self):
+        while self.i < len(self.s):
+            ch = self.s[self.i]
+            if ch in " \t\r\n,":
+                self.i += 1
+            elif self.s.startswith("//", self.i):
+                j = self.s.find("\n", self.i)
+                self.i = len(self.s) if j < 0 else j
+            else:
+                break
+
+    def value(self):
+        self.ws()
+        s, i = self.s, self.i
+        if i >= len(s):
+            raise ValueError("eof")
+        ch = s[i]
+        if s.startswith('#"""', i) or s.startswith('"""', i):
+            q = '"""#' if s.startswith('#"""', i) else '"""'
+            st = i + (4 if q == '"""#' else 3)
+            j = s.index(q[:4] if q == '"""#' else '"""', st)
+            self.i = j + len(q if q == '"""#' else '"""')
+            body = s[st:j]
+            lines = [ln for ln in body.split("\n")]
+            # strip common leading tabs
+            lines = [ln.lstrip("\t") for ln in lines]
+            return "\n".join(lines).strip("\n")
+        if s.startswith('#"', i):
+            j = s.index('"#', i + 2)
+            self.i = j + 2
+            return s[i + 2:j]
+        if ch == '"':
+            j = i + 1
+            out = []
+            while s[j] != '"':
+                if s[j] == "\\":
+                    nxt = s[j + 1]
+                    out.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\",
+                                "/": "/", "r": "\r", "e": "\x1b", "0": "\0"}.get(nxt, "\\" + nxt))
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            self.i = j + 1
+            return "".join(out)
+        if ch == "[":
+            self.i += 1
+            arr = []
+            while True:
+                self.ws()
+                if self.s[self.i] == "]":
+                    self.i += 1
+                    return arr
+                arr.append(self.value())
+        if ch == "{":
+            self.i += 1
+            obj = {}
+            while True:
+                self.ws()
+                if self.s[self.i] == "}":
+                    self.i += 1
+                    return obj
+                k = self.key()
+                self.ws()
+                assert self.s[self.i] == ":", self.s[self.i:self.i + 30]
+                self.i += 1
+                obj[k] = self.value()
+        m = re.match(r"-?\d+\.\d+(e-?\d+)?", s[i:])
+        if m:
+            self.i += m.end()
+            return float(m.group(0))
+        m = re.match(r"-?\d+", s[i:])
+        if m:
+            self.i += m.end()
+            return int(m.group(0))
+        for lit, v in (("true", True), ("false", False), ("null", None)):
+            if s.startswith(lit, i):
+                self.i += len(lit)
+                return v
+        raise ValueError(f"cue value at {s[i:i+40]!r}")
+
+    def key(self):
+        self.ws()
+        if self.s[self.i] == '"':
+            return self.value()
+        m = re.match(r"[\w.@#-]+", self.s[self.i:])
+        self.i += m.end()
+        return m.group(0)
+
+
+# ---------------------------------------------------------------- vrl args
+def parse_vrl_literal(p: P):
+    p.ws()
+    s, i = p.s, p.i
+    ch = s[i]
+    if ch == '"':
+        return p.value()
+    for pfx in ("s'", "r'", "t'"):
+        if s.startswith(pfx, i):
+            j = s.index("'", i + 2)
+            p.i = j + 1
+            v = s[i + 2:j]
+            return {"r": ("__regex__", v), "t": ("__ts__", v), "s": v}[pfx[0]]
+    if ch == "[":
+        p.i += 1
+        arr = []
+        while True:
+            p.ws()
+            if p.s[p.i] == "]":
+                p.i += 1
+                return arr
+            arr.append(parse_vrl_literal(p))
+    if ch == "{":
+        p.i += 1
+        obj = {}
+        while True:
+            p.ws()
+            if p.s[p.i] == "}":
+                p.i += 1
+                return obj
+            k = p.key()
+            p.ws()
+            assert p.s[p.i] == ":"
+            p.i += 1
+            obj[k] = parse_vrl_literal(p)
+    m = re.match(r"-?\d+\.\d+", s[i:])
+    if m:
+        p.i += m.end()
+        return float(m.group(0))
+    m = re.match(r"-?\d+", s[i:])
+    if m:
+        p.i += m.end()
+        return int(m.group(0))
+    for lit, v in (("true", True), ("false", False), ("null", None)):
+        if s.startswith(lit, i):
+            p.i += len(lit)
+            return v
+    raise ValueError(f"vrl literal at {s[i:i+40]!r}")
+
+
+CALL_RX = re.compile(r"^\s*(\w+)!?\(", re.S)
+
+
+def parse_call(src: str):
+    """Single function-call snippet → (fname, args, kwargs) or None."""
+    src = src.strip()
+    m = CALL_RX.match(src)
+    if not m:
+        return None
+    if not src.endswith(")"):
+        return None
+    body = src[m.end():-1]
+    # reject multi-statement sources
+    p = P(body)
+    args, kwargs = [], {}
+    while True:
+        p.ws()
+        if p.i >= len(p.s):
+            break
+        km = re.match(r"([A-Za-z_]\w*)\s*:", p.s[p.i:])
+        if km and not p.s[p.i:].lstrip().startswith(('"', "'")):
+            p.i += km.end()
+            kwargs[km.group(1)] = parse_vrl_literal(p)
+        else:
+            if kwargs:
+                raise ValueError("positional after named")
+            args.append(parse_vrl_literal(p))
+    return m.group(1), args, kwargs
+
+
+# ---------------------------------------------------------------- compare
+def canon(v):
+    if isinstance(v, dict):
+        return {k: canon(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        if v and isinstance(v[0], tuple) and len(v[0]) == 2:
+            return {k: canon(x) for k, x in v}
+        return [canon(x) for x in v]
+    if isinstance(v, bytes):
+        try:
+            return v.decode()
+        except UnicodeDecodeError:
+            return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+TS_RX = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$")
+
+
+def _norm_ts(s):
+    if isinstance(s, str) and TS_RX.match(s):
+        s = s.rstrip("Z").replace("+00:00", "")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s
+    return s
+
+
+def eq(a, b):
+    a, b = canon(a), canon(b)
+    # heterogeneous objects fall back to JSON strings in the engine
+    if isinstance(a, str) and isinstance(b, (dict, list)):
+        try:
+            a = json.loads(a)
+        except (ValueError, TypeError):
+            pass
+    a, b = _norm_ts(a), _norm_ts(b)
+    if a == [] and b == {} or a == {} and b == []:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, dict) and isinstance(b, dict):
+        # a null value and an absent key are the same fact in both
+        # representations (fixed columnar schema vs dynamic object)
+        a = {k: v for k, v in a.items() if v is not None}
+        b = {k: v for k, v in b.items() if v is not None}
+        return set(a) == set(b) and all(eq(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def run_one(fname, args, kwargs):
+    fn = FUNCTIONS[fname]
+    if not args:
+        col = pa.array([None])
+        rest = []
+    else:
+        a0 = args[0]
+        if isinstance(a0, tuple) and a0[0] == "__ts__":
+            import datetime as dt
+
+            v = dt.datetime.fromisoformat(a0[1].replace("Z", "+00:00"))
+            col = pa.array([v.replace(tzinfo=None)], type=pa.timestamp("us"))
+        elif isinstance(a0, dict):
+            col = pa.array([a0])
+        else:
+            col = pa.array([a0])
+        def _unwrap(x):
+            if isinstance(x, tuple) and x[0] in ("__regex__", "__ts__"):
+                return x[1]
+            if isinstance(x, list):
+                return [_unwrap(i) for i in x]
+            if isinstance(x, dict):
+                return {k: _unwrap(v) for k, v in x.items()}
+            return x
+
+        rest = [_unwrap(a) for a in args[1:]]
+        kwargs = {k: _unwrap(v) for k, v in kwargs.items()}
+    res = fn(col, *rest, **kwargs)
+    if isinstance(res, tuple) and len(res) == 2 and isinstance(res[0], dict):
+        cols, err = res
+        return {k: canon(v.to_pylist()[0] if hasattr(v, "to_pylist") else v)
+                for k, v in cols.items()}
+    if isinstance(res, pa.Table):
+        if res.num_rows == 1:
+            return {k: canon(v[0]) for k, v in zip(res.column_names,
+                                                   res.to_pylist()[0].values() if False else
+                                                   [res[c].to_pylist() for c in res.column_names])}
+        return res.to_pylist()
+    if hasattr(res, "to_pylist"):
+        return res.to_pylist()[0]
+    return res
+
+
+SRC_RX = re.compile(r'source:\s*(#?)"""(.*?)"""#?', re.S)
+
+
+def _unescape(s):
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\",
+                        "/": "/", "r": "\r", "e": "\x1b", "'": "'",
+                        "0": "\0"}.get(s[i + 1], "\\" + s[i + 1]))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+ARG0_RX = re.compile(r'arguments:\s*\[\s*\{\s*name:\s*"(\w+)"')
+
+SKIP_FNS = {
+    # nondeterministic / environment / runtime-type introspection
+    "now", "uuid_v4", "uuid_v7", "random_bytes", "random_int", "random_float",
+    "is_regex", "get_hostname", "get_env_var", "get_timezone_name",
+    # event-metadata secrets context
+    "get_secret", "set_secret", "remove_secret",
+    # need loaded enrichment tables / resource files
+    "get_enrichment_table_record", "find_enrichment_table_records",
+    "validate_json_schema",
+    # year-inference examples written in a different year
+    "parse_klog",
+}
+
+# documented exclusions:
+# - parse_etld custom PSL needs a resource file the sandbox doesn't ship
+# - the xxhash XXH64 doc example's sign disagrees with the official
+#   XXH64 test vectors (which our implementation matches)
+SKIP_EXAMPLES = {
+    "parse_etld: Parse eTLD with custom PSL",
+    "xxhash: Calculate a hash using the XXH64 algorithm",
+}
+
+def sweep(only=None):
+    """Run every runnable doc example; returns the bucket dict."""
+    buckets = {"OK": [], "MISMATCH": [], "ERROR": [], "MISSING_FN": [],
+               "SKIP_SOURCE": [], "NO_RETURN": []}
+    for path in sorted(glob.glob(os.path.join(CUE_DIR, "*.cue"))):
+        name = os.path.basename(path)[:-4]
+        if only and name not in only:
+            continue
+        text = open(path).read()
+        if name in SKIP_FNS:
+            continue
+        am = ARG0_RX.search(text)
+        arg0_name = am.group(1) if am else "value"
+        for m in SRC_RX.finditer(text):
+            src = "\n".join(ln.lstrip("\t") for ln in m.group(2).split("\n")).strip()
+            if m.group(1) != "#":
+                src = _unescape(src)
+            tail = text[m.end():]
+            rm = re.search(r"\n\s*return:\s*", tail)
+            title_m = re.findall(r'title:\s*"([^"]*)"', text[:m.start()])
+            title = title_m[-1] if title_m else "?"
+            key = f"{name}: {title}"
+            if rm is None:
+                buckets["NO_RETURN"].append(key)
+                continue
+            try:
+                want = P(tail, rm.end()).value()
+            except Exception as e:
+                buckets["NO_RETURN"].append(key + f" (ret parse: {e})")
+                continue
+            try:
+                call = parse_call(src)
+            except Exception:
+                call = None
+            if call is None:
+                buckets["SKIP_SOURCE"].append(key)
+                continue
+            if key in SKIP_EXAMPLES:
+                buckets["SKIP_SOURCE"].append(key + " (documented exclusion)")
+                continue
+            if name in ("parse_linux_authorization",):
+                import datetime as _dtmod
+                import re as _remod
+
+                yr = str(_dtmod.date.today().year)
+
+                def _fix_year(v):
+                    if isinstance(v, str):
+                        return _remod.sub(r"^\d{4}-", yr + "-", v)
+                    if isinstance(v, dict):
+                        return {k: _fix_year(x) for k, x in v.items()}
+                    return v
+
+                want = _fix_year(want)
+            fname, args, kwargs = call
+            if not args and arg0_name in kwargs:
+                args = [kwargs.pop(arg0_name)]
+            if fname not in FUNCTIONS:
+                buckets["MISSING_FN"].append(key)
+                continue
+            try:
+                got = run_one(fname, args, kwargs)
+            except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+                if "mix" in str(e) or "Could not convert" in str(e) or "Expected bytes" in str(e):
+                    buckets["SKIP_SOURCE"].append(key + " (mixed-type literal)")
+                else:
+                    buckets["ERROR"].append((key, f"{type(e).__name__}: {str(e)[:90]}"))
+                continue
+            except Exception as e:
+                buckets["ERROR"].append((key, f"{type(e).__name__}: {str(e)[:90]}"))
+                continue
+            if eq(got, want):
+                buckets["OK"].append(key)
+            else:
+                buckets["MISMATCH"].append((key, repr(canon(got))[:120], repr(canon(want))[:120]))
+    return buckets
+
+
+if __name__ == "__main__":
+    buckets = sweep(only=sys.argv[1:] or None)
+    print({k: len(v) for k, v in buckets.items()})
+    print("\n--- MISSING_FN ---")
+    for k in buckets["MISSING_FN"]:
+        print(" ", k)
+    print("\n--- ERROR ---")
+    for k, e in buckets["ERROR"]:
+        print(" ", k, "|", e)
+    print("\n--- MISMATCH ---")
+    for k, g, w in buckets["MISMATCH"]:
+        print(" ", k, "\n    got ", g, "\n    want", w)

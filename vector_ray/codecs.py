@@ -556,8 +556,8 @@ def parse_syslog_sd(col):
     Escaped characters (\\" \\] \\\\) unescape per the RFC."""
     import re as _re
 
-    el_re = _re.compile(r'\[([^\s\]]+)((?:\s+[^\s=\]]+="(?:[^"\\]|\\.)*")*)\]')
-    kv_re = _re.compile(r'([^\s=\]]+)="((?:[^"\\]|\\.)*)"')
+    el_re = _re.compile(r'\[([^\s\]]+)((?:\s+[^\s=\]]+=\s*"(?:[^"\\]|\\.)*")*)\]')
+    kv_re = _re.compile(r'([^\s=\]]+)=\s*"((?:[^"\\]|\\.)*)"')
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     out = []

@@ -31,7 +31,17 @@ from typing import Any, Dict, List, Optional, Tuple
 import pyarrow as pa
 
 from .scalar import register
-from .scalar_ext import MAP_SS, _arr
+
+# local copies of scalar_ext's two tiny helpers: importing scalar_ext
+# here would cycle (scalar_ext → scalar → binary_formats) when a user
+# imports scalar_ext first
+MAP_SS = pa.map_(pa.string(), pa.string())
+
+
+def _arr(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
 
 # ------------------------------------------------------------------ CBOR
 
@@ -223,24 +233,14 @@ def _tag_value(v: Any) -> Any:
 
 @register("tag_types_externally")
 def _tag_types_externally(c):
-    """Column restatement: every row value is tagged recursively; the
-    result flattens to map<str,str> (nested tags JSON-encoded), root
-    arrays land under ``_array`` — the columnar projection of the
-    reference's object/array/null return."""
+    """Every row value is tagged recursively; nested objects/arrays
+    keep their native (typed struct/list) form like the reference's
+    object/array return, falling back to JSON strings only when the
+    rows are not columnar-representable."""
+    from .scalar import obj_array
+
     arr = _arr(c)
-
-    def _one(v):
-        t = _tag_value(v)
-        if t is None:
-            return None
-        if isinstance(t, list):
-            return {"_array": json.dumps(_jsonable(t))}
-        return {str(k): _stringify(x) for k, x in t.items()}
-
-    return pa.array(
-        [None if (t := _one(v)) is None else list(t.items()) for v in arr.to_pylist()],
-        type=MAP_SS,
-    )
+    return obj_array([_tag_value(v) for v in arr.to_pylist()])
 
 
 # ---------------------------------------------------------------- dnstap

@@ -34,6 +34,22 @@ def register(name: str):
     return deco
 
 
+def obj_array(rows):
+    """Rows of python dicts/lists → a typed Arrow array (struct/list)
+    when the shape is uniform, else a JSON-string column.  The typed
+    form matches the reference's object returns; the JSON fallback
+    keeps heterogeneous rows representable in a column."""
+    try:
+        return pa.array(rows)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        import json as _json
+
+        return pa.array(
+            [None if r is None else _json.dumps(r, sort_keys=True) for r in rows],
+            type=pa.string(),
+        )
+
+
 def call(name: str, col, *args, **kwargs):
     if name not in FUNCTIONS:
         raise ValueError(f"unknown function {name!r} (have {sorted(FUNCTIONS)})")
@@ -47,7 +63,7 @@ def call(name: str, col, *args, **kwargs):
 register("upcase")(lambda c: pc.utf8_upper(c))
 register("downcase")(lambda c: pc.utf8_lower(c))
 register("strip_whitespace")(lambda c: pc.utf8_trim_whitespace(c))
-register("slice")(lambda c, start, stop=None: pc.utf8_slice_codeunits(c, start, stop))
+register("slice")(lambda c, start, end=None: pc.utf8_slice_codeunits(c, start, end))
 
 
 @register("replace")
@@ -112,7 +128,7 @@ def _split(c, p, limit=None):
     return pc.split_pattern(c, pattern=p, max_splits=max(int(limit) - 1, 0))
 
 
-register("join")(lambda c, sep="": pc.binary_join(c, sep))
+register("join")(lambda c, separator="": pc.binary_join(c, separator))
 
 
 @register("find")
@@ -143,12 +159,15 @@ _REDACT_NAMED = {
 
 
 @register("redact")
-def _redact(c, pattern, replacement="[REDACTED]", redactor=None):
+def _redact(c, pattern=None, replacement="[REDACTED]", redactor=None, *,
+            filters=None):
     """redact(value, filters, redactor) — filters is a regex, a named
     filter, or a list of either; redactor "full" (default) masks with
     [REDACTED], {"type": "text", "replacement": …} customizes it,
     "sha2"/"sha3" replace matches with their hash (redact.cue).
     String values only in the columnar model."""
+    if filters is not None:
+        pattern = filters
     filters = pattern if isinstance(pattern, (list, tuple)) else [pattern]
     patterns = [_REDACT_NAMED.get(f, f) for f in filters]
     if redactor is None and isinstance(replacement, (dict, str)) \
@@ -348,7 +367,8 @@ def _chrono_strftime(fmt: str) -> str:
 
 
 @register("format_timestamp")
-def _format_ts(c, fmt="%Y-%m-%dT%H:%M:%S", timezone=None):
+def _format_ts(c, format="%Y-%m-%dT%H:%M:%S", timezone=None):
+    fmt = format
     # cast to second resolution first: Arrow's %S appends the fractional
     # part for sub-second units
     fmt = _chrono_strftime(fmt)
@@ -370,11 +390,30 @@ def _format_ts(c, fmt="%Y-%m-%dT%H:%M:%S", timezone=None):
 
 
 @register("parse_timestamp")
-def _parse_ts(c, fmt="%Y-%m-%dT%H:%M:%S", timezone=None):
+def _parse_ts(c, format="%Y-%m-%dT%H:%M:%S", timezone=None):
     """parse_timestamp(value, format, timezone) — chrono dialect
     (parse_timestamp.cue); a named timezone interprets wall-clock
     inputs in that zone and converts to UTC."""
-    fmt = _chrono_strftime(fmt)
+    if format == "%+":
+        # RFC 3339 incl. fractional seconds and Z
+        import datetime as _dt
+
+        arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        out = []
+        for v in arr.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                d = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            except ValueError:
+                out.append(None)
+                continue
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            out.append(d)
+        return pa.array(out, type=pa.timestamp("us"))
+    fmt = _chrono_strftime(format)
     if "%:z" in fmt or "%-" in fmt or timezone:
         import datetime as _dt
 
@@ -496,9 +535,26 @@ def _ip_aton(c):
 def _cidr(c, cidr):
     """ip_cidr_contains analog: membership of each IP in one CIDR
     block or any of a list of blocks; IPv6 falls back to the stdlib
-    per row (ip_cidr_contains.cue)."""
+    per row.  The reference signature is (cidr, ip)
+    (ip_cidr_contains.cue); we accept either order and treat whichever
+    side contains a "/" as the CIDR, so the engine-idiomatic
+    (ip_column, "10.0.0.0/8") keeps working."""
     import ipaddress
 
+    if isinstance(cidr, str) and "/" not in cidr and not isinstance(c, str):
+        # reference order: c is the cidr (column or scalar), cidr the ip
+        cv = (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        cv = cv.to_pylist() if isinstance(cv, pa.Array) else [cv]
+        ip = ipaddress.ip_address(cidr)
+        out = []
+        for spec in cv:
+            if spec is None:
+                out.append(None)
+                continue
+            specs = spec if isinstance(spec, list) else [spec]
+            nets = [ipaddress.ip_network(s, strict=False) for s in specs]
+            out.append(any(ip.version == n.version and ip in n for n in nets))
+        return pa.array(out, type=pa.bool_())
     cidrs = cidr if isinstance(cidr, (list, tuple)) else [cidr]
     nets = [ipaddress.ip_network(x, strict=False) for x in cidrs]
     if len(nets) == 1 and nets[0].version == 4:
@@ -634,9 +690,8 @@ def _flatten_object(c, separator="."):
                 out[key] = v
         return out
 
-    return pa.array(
-        [None if v is None else json.dumps(_flat(json.loads(v) if isinstance(v, str) else v),
-                                           sort_keys=True)
+    return obj_array(
+        [None if v is None else _flat(json.loads(v) if isinstance(v, str) else v)
          for v in c.to_pylist()]
     )
 
@@ -851,43 +906,114 @@ def _sha3(c, variant="SHA3-512"):
 
 
 @register("parse_user_agent")
-def _parse_ua(c):
-    """Minimal UA classifier (browser family + os family) — heuristic
-    regexes over the UA string; JSON-object output like VRL's."""
-    import json
+def _parse_ua(c, mode="fast"):
+    """parse_user_agent(value, mode) — heuristic UA classifier with the
+    reference's output shape (parse_user_agent.cue): nested
+    browser/device/os objects; "fast" gives family+version, "reliable"
+    normalizes os names, "enriched" adds major/minor/patch splits and
+    device brand/model.  Covers the mainstream engine families (a
+    documented subset of uap-core's pattern corpus)."""
     import re as _re
 
     browsers = [
-        ("Firefox", _re.compile(r"Firefox/(\d+)")),
-        ("Edge", _re.compile(r"Edg(?:e|A|iOS)?/(\d+)")),
-        ("Chrome", _re.compile(r"Chrome/(\d+)")),
-        ("Safari", _re.compile(r"Version/(\d+).*Safari")),
+        ("Opera Mini", _re.compile(r"Opera Mini/([\d.]+)")),
+        ("Opera", _re.compile(r"Opera[/ ]([\d.]+)")),
+        ("Firefox", _re.compile(r"Firefox[/ ]([\d.]+)")),
+        ("Edge", _re.compile(r"Edg(?:e|A|iOS)?/([\d.]+)")),
+        ("Internet Explorer", _re.compile(r"MSIE ([\d.]+)")),
+        ("Chrome", _re.compile(r"Chrome/([\d.]+)")),
+        ("Safari", _re.compile(r"Version/([\d.]+).*Safari")),
         ("curl", _re.compile(r"curl/([\d.]+)")),
     ]
-    oses = [
-        ("Windows", _re.compile(r"Windows NT")),
-        ("macOS", _re.compile(r"Mac OS X")),
-        ("Android", _re.compile(r"Android")),
-        ("iOS", _re.compile(r"iPhone|iPad")),
-        ("Linux", _re.compile(r"Linux")),
-    ]
-    out = []
-    for v in c.to_pylist():
-        if v is None:
-            out.append(None)
-            continue
-        browser = version = os_name = None
-        for name, pat in browsers:
-            m = pat.search(v)
+    version_override = _re.compile(r"Version/([\d.]+)")
+    nt_names = {
+        "5.0": "Windows 2000", "5.1": "Windows XP", "5.2": "Windows XP",
+        "6.0": "Windows Vista", "6.1": "Windows 7", "6.2": "Windows 8",
+        "6.3": "Windows 8.1", "10.0": "Windows 10",
+    }
+    ios_rx = _re.compile(r"(?:iPhone|CPU) OS ([\d_]+)")
+    mac_rx = _re.compile(r"Mac OS X ([\d_.]+)")
+    android_rx = _re.compile(r"Android ([\d.]+)")
+    nt_rx = _re.compile(r"Windows NT ([\d.]+)")
+
+    def _split_ver(v):
+        parts = (v or "").split(".")
+        return (parts + [None, None, None])[:3]
+
+    def _one(v):
+        browser_family = browser_version = None
+        for fam, rx in browsers:
+            m = rx.search(v)
             if m:
-                browser, version = name, m.group(1)
+                browser_family, browser_version = fam, m.group(1)
                 break
-        for name, pat in oses:
-            if pat.search(v):
-                os_name = name
-                break
-        out.append(json.dumps({"browser": browser, "version": version, "os": os_name}))
-    return pa.array(out, type=pa.string())
+        if browser_family in ("Opera", "Opera Mini", "Safari"):
+            vo = version_override.search(v)
+            if vo:
+                browser_version = vo.group(1)
+
+        os_family = os_version = None
+        m = nt_rx.search(v)
+        if m:
+            os_version = "NT " + m.group(1)
+            os_family = (nt_names.get(m.group(1), "Windows")
+                         if mode != "fast" else "Windows")
+        elif ios_rx.search(v) or "iPhone" in v or "iPad" in v:
+            mi = ios_rx.search(v)
+            os_family = "iOS"
+            os_version = mi.group(1).replace("_", ".") if mi else None
+        elif android_rx.search(v):
+            os_family = "Android"
+            os_version = android_rx.search(v).group(1)
+        elif mac_rx.search(v):
+            os_family = "Mac OS X"
+            os_version = mac_rx.search(v).group(1).replace("_", ".")
+        elif "Linux" in v or "X11" in v:
+            os_family = "Linux"
+
+        if "iPad" in v:
+            category, dfam, brand, model = "tablet", "iPad", "Apple", "iPad"
+        elif "iPhone" in v:
+            category, dfam, brand, model = "smartphone", "iPhone", "Apple", "iPhone"
+        elif "Mobile" in v and os_family == "Android":
+            category, dfam, brand, model = "smartphone", "Generic Smartphone", None, None
+        elif os_family == "Android":
+            category, dfam, brand, model = "tablet", "Generic Tablet", None, None
+        else:
+            category, dfam, brand, model = "pc", "Other", None, None
+
+        if mode == "enriched":
+            bmaj, bmin, bpat = _split_ver(
+                version_override.search(v).group(1).replace("_", ".")
+                if False else (browser_version or "")
+            )
+            # enriched major/minor/patch come from the ENGINE match,
+            # not the Version/ override (uap-core behavior)
+            for fam, rx in browsers:
+                m = rx.search(v)
+                if m:
+                    bmaj, bmin, bpat = _split_ver(m.group(1))
+                    break
+            omaj, omin, opat = _split_ver(os_version.replace("NT ", "")
+                                          if os_version else "")
+            return {
+                "browser": {"family": browser_family, "major": bmaj or None,
+                            "minor": bmin, "patch": bpat,
+                            "version": browser_version},
+                "device": {"brand": brand, "category": category,
+                           "family": dfam, "model": model},
+                "os": {"family": os_family, "major": omaj or None,
+                       "minor": omin, "patch": opat, "patch_minor": None,
+                       "version": os_version},
+            }
+        return {
+            "browser": {"family": browser_family, "version": browser_version},
+            "device": {"category": category},
+            "os": {"family": os_family, "version": os_version},
+        }
+
+    arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    return obj_array([None if v is None else _one(v) for v in arr.to_pylist()])
 
 
 # -------------------------------------------------- string/array extras
@@ -925,8 +1051,8 @@ def _parse_regex(c, pattern, numeric_groups=False):
                 continue
             d = {str(i): g for i, g in enumerate(m.group(0, *range(1, rx.groups + 1)))}
             d.update(m.groupdict())
-            out.append(_json.dumps(d, sort_keys=True))
-        return pa.array(out, type=pa.string())
+            out.append(d)
+        return obj_array(out)
     st = pc.extract_regex(arr, pattern=pattern)
     names = [f.name for f in st.type] if len(st) else []
     cols = {n: st.field(n).to_pylist() for n in names}
@@ -934,29 +1060,36 @@ def _parse_regex(c, pattern, numeric_groups=False):
     out = []
     for i in range(len(arr)):
         if valid[i]:
-            out.append(_json.dumps({n: cols[n][i] for n in names}, sort_keys=True))
+            out.append({n: cols[n][i] for n in names})
         else:
             out.append(None)
-    return pa.array(out, type=pa.string())
+    return obj_array(out)
 
 
 @register("parse_regex_all")
-def _parse_regex_all(c, pattern):
-    """VRL parse_regex_all: all matches per row → JSON array string."""
-    import json as _json
+def _parse_regex_all(c, pattern, numeric_groups=False):
+    """VRL parse_regex_all: all matches per row → array of capture
+    objects; ``numeric_groups`` adds "0".."N" indices
+    (parse_regex_all.cue)."""
     import re as _re
 
     pat = _re.compile(pattern)
+
+    def _groups(m):
+        d = {}
+        if numeric_groups or not pat.groupindex:
+            d.update({str(i): g for i, g in
+                      enumerate(m.group(0, *range(1, pat.groups + 1)))})
+        d.update(m.groupdict())
+        return d
+
     out = []
     for v in c.to_pylist():
         if v is None:
             out.append(None)
             continue
-        out.append(_json.dumps(
-            [m.groupdict() if pat.groupindex else {"match": m.group(0)}
-             for m in pat.finditer(v)]
-        ))
-    return pa.array(out, type=pa.string())
+        out.append([_groups(m) for m in pat.finditer(v)])
+    return obj_array(out)
 
 
 @register("unique_items")
@@ -1019,10 +1152,18 @@ def _get_hostname(c):
 
 
 @register("get_env_var")
-def _get_env_var(c, name):
+def _get_env_var(c, name=None):
+    """get_env_var(name) — the column holds the variable names
+    (get_env_var.cue); a constant ``name`` arg broadcasts instead."""
     import os as _os
 
-    return pa.array([_os.environ.get(name)] * len(c), type=pa.string())
+    if name is not None:
+        return pa.array([_os.environ.get(name)] * len(c), type=pa.string())
+    arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    return pa.array(
+        [None if v is None else _os.environ.get(v) for v in arr.to_pylist()],
+        type=pa.string(),
+    )
 
 
 # ----------------------------------------------------- type predicates
@@ -1258,9 +1399,101 @@ for _name in (
 from .. import codecs as _codecs_mod  # noqa: E402
 
 if "parse_cef" not in FUNCTIONS:
-    FUNCTIONS["parse_cef"] = _codecs_mod.parse_cef
+    def _parse_cef_vrl(c, translate_custom_fields=False):
+        """parse_cef(value, translate_custom_fields) — flat object with
+        the camelCase header names + extension keys (parse_cef.cue);
+        a syslog prefix before "CEF:" is ignored;
+        ``translate_custom_fields`` folds cs1/cs1Label pairs into
+        {label: value}.  (The table-shaped codec variant remains at
+        codecs.parse_cef.)"""
+        import re as _re
+
+        headers = ["cefVersion", "deviceVendor", "deviceProduct",
+                   "deviceVersion", "deviceEventClassId", "name", "severity"]
+        split_re = _re.compile(r"(?<!\\)\|")
+        ext_re = _re.compile(r"([\w.]+)=((?:[^=\s]|\\=|\s(?!\S+=))*)")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        out = []
+        for v in c.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            at = v.find("CEF:")
+            if at < 0:
+                out.append(None)
+                continue
+            parts = split_re.split(v[at + 4:], maxsplit=7)
+            if len(parts) < 7:
+                out.append(None)
+                continue
+            row = {h: p.replace("\\|", "|").replace("\\\\", "\\")
+                   for h, p in zip(headers, parts[:7])}
+            ext = parts[7] if len(parts) > 7 else ""
+            kv = {m.group(1): m.group(2).replace("\\=", "=").strip()
+                  for m in ext_re.finditer(ext)}
+            if translate_custom_fields:
+                labels = {k[:-5]: lv for k, lv in kv.items()
+                          if k.endswith("Label")}
+                folded = {}
+                for k, val in kv.items():
+                    if k.endswith("Label"):
+                        continue
+                    folded[labels.get(k, k)] = val
+                kv = folded
+            row.update(kv)
+            out.append(row)
+        return pa.array(
+            [None if r is None else list(r.items()) for r in out],
+            type=pa.map_(pa.string(), pa.string()),
+        )
+
+    FUNCTIONS["parse_cef"] = _parse_cef_vrl
 if "parse_syslog" not in FUNCTIONS:
-    FUNCTIONS["parse_syslog"] = lambda c, rfc="5424": _codecs_mod.decode_syslog(c, rfc)
+    def _parse_syslog_vrl(c, rfc="5424"):
+        """parse_syslog(value) — the reference's object shape
+        (parse_syslog.cue): severity/facility keywords from pri,
+        version, parsed timestamp, procid int when numeric, and each
+        RFC 5424 structured-data element nested under its SD-ID.
+        (The table-shaped codec variant remains at
+        codecs.decode_syslog.)"""
+        import json as _json
+
+        tbl, err = _codecs_mod.decode_syslog(c, rfc)
+        sd_objs = [None if s in (None, "") else _json.loads(s)
+                   for s in _codecs_mod.parse_syslog_sd(tbl["sd"]).to_pylist()]             if "sd" in tbl.column_names else [None] * tbl.num_rows
+        ts = FUNCTIONS["parse_timestamp"](tbl["stamp"], "%+")             if "stamp" in tbl.column_names else None
+        rows = tbl.to_pylist()
+        out = []
+        for i, r in enumerate(rows):
+            if err[i].as_py():
+                out.append(None)
+                continue
+            pri = r.get("pri")
+            row = {}
+            if pri is not None:
+                row["severity"] = _SYSLOG_LEVELS[pri & 7]
+                fac = pri >> 3
+                row["facility"] = (_SYSLOG_FACILITIES[fac]
+                                   if fac < len(_SYSLOG_FACILITIES) else str(fac))
+            if ts is not None and ts[i].is_valid:
+                row["timestamp"] = ts[i].as_py()
+            for k_src, k_dst in (("hostname", "hostname"), ("appname", "appname"),
+                                 ("msgid", "msgid"), ("msg", "message")):
+                v = r.get(k_src)
+                if v not in (None, "-"):
+                    row[k_dst] = v
+            procid = r.get("procid")
+            if procid not in (None, "-"):
+                row["procid"] = int(procid) if str(procid).isdigit() else procid
+            if sd_objs[i]:
+                row.update(sd_objs[i])
+            if rfc == "5424":
+                row["version"] = 1
+            out.append(row)
+        return obj_array(out)
+
+    FUNCTIONS["parse_syslog"] = _parse_syslog_vrl
 
 if "parse_proto" not in FUNCTIONS:
     FUNCTIONS["parse_proto"] = _codecs_mod.decode_protobuf

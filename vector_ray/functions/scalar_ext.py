@@ -289,11 +289,13 @@ def _shannon_entropy(c):
 
 
 @register("log")
-def _log(c, base_or_level=None, rate_limit_secs=None):
+def _log(c, base_or_level=None, rate_limit_secs=None, level=None):
     """Dual role: VRL ``log(value, level, rate_limit_secs)`` is the
     event logger (returns null, log.cue) — engaged when the second
     arg is a level string; with no/numeric second arg this is the
     math logarithm (our pre-existing registry meaning)."""
+    if level is not None:
+        base_or_level = level
     if isinstance(base_or_level, str):
         import logging
 
@@ -572,7 +574,10 @@ register("xxhash64")(lambda c, seed=0: FUNCTIONS["xxhash"](c, "XXH64", seed))
 
 
 @register("community_id")
-def _community_id(src_ip, dst_ip, proto, src_port=0, dst_port=0, seed=0):
+def _community_id(source_ip, destination_ip=None, protocol=None,
+                  source_port=0, destination_port=0, seed=0):
+    src_ip, dst_ip, proto = source_ip, destination_ip, protocol
+    src_port, dst_port = source_port, destination_port
     """Corelight Community ID v1 flow hash (public spec
     corelight/community-id-spec): sha1 over seed + sorted endpoint
     tuple, base64, "1:" prefix.  Argument order follows
@@ -796,15 +801,47 @@ register("pop")(lambda c: _rowmap(c, lambda l: list(l)[:-1]))
 
 
 @register("compact")
-def _compact(c):
+def _compact(c, recursive=True, null=True, string=True, object=True,
+             array=True, nullish=False):
+    """compact(value, …) — drop empty values from objects/arrays per
+    the cue option set: null, "" (string), {} (object), [] (array);
+    ``recursive`` compacts nested containers first; ``nullish`` also
+    drops whitespace-only/"-" strings (compact.cue)."""
+    from .scalar import obj_array
+
+    def _is_empty(v):
+        if v is None:
+            return null
+        if isinstance(v, str):
+            if string and v == "":
+                return True
+            return nullish and (v.strip() == "" or v == "-")
+        if isinstance(v, dict):
+            return object and not v
+        if isinstance(v, list):
+            return array and not v
+        return False
+
+    def _one(v):
+        if recursive:
+            if isinstance(v, dict):
+                v = {k: _one(x) for k, x in v.items()}
+            elif isinstance(v, list):
+                v = [_one(x) for x in v]
+        if isinstance(v, dict):
+            return {k: x for k, x in v.items() if not _is_empty(x)}
+        if isinstance(v, list):
+            return [x for x in v if not _is_empty(x)]
+        return v
+
     c = _arr(c)
-    empties = (None, "", [], {})
     if pa.types.is_map(c.type) or pa.types.is_struct(c.type):
-        return _to_map_array([
-            None if d is None else {k: v for k, v in d.items() if v not in empties}
-            for d in _map_to_dicts(c)
-        ])
-    return _rowmap(c, lambda l: [v for v in l if v not in empties])
+        rows = _map_to_dicts(c)
+        out = [None if d is None else _one(d) for d in rows]
+        if pa.types.is_map(c.type):
+            return _to_map_array(out)
+        return obj_array(out)
+    return obj_array([None if l is None else _one(l) for l in c.to_pylist()])
 
 
 @register("flatten")
@@ -852,10 +889,10 @@ def _zip(a, b=None):
 
 
 @register("match_array")
-def _match_array(c, pattern, match_all=False):
+def _match_array(c, pattern, all=False):
     rx = re.compile(pattern)
-    if match_all:
-        op = lambda l: all(rx.search(str(v)) is not None for v in l)  # noqa: E731
+    if all:
+        op = lambda l: not any(rx.search(str(v)) is None for v in l)  # noqa: E731
     else:
         op = lambda l: any(rx.search(str(v)) is not None for v in l)  # noqa: E731
     return _rowmap(c, op, pa.bool_())
@@ -889,7 +926,7 @@ def _values(c):
                      for d in _map_to_dicts(c)], type=pa.list_(pa.string()))
 
 
-register("get")(lambda c, path: FUNCTIONS["get_path"](c, path))
+register("get")(lambda c, path=None: FUNCTIONS["get_path"](c, path))
 register("merge")(lambda c, other: FUNCTIONS["merge_objects"](c, other))
 
 
@@ -927,34 +964,47 @@ def _object_from_array(c, keys=None):
                 out[item[0]] = item[1] if len(item) > 1 else None
         return out
 
+    from .scalar import obj_array
+
     vals = _arr(c).to_pylist()
     if keys is not None:
-        return _to_map_array(
+        return obj_array(
             [None if l is None else
              {k: v for k, v in zip(keys, l) if k is not None}
              for l in vals]
         )
-    return _to_map_array([None if l is None else _one(l) for l in vals])
+    return obj_array([None if l is None else _one(l) for l in vals])
 
 
 @register("unflatten")
 def _unflatten(c, separator=".", recursive=True):
-    def _one(d):
+    """unflatten(value, separator, recursive) — dotted keys → nested
+    objects (unflatten.cue): ``recursive`` re-unflattens nested map
+    values; scalar/object conflicts resolve in favor of the object."""
+    from .scalar import obj_array
+
+    def _one(d, depth=True):
         out = {}
         for k, v in d.items():
+            if isinstance(v, dict) and recursive:
+                v = _one(v)
             parts = k.split(separator)
             cur = out
+            ok = True
             for p in parts[:-1]:
-                cur = cur.setdefault(p, {})
-                if not isinstance(cur, dict):
-                    break
-            else:
-                cur[parts[-1]] = v
+                nxt = cur.get(p)
+                if not isinstance(nxt, dict):
+                    nxt = {}
+                    cur[p] = nxt
+                cur = nxt
+            leaf = parts[-1]
+            if isinstance(cur.get(leaf), dict) and not isinstance(v, dict):
+                continue  # object wins over conflicting scalar
+            cur[leaf] = v
         return out
 
     dicts = [None if d is None else _one(d) for d in _map_to_dicts(c)]
-    return pa.array([None if d is None else json.dumps(d) for d in dicts],
-                    type=pa.string())
+    return obj_array(dicts)
 
 
 def _path_key(key):
@@ -1060,7 +1110,12 @@ def _path_remove(obj, path, compact=False):
 
 
 @register("set")
-def _set(c, key, value):
+def _set(c, path, data=None, *, key=None, value=None):
+    if key is not None:
+        path = key
+    if value is not None:
+        data = value
+    key, value = path, data
     """set(value, path, data) — nested object/array path assignment
     (set.cue); flat maps address dotted keys for compatibility."""
     rows, kind = _obj_rows(c)
@@ -1096,7 +1151,10 @@ def _del(c, key):
 
 
 @register("remove")
-def _remove(c, key, compact=False):
+def _remove(c, path=None, compact=False, *, key=None):
+    if key is not None:
+        path = key
+    key = path
     """remove(value, path, compact) — nested path removal with
     negative array indexing and optional empty-container compaction
     (remove.cue)."""
@@ -1165,27 +1223,92 @@ def _parse_csv(c, delimiter=","):
 
 
 @register("parse_key_value")
-def _parse_key_value(c, key_value_delimiter="=", field_delimiter=" "):
+def _parse_key_value(c, key_value_delimiter="=", field_delimiter=" ",
+                     whitespace="lenient", accept_standalone_key=True):
+    """parse_key_value(value, key_value_delimiter, field_delimiter,
+    whitespace, accept_standalone_key) — logfmt-style parsing
+    (parse_key_value.cue): quoted values, lenient whitespace (an
+    unquoted value runs until the next key token), standalone keys
+    become true, duplicate keys accumulate into arrays."""
+    from .scalar import obj_array
+
     def _one(s):
         out = {}
-        for part in s.split(field_delimiter):
-            if key_value_delimiter in part:
-                k, v = part.split(key_value_delimiter, 1)
-                out[k.strip()] = v.strip().strip('"')
+        fields = []
+        # split on field_delimiter but respect double quotes
+        buf, q = [], False
+        for ch in s:
+            if ch == '"':
+                q = not q
+                buf.append(ch)
+            elif not q and s is not None and ch == field_delimiter:
+                fields.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        fields.append("".join(buf))
+
+        def _put(k, v):
+            if k in out:
+                if isinstance(out[k], list):
+                    out[k].append(v)
+                else:
+                    out[k] = [out[k], v]
+            else:
+                out[k] = v
+
+        pend_k = None  # lenient mode: accumulate value words
+        pend_v = []
+        for part in fields:
+            stripped = part.strip()
+            if not stripped:
+                continue
+            # a part is a new key token if it contains the kv delimiter
+            # OUTSIDE quotes before any quote
+            qi = stripped.find('"')
+            di = stripped.find(key_value_delimiter)
+            is_kv = di >= 0 and (qi < 0 or di < qi)
+            if is_kv:
+                if pend_k is not None:
+                    _put(pend_k, " ".join(pend_v) if pend_v else True)
+                k, v = stripped.split(key_value_delimiter, 1)
+                k, v = k.strip().strip('"'), v.strip()
+                if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+                    _put(k, v[1:-1])
+                    pend_k, pend_v = None, []
+                elif whitespace == "lenient":
+                    pend_k, pend_v = k, ([v] if v else [])
+                else:
+                    _put(k, v)
+                    pend_k, pend_v = None, []
+            elif pend_k is not None and whitespace == "lenient"                     and field_delimiter.strip() == "":
+                # continuation word of an unquoted lenient value
+                pend_v.append(stripped)
+            elif accept_standalone_key:
+                if pend_k is not None:
+                    _put(pend_k, " ".join(pend_v) if pend_v else True)
+                    pend_k, pend_v = None, []
+                _put(stripped.strip('"'), True)
+            else:
+                if pend_k is not None:
+                    _put(pend_k, " ".join(pend_v) if pend_v else True)
+                    pend_k, pend_v = None, []
+        if pend_k is not None:
+            _put(pend_k, " ".join(pend_v) if pend_v else True)
         return out
 
-    return _to_map_array([None if s is None else _one(s)
-                          for s in _arr(c).to_pylist()])
+    return obj_array([None if s is None else _one(s)
+                      for s in _arr(c).to_pylist()])
 
 
 register("parse_logfmt")(lambda c: FUNCTIONS["parse_key_value"](c, "=", " "))
 
 
 @register("parse_grok")
-def _parse_grok(c, pattern):
+def _parse_grok(c, pattern, aliases=None):
     from ..parse import grok_to_regex
 
-    rx = re.compile(grok_to_regex(pattern)[0])
+    rx = re.compile(grok_to_regex(pattern, extra_patterns=aliases)[0])
 
     def _one(s):
         m = rx.search(s)
@@ -1196,10 +1319,13 @@ def _parse_grok(c, pattern):
 
 
 @register("parse_groks")
-def _parse_groks(c, patterns):
+def _parse_groks(c, patterns, aliases=None):
+    """parse_groks(value, patterns, aliases) — first matching pattern
+    wins; ``aliases`` adds custom grok pattern names usable inside the
+    patterns (parse_groks.cue)."""
     from ..parse import grok_to_regex
 
-    rxs = [re.compile(grok_to_regex(p)[0]) for p in patterns]
+    rxs = [re.compile(grok_to_regex(p, extra_patterns=aliases)[0]) for p in patterns]
 
     def _one(s):
         for rx in rxs:
@@ -1217,14 +1343,14 @@ def _parse_ruby_hash(c):
     """Ruby-hash literals → string map; nested objects/arrays keep
     JSON serialization (parse_ruby_hash.cue nesting), scalars
     stringify like parse_json."""
+    from .scalar import obj_array
+
     def _one(s):
         t = re.sub(r"\bnil\b", "null", s.replace("=>", ":"))
-        v = json.loads(t)
-        return {k: (json.dumps(x) if isinstance(x, (dict, list))
-                    else (None if x is None else str(x))) for k, x in v.items()}
+        return json.loads(t)
 
-    return _to_map_array([None if s is None else _one(s)
-                          for s in _arr(c).to_pylist()])
+    return obj_array([None if s is None else _one(s)
+                      for s in _arr(c).to_pylist()])
 
 
 @register("parse_xml")
@@ -1248,10 +1374,48 @@ def _parse_xml(c):
 
 @register("parse_influxdb")
 def _parse_influxdb(c):
+    """parse_influxdb(value) — line-protocol line → ARRAY of
+    vector-metric-shaped objects {name, tags, timestamp, kind,
+    gauge:{value}} per field, matching parse_influxdb.cue (bools → 1/0,
+    ints/uints → float, ns epoch → RFC 3339)."""
+    import datetime as _dt
+
+    from .scalar import obj_array
     from ..codecs import parse_influx_line
 
-    return _to_map_array([None if s is None else parse_influx_line(s)
-                          for s in _arr(c).to_pylist()])
+    def _one(s):
+        flat = parse_influx_line(s)
+        if flat is None:
+            return None
+        measurement = flat.get("measurement")
+        tags = {k[4:]: v for k, v in flat.items() if k.startswith("tag.")}
+        ts = flat.get("timestamp")
+        iso = None
+        if ts not in (None, ""):
+            d = _dt.datetime.fromtimestamp(int(ts) / 1e9, _dt.timezone.utc)
+            iso = d.replace(tzinfo=None)
+        out = []
+        for k, v in flat.items():
+            if not k.startswith("field."):
+                continue
+            sv = str(v)
+            if sv in ("true", "True"):
+                fv = 1.0
+            elif sv in ("false", "False"):
+                fv = 0.0
+            else:
+                fv = float(sv.rstrip("iu"))
+            out.append({
+                "name": f"{measurement}_{k[6:]}",
+                "tags": tags,
+                "timestamp": iso,
+                "kind": "absolute",
+                "gauge": {"value": fv},
+            })
+        return out
+
+    return obj_array([None if s is None else _one(s)
+                      for s in _arr(c).to_pylist()])
 
 
 @register("parse_bytes")
@@ -1382,7 +1546,11 @@ def _uuid_v7(c, seed=0):
     tail — sortable by time, deterministic given (column, seed)."""
     import uuid as _uuid
 
-    ts = _arr(c).cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    arr = _arr(c)
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.timestamp("us"))
+    ts = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ts = np.where(np.isnan(ts.astype(np.float64)), 0, ts) // 1000
     rng = np.random.RandomState(int(seed))
     raw = rng.bytes(10 * len(ts))
     out = []
@@ -1445,25 +1613,63 @@ register("find_enrichment_table_records")(
 # -------------------------------------------------- encoders (objects)
 
 
+def _kv_encode_row(d, fields_ordering, key_value_delimiter,
+                   field_delimiter, flatten_boolean):
+    """Shared key-value/logfmt encoder (encode_key_value.cue):
+    nested objects flatten to dotted keys, unordered fields sort
+    lexicographically after the ordered prefix, values containing
+    whitespace/delimiters quote, flatten_boolean renders true as a
+    bare key and drops false."""
+
+    def _flat(obj, prefix=""):
+        out = {}
+        for k, v in obj.items():
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                out.update(_flat(v, key))
+            else:
+                out[key] = v
+        return out
+
+    flat = _flat(d)
+    ordered = [k for k in (fields_ordering or []) if k in flat]
+    rest = sorted(k for k in flat if k not in set(ordered))
+
+    def _render(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        s = str(v)
+        if (" " in s or '"' in s or field_delimiter in s or s == ""):
+            return '"' + s.replace('"', '\\"') + '"'
+        return s
+
+    parts = []
+    for k in ordered + rest:
+        v = flat[k]
+        if flatten_boolean and isinstance(v, bool):
+            if v:
+                parts.append(k)
+            continue
+        parts.append(f"{k}{key_value_delimiter}{_render(v)}")
+    return field_delimiter.join(parts)
+
+
 @register("encode_key_value")
-def _encode_key_value(c, key_value_delimiter="=", field_delimiter=" "):
+def _encode_key_value(c, fields_ordering=None, key_value_delimiter="=",
+                      field_delimiter=" ", flatten_boolean=False):
     return pa.array([
-        None if d is None else field_delimiter.join(
-            f"{k}{key_value_delimiter}{v}" for k, v in d.items())
+        None if d is None else _kv_encode_row(
+            d, fields_ordering, key_value_delimiter, field_delimiter,
+            flatten_boolean)
         for d in _map_to_dicts(c)
     ], type=pa.string())
 
 
 @register("encode_logfmt")
-def _encode_logfmt(c):
-    def _quote(v):
-        s = str(v)
-        return f'"{s}"' if (" " in s or "=" in s or '"' in s) else s
-
-    return pa.array([
-        None if d is None else " ".join(f"{k}={_quote(v)}" for k, v in d.items())
-        for d in _map_to_dicts(c)
-    ], type=pa.string())
+def _encode_logfmt(c, fields_ordering=None):
+    """encode_logfmt(value, fields_ordering) = key-value encoding with
+    logfmt defaults (encode_logfmt.cue)."""
+    return FUNCTIONS["encode_key_value"](c, fields_ordering)
 
 
 @register("object")
@@ -1487,7 +1693,7 @@ def _to_regex(c):
 def _parse_tokens(c):
     """Tokenize a log line: whitespace-separated, honoring "quotes" and
     [brackets] as single tokens (VRL parse_tokens)."""
-    rx = re.compile(r'"([^"]*)"|\[([^\]]*)\]|(\S+)')
+    rx = re.compile(r'"((?:\\.|[^"\\])*)"|\[([^\]]*)\]|(\S+)')
 
     def _one(s):
         return [g1 or g2 or g3 for g1, g2, g3 in rx.findall(s)]

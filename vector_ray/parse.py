@@ -43,7 +43,7 @@ GROK_PATTERNS: Dict[str, str] = {
     "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|\b[0-9A-Za-z][0-9A-Za-z-]*(?:\.[0-9A-Za-z][0-9A-Za-z-]*)*\b)",
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
-    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)",
+    "LOGLEVEL": r"(?i:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)",
     "QS": r"\"(?:[^\"\\]|\\.)*\"",
     "QUOTEDSTRING": r"\"(?:[^\"\\]|\\.)*\"",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
@@ -346,6 +346,11 @@ def parse_apache_log(col, format: str = "common",
         "combined": APACHE_COMBINED_GROK,
         "error": APACHE_ERROR_GROK,
     }[format]
+    if timestamp_format != "%d/%b/%Y:%T %z":
+        # non-default timestamp spelling: accept anything inside the
+        # brackets and let the timestamp parser validate
+        pattern = pattern.replace("%{HTTPDATE:timestamp}",
+                                  "(?P<timestamp>[^\\]]+)")
     cols, err = GrokParser(pattern).parse(col)
     cols["timestamp"] = _parse_log_timestamp(cols["timestamp"], timestamp_format)
     if "size" in cols:
@@ -364,11 +369,70 @@ def parse_apache_log(col, format: str = "common",
     return cols, err
 
 
-def parse_nginx_log(col, format: str = "combined"):
-    """Nginx access-log line (combined log format) → columns (+mask)."""
-    if format != "combined":
-        raise ValueError("only the combined access format is implemented")
-    return GrokParser(NGINX_COMBINED_GROK).parse(col)
+_NGINX_FORMATS = {
+    # parse_nginx_log.cue field layouts; request stays one string
+    "combined": (
+        '%{IPORHOST:client} %{NOTSPACE:_ident} %{NOTSPACE:user} '
+        '\\[%{HTTPDATE:timestamp}\\] "%{DATA:request}" '
+        '%{POSINT:status:int} %{POSINT:size:int} "%{DATA:referer}" '
+        '"%{DATA:agent}"(?: "%{DATA:compression}")?'
+    ),
+    "main": (
+        '%{IPORHOST:remote_addr} %{NOTSPACE:_ident} %{NOTSPACE:remote_user} '
+        '\\[%{HTTPDATE:timestamp}\\] "%{DATA:request}" '
+        '%{POSINT:status:int} %{POSINT:body_bytes_size:int} '
+        '"%{DATA:http_referer}" "%{DATA:http_user_agent}" '
+        '"%{DATA:http_x_forwarded_for}"'
+    ),
+    "ingress_upstreaminfo": (
+        '%{IPORHOST:remote_addr} %{NOTSPACE:_ident} %{NOTSPACE:remote_user} '
+        '\\[%{HTTPDATE:timestamp}\\] "%{DATA:request}" '
+        '%{POSINT:status:int} %{POSINT:body_bytes_size:int} '
+        '"%{DATA:http_referer}" "%{DATA:http_user_agent}" '
+        '%{POSINT:request_length:int} %{NUMBER:request_time:float} '
+        '\\[%{DATA:proxy_upstream_name}\\]'
+        '(?: \\[%{DATA:proxy_alternative_upstream_name}\\])? '
+        '%{NOTSPACE:upstream_addr} %{POSINT:upstream_response_length:int} '
+        '%{NUMBER:upstream_response_time:float} %{POSINT:upstream_status:int} '
+        '%{NOTSPACE:req_id}'
+    ),
+    "error": (
+        '%{NGXDATE:timestamp} \\[%{WORD:severity}\\] '
+        '%{POSINT:pid:int}#%{POSINT:tid:int}: '
+        '(?:\\*%{POSINT:cid:int} )?%{NGXMSG:message}'
+        '(?:, client: %{NGXFIELD:client})?(?:, server: %{NGXFIELD:server})?'
+        '(?:, request: "%{DATA:request}")?(?:, upstream: "%{DATA:upstream}")?'
+        '(?:, host: "%{DATA:host}")?(?:, referrer: "%{DATA:referrer}")?$'
+    ),
+}
+
+_NGINX_EXTRA = {
+    "NGXDATE": r"\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}",
+    "NGXMSG": r".*?",
+    "NGXFIELD": r"[^,]*",
+}
+
+
+def parse_nginx_log(col, format: str = "combined",
+                    timestamp_format: str = None):
+    """Nginx log line → typed columns (+mask) per parse_nginx_log.cue:
+    formats combined / main / ingress_upstreaminfo / error; timestamps
+    convert to UTC timestamp[us]; "-" placeholders become null."""
+    pattern = _NGINX_FORMATS[format]
+    cols, err = GrokParser(pattern, _NGINX_EXTRA).parse(col)
+    cols.pop("_ident", None)
+    if format == "error":
+        fmt = timestamp_format or "%Y/%m/%d %H:%M:%S"
+    else:
+        fmt = timestamp_format or "%d/%b/%Y:%T %z"
+    cols["timestamp"] = _parse_log_timestamp(cols["timestamp"], fmt)
+    for k, v in list(cols.items()):
+        if pa.types.is_string(v.type):
+            cols[k] = pc.if_else(
+                pc.is_in(pc.fill_null(v, "-"), value_set=pa.array(["-", ""])),
+                pa.scalar(None, type=pa.string()), v,
+            )
+    return cols, err
 
 
 # Named single-purpose parsers mirroring documented VRL functions
@@ -399,15 +463,25 @@ _VPC_INT_FIELDS = {
     "start", "end", "tcp_flags", "traffic_path",
 }
 
-ALB_GROK = (
-    '%{NOTSPACE:type} %{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb} '
-    '%{NOTSPACE:client_host} %{NOTSPACE:target_host} '
-    '%{NUMBER:request_processing_time:float} %{NUMBER:target_processing_time:float} '
-    '%{NUMBER:response_processing_time:float} %{POSINT:elb_status_code:int} '
-    '%{NOTSPACE:target_status_code} %{POSINT:received_bytes:int} '
-    '%{POSINT:sent_bytes:int} "%{DATA:request}" "%{DATA:user_agent}" '
-    '%{NOTSPACE:ssl_cipher} %{NOTSPACE:ssl_protocol}'
-)
+# parse_aws_alb_log.cue field layout: positional tokens, quote-aware;
+# floats/ints typed, "-" → null, space-separated quoted lists → arrays
+_ALB_FIELDS = [
+    ("type", "s"), ("timestamp", "s"), ("elb", "s"), ("client_host", "s"),
+    ("target_host", "s"), ("request_processing_time", "f"),
+    ("target_processing_time", "f"), ("response_processing_time", "f"),
+    ("elb_status_code", "s"), ("target_status_code", "s"),
+    ("received_bytes", "i"), ("sent_bytes", "i"), ("request", "req"),
+    ("user_agent", "s"), ("ssl_cipher", "s"), ("ssl_protocol", "s"),
+    ("target_group_arn", "s"), ("trace_id", "s"), ("domain_name", "s"),
+    ("chosen_cert_arn", "s"), ("matched_rule_priority", "s"),
+    ("request_creation_time", "s"), ("actions_executed", "s"),
+    ("redirect_url", "s"), ("error_reason", "s"),
+    ("target_port_list", "l"), ("target_status_code_list", "l"),
+    ("classification", "s"), ("classification_reason", "s"),
+    ("traceability_id", "s"),
+]
+
+_ALB_TOKEN_RX = re.compile(r'"([^"]*)"|(\S+)')
 
 AUTH_GROK = (
     "%{SYSLOGTIMESTAMP:timestamp} %{HOSTNAME:hostname} "
@@ -484,14 +558,83 @@ def parse_aws_vpc_flow_log(col, format: Optional[str] = None):
     return cols, err
 
 
-def parse_aws_alb_log(col):
-    """AWS ALB access log (leading fields through ssl_protocol)."""
-    return GrokParser(ALB_GROK).parse(col)
+def parse_aws_alb_log(col, strict_mode: bool = True):
+    """AWS application load balancer access log → typed columns
+    (parse_aws_alb_log.cue): the documented 29-field layout + split
+    request method/url/protocol; ``strict_mode=False`` tolerates
+    trailing extra fields.  Quote-aware tokenization is one compiled
+    C-regex findall per row (off the flagship hot path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    names = ([n for n, _ in _ALB_FIELDS[:12]]
+             + ["request_method", "request_url", "request_protocol"]
+             + [n for n, _ in _ALB_FIELDS[13:]])
+    data = {n: [] for n in names}
+    errs = []
+    required = len(_ALB_FIELDS) - 1  # traceability_id is optional
+    for line in col.to_pylist():
+        toks = None
+        if line is not None:
+            toks = [m.group(1) if m.group(1) is not None else m.group(2)
+                    for m in _ALB_TOKEN_RX.finditer(line)]
+        bad = (toks is None or len(toks) < required
+               or (strict_mode and len(toks) > len(_ALB_FIELDS)))
+        errs.append(bad)
+        if bad:
+            for n in names:
+                data[n].append(None)
+            continue
+        for idx, (name, kind) in enumerate(_ALB_FIELDS):
+            # the optional 29th field only binds when present exactly;
+            # trailing extras beyond the layout are ignored (non-strict)
+            v = toks[idx] if idx < len(toks) else None
+            if name == "traceability_id" and len(toks) != len(_ALB_FIELDS):
+                v = None
+            if v == "-":
+                v = None
+            if kind == "req":
+                parts = (v or "").split(" ")
+                parts += [None] * (3 - len(parts))
+                data["request_method"].append(parts[0] or None)
+                data["request_url"].append(parts[1])
+                data["request_protocol"].append(parts[2])
+                continue
+            if v is None:
+                data[name].append([] if kind == "l" else None)
+            elif kind == "f":
+                data[name].append(float(v))
+            elif kind == "i":
+                data[name].append(int(v))
+            elif kind == "l":
+                data[name].append(v.split(" "))
+            else:
+                data[name].append(v)
+    types = {"f": pa.float64(), "i": pa.int64(), "l": pa.list_(pa.string())}
+    kinds = dict(_ALB_FIELDS)
+    cols = {}
+    for n in names:
+        k = kinds.get(n, "s")
+        cols[n] = pa.array(data[n], type=types.get(k, pa.string()))
+    return cols, pa.array(errs, type=pa.bool_())
 
 
 def parse_linux_authorization(col):
-    """auth.log / secure lines (RFC 3164-shaped prefix + message)."""
-    return GrokParser(AUTH_GROK, _AUTH_EXTRA).parse(col)
+    """Linux auth.log / secure lines → {appname, hostname, message,
+    procid, timestamp} (parse_linux_authorization.cue): the syslog
+    timestamp has no year — the current year is inferred; procid is
+    the optional [pid] suffix."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    cols, err = GrokParser(AUTH_GROK, _AUTH_EXTRA).parse(col)
+    ts = pd.to_datetime(
+        pd.Series([None if v is None else f"{_dt.date.today().year} {v}"
+                   for v in cols.pop("timestamp").to_pylist()], dtype="object"),
+        format="%Y %b %d %H:%M:%S", errors="coerce")
+    cols["timestamp"] = pa.Array.from_pandas(ts).cast(pa.timestamp("us"))
+    cols["procid"] = cols.pop("pid")
+    return cols, err
 
 
 def parse_common_log(col, timestamp_format: str = "%d/%b/%Y:%T %z"):
