@@ -895,8 +895,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _ensure_token_caches() -> None:
+    """Materialize the synthetic token-table parquet caches the
+    token_pipeline oracle reads via read_parquet(). Called from
+    oracle_sql() so the files exist before ANY oracle SQL can run,
+    regardless of driver ordering. Guarded: a failure here must never
+    break the other 50 oracles."""
+    try:
+        from vector_ray.schema import token_table_path
+
+        for n in (10_000, 100_000):
+            token_table_path(n)
+    except Exception:
+        pass
+
+
+# token_pipeline oracle: the flagship agg is a pure function of the
+# deterministic token table (render→grok-parse inverts exactly), so the
+# oracle restates parse/enrich/route directly over the cached parquet.
+# The events row count selects the sf-matched cache (1000 rows ⇒ sf0.001
+# ⇒ 10k token rows; else the sf0.01 100k cache).
+_TOKEN_PIPELINE_SQL = """
+WITH tok AS (
+  SELECT n_tok, source, CAST(substring(doc_id, 5) AS BIGINT) AS i
+  FROM read_parquet('/tmp/vector_ray_tokens/n10000/*.parquet')
+  WHERE (SELECT count(*) FROM events) = 1000
+  UNION ALL
+  SELECT n_tok, source, CAST(substring(doc_id, 5) AS BIGINT) AS i
+  FROM read_parquet('/tmp/vector_ray_tokens/n100000/*.parquet')
+  WHERE (SELECT count(*) FROM events) <> 1000
+), parsed AS (
+  SELECT n_tok,
+         CASE WHEN i % 10 < 7 THEN 200 WHEN i % 10 < 9 THEN 404 ELSE 500 END AS status,
+         CASE source WHEN 'web' THEN 'us-east' WHEN 'app' THEN 'eu-west'
+                     WHEN 'syslog' THEN 'us-east' WHEN 'k8s' THEN 'ap-south'
+                     WHEN 'edge' THEN 'eu-west' END AS region
+  FROM tok
+), routed AS (
+  SELECT 'errors' AS route, * FROM parsed WHERE status = 500
+  UNION ALL SELECT 'big', * FROM parsed WHERE n_tok >= 1024
+  UNION ALL SELECT 'ok', * FROM parsed WHERE status IN (200, 404)
+  UNION ALL SELECT '_unmatched', * FROM parsed
+            WHERE status <> 500 AND n_tok < 1024 AND status NOT IN (200, 404)
+)
+SELECT route, region, status,
+       count(*) AS n_rows,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       max(n_tok) AS max_tokens
+FROM routed GROUP BY route, region, status
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_token_caches()
     return {
+        "token_pipeline": _TOKEN_PIPELINE_SQL,
         "sample_ratio": (
             "SELECT event_id FROM ("
             "SELECT event_id, row_number() OVER "
