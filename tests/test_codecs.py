@@ -1,6 +1,8 @@
 """Codec kernels: json/csv/logfmt/syslog decode, ndjson/csv/logfmt encode."""
 
+import datetime as dt
 import json
+import json as j
 
 import pyarrow as pa
 
@@ -115,8 +117,67 @@ def test_decode_gelf():
     )
     assert t["message"].to_pylist() == ["boom", None, "ok"]
     assert t["app"].to_pylist() == ["web", None, None]
-    assert t["timestamp"].to_pylist() == [None, None, 17.5]
+    ts = t["timestamp"].to_pylist()
+    assert ts[0] is not None and ts[1] is None  # omitted → decode time (spec)
+    assert ts[2] == dt.datetime(1970, 1, 1, 0, 0, 17, 500000)
     assert e.to_pylist() == [False, True, False]
+
+
+def test_gelf_reference_parity():
+    """Port of lib/codecs/src/decoding/format/gelf.rs tests (gelf.rs:279-483)."""
+    from vector_ray.codecs import decode_gelf
+
+    # gelf_deserialize_correctness: every spec field + dotted/dashed adds
+    full = j.dumps({
+        "version": "1.1", "host": "example.org",
+        "short_message": "A short message that helps you identify what is going on",
+        "full_message": "Backtrace here\n\nmore stuff",
+        "timestamp": 1385053862.3072, "level": 1, "facility": "foo",
+        "line": 42, "file": "/tmp/bar",
+        "_an.add-field_int": 2001.1002, "_an.add-field_str": "A Space Odyssey",
+    })
+    t, e = decode_gelf(pa.array([full]),
+                       extra_keys=["an.add-field_int", "an.add-field_str"])
+    assert e.to_pylist() == [False]
+    r = t.to_pylist()[0]
+    assert r["version"] == "1.1" and r["host"] == "example.org"
+    assert r["full_message"] == "Backtrace here\n\nmore stuff"
+    assert r["timestamp"] == dt.datetime(2013, 11, 21, 17, 11, 2, 307200)
+    assert r["level"] == 1 and r["facility"] == "foo"
+    assert r["line"] == 42.0 and r["file"] == "/tmp/bar"  # line is Float (gelf.rs:168)
+    assert r["an.add-field_int"] == 2001.1002
+    assert r["an.add-field_str"] == "A Space Odyssey"
+
+    # edge cases: timestamp filled when omitted; _id always dropped
+    t, e = decode_gelf(pa.array([
+        '{"host":"example.org","short_message":"foobar","version":"1.1"}',
+        '{"host":"example.org","short_message":"foobar","version":"1.1","_id":"S3creTz"}',
+    ]), extra_keys=["id"])
+    assert e.to_pylist() == [False, False]
+    assert t["timestamp"].to_pylist()[0] is not None
+    assert t["id"].to_pylist() == [None, None]
+
+    # error conditions (strict default, gelf.rs:385-434)
+    bad = [
+        '{"host":"example.org","short_message":"foobar","version":"1.1","_bad%key":"raboof"}',
+        '{"host":"example.org","short_message":"foobar","version":"1.1","bad-key":"raboof"}',
+        '{"host":"example.org","version":"1.1"}',
+        '{"short_message":"foobar","version":"1.1"}',
+        '{"host":42,"short_message":"foobar","version":"1.1"}',
+        '{"host":"example.org","version":"1.1","short_message":"foobar","level":"baz"}',
+    ]
+    _, e = decode_gelf(pa.array(bad))
+    assert e.to_pylist() == [True] * len(bad)
+
+    # relaxed mode accepts what strict rejects (gelf.rs:435-483)
+    odd = j.dumps({"version": "1.0", "host": "example.org",
+                   "short_message": "msg", "timestamp": 1385053862.3072,
+                   "level": 1, "incorrect^_extra_field": None})
+    _, e = decode_gelf(pa.array([odd]))
+    assert e.to_pylist() == [True]
+    t, e = decode_gelf(pa.array([odd]), strict=False)
+    assert e.to_pylist() == [False]
+    assert t["version"].to_pylist() == ["1.0"]
 
 
 def test_parse_cef():

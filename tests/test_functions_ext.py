@@ -223,6 +223,16 @@ def test_decode_influxdb_table():
     assert str(cpu["ts"]).startswith("2019-05-02")
 
 
+def test_decode_influxdb_invalid_line_errors():
+    """decoding/format/influxdb.rs deserialize_error parity."""
+    import pytest
+
+    from vector_ray.codecs import decode_influxdb
+
+    with pytest.raises(ValueError, match="invalid influxdb line"):
+        decode_influxdb(s("some invalid string"))
+
+
 def test_decode_native_json():
     from vector_ray.codecs import decode_native_json
 

@@ -195,46 +195,116 @@ def encode_logfmt(batch: pa.Table) -> pa.Array:
     return pc.binary_join_element_wise(*pieces, "")
 
 
-def decode_gelf(col, extra_keys: Optional[List[str]] = None):
-    """GELF decoder (lib/codecs/src/decoding/format/gelf.rs semantics):
-    each line is a JSON object with required ``version``, ``host``,
-    ``short_message``; optional ``full_message``, ``timestamp``,
-    ``level``; additional fields are underscore-prefixed and surface
-    with the underscore stripped.  Returns (table, error_mask) — a row
-    errors when required fields are missing."""
+# GELF additional-field names: word chars, dots, dashes (plus '@' —
+# the reference is lenient there because Graylog's own GELF output
+# emits it).  lib/codecs/src/gelf.rs:75.
+GELF_FIELD_RX = re.compile(r"^[\w.\-@]*$")
+_GELF_SPEC_KEYS = frozenset(
+    ("version", "host", "short_message", "full_message", "timestamp",
+     "level", "facility", "line", "file")
+)
+
+
+def decode_gelf(col, extra_keys: Optional[List[str]] = None, strict: bool = True):
+    """GELF decoder (lib/codecs/src/decoding/format/gelf.rs:128-220).
+
+    Each line is a JSON object with required string fields ``version``,
+    ``host``, ``short_message``; optional ``full_message``/``facility``/
+    ``file`` (strings), ``timestamp`` (fractional epoch seconds →
+    timestamp[us]; filled with decode time when omitted, per spec),
+    ``level`` (u8), ``line`` (float — gelf.rs:168).  Additional fields
+    are underscore-prefixed; ``_id`` is always dropped (spec).  With
+    ``strict`` (the reference's default ValidationMode::Strict):
+    version must be "1.1", additional names must be ``_``-prefixed and
+    match ``[\\w.\\-@]*``, additional values must be string-or-number.
+    Declared ``extra_keys`` surface with the underscore stripped.
+    Returns (table, error_mask); a failed row is all-null + masked."""
+    import datetime as _dt
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     extra_keys = extra_keys or []
-    req = ("version", "host", "short_message")
-    rows = {k: [] for k in ("version", "host", "message", "full_message",
-                            "timestamp", "level", *extra_keys)}
+    cols = ("version", "host", "message", "full_message", "timestamp",
+            "level", "facility", "line", "file", *extra_keys)
+    rows = {k: [] for k in cols}
     err = []
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+    def _fail():
+        for k in rows:
+            rows[k].append(None)
+        err.append(True)
+
     for v in col.to_pylist():
         try:
             d = json.loads(v)
-            if not isinstance(d, dict) or any(k not in d for k in req):
-                raise ValueError("missing required GELF field")
         except Exception:
-            for k in rows:
-                rows[k].append(None)
-            err.append(True)
+            _fail()
             continue
-        rows["version"].append(str(d["version"]))
-        rows["host"].append(d["host"])
-        rows["message"].append(d["short_message"])
-        rows["full_message"].append(d.get("full_message"))
-        rows["timestamp"].append(d.get("timestamp"))
-        rows["level"].append(d.get("level"))
+        if not isinstance(d, dict):
+            _fail()
+            continue
+        ver, host, msg = d.get("version"), d.get("host"), d.get("short_message")
+        if not (isinstance(ver, str) and isinstance(host, str) and isinstance(msg, str)):
+            _fail()
+            continue
+        if strict and ver != "1.1":
+            _fail()
+            continue
+        full, fac, file_ = d.get("full_message"), d.get("facility"), d.get("file")
+        ts, level, line = d.get("timestamp"), d.get("level"), d.get("line")
+        num = lambda x: isinstance(x, (int, float)) and not isinstance(x, bool)
+        if any(x is not None and not isinstance(x, str) for x in (full, fac, file_)):
+            _fail()
+            continue
+        if ts is not None and not num(ts):
+            _fail()
+            continue
+        if level is not None and not (isinstance(level, int)
+                                      and not isinstance(level, bool)
+                                      and 0 <= level <= 255):
+            _fail()
+            continue
+        if line is not None and not num(line):
+            _fail()
+            continue
+        if strict:
+            bad = False
+            for k, val in d.items():
+                if k in _GELF_SPEC_KEYS or k == "_id":
+                    continue
+                if (not k.startswith("_") or not GELF_FIELD_RX.match(k)
+                        or not (isinstance(val, str) or num(val))):
+                    bad = True
+                    break
+            if bad:
+                _fail()
+                continue
+        rows["version"].append(ver)
+        rows["host"].append(host)
+        rows["message"].append(msg)
+        rows["full_message"].append(full)
+        rows["timestamp"].append(
+            now if ts is None else _dt.datetime.utcfromtimestamp(0)
+            + _dt.timedelta(microseconds=round(ts * 1e6))
+        )
+        rows["level"].append(level)
+        rows["facility"].append(fac)
+        rows["line"].append(None if line is None else float(line))
+        rows["file"].append(file_)
         for k in extra_keys:
-            rows[k].append(d.get("_" + k))
+            rows[k].append(None if k == "id" else d.get("_" + k))
         err.append(False)
     tbl = pa.table({
         "version": pa.array(rows["version"], type=pa.string()),
         "host": pa.array(rows["host"], type=pa.string()),
         "message": pa.array(rows["message"], type=pa.string()),
         "full_message": pa.array(rows["full_message"], type=pa.string()),
-        "timestamp": pa.array(rows["timestamp"], type=pa.float64()),
+        "timestamp": pa.array(rows["timestamp"], type=pa.timestamp("us")),
         "level": pa.array(rows["level"], type=pa.int64()),
+        "facility": pa.array(rows["facility"], type=pa.string()),
+        "line": pa.array(rows["line"], type=pa.float64()),
+        "file": pa.array(rows["file"], type=pa.string()),
         **{k: pa.array(rows[k]) for k in extra_keys},
     })
     return tbl, pa.array(err)
@@ -747,10 +817,17 @@ def decode_influxdb(col, default_ts_ns: int = 0) -> pa.Table:
     for line in col.to_pylist():
         if line is None or not line.strip():
             continue
-        d = parse_influx_line(line)
+        try:
+            d = parse_influx_line(line)
+            if "measurement" not in d or not any(k.startswith("field.") for k in d):
+                raise ValueError("no fields")
+            ts_ns = int(d.get("timestamp", default_ts_ns))
+        except ValueError as exc:
+            # reference parity: a malformed line is a decode error
+            # (decoding/format/influxdb.rs deserialize_error test)
+            raise ValueError(f"invalid influxdb line {line!r}: {exc}") from exc
         tags = {k[4:]: v for k, v in d.items() if k.startswith("tag.")}
         canon = ",".join(f"{k}={tags[k]}" for k in sorted(tags))
-        ts_ns = int(d.get("timestamp", default_ts_ns))
         for k, v in d.items():
             if not k.startswith("field."):
                 continue
