@@ -1128,3 +1128,125 @@ def encode_protobuf(batch: pa.Table, descriptor_set: bytes, message_type: str) -
         msg = json_format.ParseDict(d, cls(), ignore_unknown_fields=True)
         out.append(msg.SerializeToString())
     return pa.array(out, type=pa.binary())
+
+
+# ------------------------------------------------------- arrow IPC stream
+
+def _coerce_to_field(batch: pa.Table, field: pa.Field) -> pa.Array:
+    """Coerce one batch column to an output schema field, per the
+    reference's Arrow serializer rules (encoding/format/arrow.rs
+    build_record_batch): wrong-kind values become null, integer targets
+    range-check per row, Utf8 targets JSON-serialize nested values and
+    stringify scalars, timestamp targets accept native/RFC3339-string/
+    raw-integer sources.  Per-row type mixing cannot occur here (an
+    Arrow column has one type), so kind rules apply per column."""
+    n = batch.num_rows
+    t = field.type
+    if field.name not in batch.column_names:
+        return pa.nulls(n, t)
+    col = batch[field.name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    src = col.type
+
+    def _nulls():
+        return pa.nulls(n, t)
+
+    if pa.types.is_integer(t):
+        if pa.types.is_integer(src):
+            lo, hi = (0, 2 ** t.bit_width - 1) if not pa.types.is_signed_integer(t) \
+                else (-(2 ** (t.bit_width - 1)), 2 ** (t.bit_width - 1) - 1)
+            ok = pc.and_kleene(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+            masked = pc.if_else(ok, col, pa.scalar(None, src))
+            return pc.cast(masked, t)
+        return _nulls()
+    if pa.types.is_floating(t):
+        if pa.types.is_integer(src) or pa.types.is_floating(src):
+            return pc.cast(col, t)
+        return _nulls()
+    if pa.types.is_boolean(t):
+        return col if pa.types.is_boolean(src) else _nulls()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        if pa.types.is_binary(src) or pa.types.is_large_binary(src) \
+                or pa.types.is_string(src) or pa.types.is_large_string(src):
+            return pc.cast(col, t)
+        return _nulls()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if pa.types.is_string(src) or pa.types.is_large_string(src):
+            return pc.cast(col, t)
+        if pa.types.is_struct(src) or pa.types.is_list(src) or pa.types.is_large_list(src) \
+                or pa.types.is_map(src):
+            return pa.array(
+                [None if v is None else json.dumps(v, separators=(",", ":"), default=str)
+                 for v in col.to_pylist()],
+                type=t,
+            )
+        try:
+            return pc.cast(col, t)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return _nulls()
+    if pa.types.is_timestamp(t):
+        if pa.types.is_timestamp(src):
+            return pc.cast(col, t, safe=False)
+        if pa.types.is_integer(src):  # raw epoch in the target unit
+            return pc.cast(pc.cast(col, pa.int64()), t)
+        if pa.types.is_string(src) or pa.types.is_large_string(src):
+            import datetime as _dt
+
+            out = []
+            for v in col.to_pylist():
+                try:
+                    d = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+                    if d.tzinfo is not None:
+                        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    out.append(d)
+                except (ValueError, TypeError):
+                    out.append(None)
+            return pc.cast(pa.array(out, type=pa.timestamp("us")), t, safe=False)
+        return _nulls()
+    if pa.types.is_decimal(t):
+        if pa.types.is_integer(src) or pa.types.is_floating(src):
+            # two-step: widen to max precision first (pyarrow requires
+            # worst-case precision for int casts), then narrow
+            wide = pa.decimal256(76, t.scale)
+            return pc.cast(pc.cast(col, wide, safe=False), t, safe=False)
+        return _nulls()
+    raise ValueError(
+        f"unsupported Arrow target type {t} for field {field.name!r}"
+    )
+
+
+def coerce_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project + coerce a batch onto a static output schema (the
+    build_record_batch step of the reference's Arrow serializer).
+    A null (or coerced-away) value in a non-nullable field errors."""
+    arrays = []
+    for field in schema:
+        arr = _coerce_to_field(batch, field)
+        if not field.nullable and arr.null_count:
+            raise ValueError(f"null value for non-nullable field {field.name!r}")
+        arrays.append(arr)
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def encode_arrow(batch: pa.Table, schema: pa.Schema) -> bytes:
+    """Encode a batch as an Arrow IPC *stream* against a static schema
+    (encoding/format/arrow.rs encode_events_to_arrow_ipc_stream).
+    Empty input and missing schema are errors."""
+    if schema is None:
+        raise ValueError("arrow encoding requires a schema")
+    if batch.num_rows == 0:
+        raise ValueError("no events to encode")
+    out = coerce_to_schema(batch, schema)
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, schema) as writer:
+        writer.write_table(out)
+    return sink.getvalue()
+
+
+def decode_arrow(data: bytes) -> pa.Table:
+    """Read an Arrow IPC stream back into a table (round-trip of
+    encode_arrow; decoder side is our extension — the reference ships
+    the serializer only)."""
+    with pa.ipc.open_stream(io.BytesIO(data)) as reader:
+        return reader.read_all()

@@ -44,6 +44,8 @@ def write_sinks(
             ds.write_csv(path, min_rows_per_file=kw.get("min_rows_per_file"))
         elif fmt == "json":
             ds.write_json(path, min_rows_per_file=kw.get("min_rows_per_file"))
+        elif fmt == "arrow":
+            write_arrow_ipc(ds, path, min_rows_per_file=kw.get("min_rows_per_file"))
         elif fmt in ("parquet", "blackhole", "console"):
             if fmt == "console":
                 console_sink(ds)
@@ -58,6 +60,33 @@ def write_sinks(
             raise ValueError(f"unknown sink format {fmt!r} for sink {name!r}")
         out[name] = path
     return out
+
+
+def write_arrow_ipc(ds, path: str, schema: Optional[pa.Schema] = None,
+                    min_rows_per_file: Optional[int] = None) -> str:
+    """Distributed Arrow IPC *stream* sink — one ``.arrows`` file per
+    write task (encoding/format/arrow.rs ArrowStreamSerializer analog;
+    static ``schema`` coerces via codecs.encode_arrow rules, None
+    writes blocks as-is).  File naming/commit comes from Ray's
+    file-datasink machinery, so output stays resumable-partitioned."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class _ArrowIPCSink(BlockBasedFileDatasink):
+        def __init__(self, p):
+            super().__init__(p, min_rows_per_file=min_rows_per_file,
+                             file_format="arrows")
+
+        def write_block_to_file(self, block, file) -> None:
+            t = block.to_arrow()
+            if schema is not None:
+                from .codecs import coerce_to_schema
+
+                t = coerce_to_schema(t, schema)
+            with pa.ipc.new_stream(file, t.schema) as writer:
+                writer.write_table(t)
+
+    ds.write_datasink(_ArrowIPCSink(path))
+    return path
 
 
 def write_routed(tagged_ds, base_dir: str, **kw) -> str:
