@@ -452,3 +452,61 @@ def test_protobuf_encode_decode_roundtrip():
     assert not any(err.to_pylist())
     assert dec["msg"].to_pylist() == ["hello", "world"]
     assert [int(v) for v in dec["n"].to_pylist()] == [7, 9]
+
+
+def test_encode_csv_fields_reference_parity():
+    """Port of encoding/format/csv.rs tests (csv.rs:334-560)."""
+    import pytest
+
+    from vector_ray.codecs import encode_csv_fields
+
+    batch = pa.table({
+        "foo": ["bar"], "int": pa.array([123]),
+        "comma": ["abc,bcd"], "float": pa.array([3.1415925]),
+        "space": ["sp ace"],
+        "time": pa.array([dt.datetime(2023, 2, 27, 7, 4, 49, 363000)],
+                         type=pa.timestamp("us")),
+        "quote": ['the "quote" should be escaped'], "bool": pa.array([True]),
+        "other": ["data"],
+    })
+    out = encode_csv_fields(batch, ["foo", "int", "comma", "float", "missing",
+                                    "space", "time", "quote", "bool"])
+    assert out.to_pylist() == [
+        'bar,123,"abc,bcd",3.1415925,,sp ace,2023-02-27T07:04:49.363Z,'
+        '"the ""quote"" should be escaped",true'
+    ]
+
+    # serialize_order: duplicates repeat, order respected
+    b2 = pa.table({f"field{i}": [f"value{i}"] for i in range(1, 6)})
+    out = encode_csv_fields(b2, ["field1", "field5", "field5", "field3", "field2"])
+    assert out.to_pylist() == ["value1,value5,value5,value3,value2"]
+
+    # correct_quoting styles
+    b3 = pa.table({"f1": ["hello world"], "f2": pa.array([1]),
+                   "f3": ['foo"bar'], "f4": ["baz,bas"]})
+    flds = ["f1", "f2", "f3", "f4"]
+    assert encode_csv_fields(b3, flds).to_pylist() == \
+        ['hello world,1,"foo""bar","baz,bas"']
+    assert encode_csv_fields(b3, flds, quote_style="never").to_pylist() == \
+        ['hello world,1,foo"bar,baz,bas']
+    assert encode_csv_fields(b3, flds, quote_style="always").to_pylist() == \
+        ['"hello world","1","foo""bar","baz,bas"']
+    assert encode_csv_fields(b3, flds, quote_style="non_numeric").to_pylist() == \
+        ['"hello world",1,"foo""bar","baz,bas"']
+
+    # custom delimiter / escape char / quote char
+    b4 = pa.table({"field1": ["value1"], "field2": ["value2"]})
+    assert encode_csv_fields(b4, ["field1", "field2"], delimiter="\t").to_pylist() == \
+        ["value1\tvalue2"]
+    b5 = pa.table({"field1": ['foo"bar']})
+    assert encode_csv_fields(b5, ["field1"], double_quote=False,
+                             escape="\\").to_pylist() == ['"foo\\"bar"']
+    b6 = pa.table({"field1": ['foo " $ bar']})
+    assert encode_csv_fields(b6, ["field1"], quote="$").to_pylist() == \
+        ['$foo " $$ bar$']
+
+    # multiple events → one line each; empty fields list errors
+    b7 = pa.table({"a": ["x", "y", "z"]})
+    assert encode_csv_fields(b7, ["a"]).to_pylist() == ["x", "y", "z"]
+    with pytest.raises(ValueError, match="At least one CSV field"):
+        encode_csv_fields(b7, [])

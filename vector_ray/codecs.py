@@ -172,6 +172,81 @@ def encode_csv(batch: pa.Table, include_header: bool = False) -> pa.Array:
     return pa.array(lines, type=pa.string())
 
 
+def _csv_field_str(col: pa.Array) -> Tuple[pa.Array, bool]:
+    """Stringify one column per the reference CSV serializer's value
+    rules (encoding/format/csv.rs:248-262): numbers/bools via their
+    shortest repr, timestamps RFC3339 AutoSi with Z, null/unsupported
+    become empty.  Returns (strings, is_numeric) for non_numeric
+    quoting."""
+    t = col.type
+    numeric = pa.types.is_integer(t) or pa.types.is_floating(t)
+    if pa.types.is_timestamp(t):
+        # Arrow's %S renders fractional seconds for sub-second units
+        s = pc.strftime(pc.cast(col, pa.timestamp("us")), format="%Y-%m-%dT%H:%M:%S")
+        # AutoSi: trim subseconds to the nearest SI step (ms/us), drop if zero
+        s = pc.replace_substring_regex(s, pattern=r"\.000000$", replacement="")
+        s = pc.replace_substring_regex(s, pattern=r"(\.\d{3})000$", replacement=r"\1")
+        s = pc.binary_join_element_wise(s, "Z", "")
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        s = pc.cast(col, pa.string())
+    elif numeric or pa.types.is_boolean(t):
+        s = pc.cast(col, pa.string())
+    elif pa.types.is_binary(t):
+        s = pc.cast(col, pa.string())
+    else:  # Array/Object/other — not supported by CSV (csv.rs:259)
+        s = pa.nulls(len(col), pa.string())
+    return pc.fill_null(s, ""), numeric
+
+
+def encode_csv_fields(
+    batch: pa.Table,
+    fields: List[str],
+    delimiter: str = ",",
+    quote: str = '"',
+    quote_style: str = "necessary",
+    double_quote: bool = True,
+    escape: str = '"',
+) -> pa.Array:
+    """CSV line per row with an explicit field order — the reference's
+    configurable CSV serializer (encoding/format/csv.rs
+    CsvSerializerOptions): duplicate fields repeat, missing fields are
+    empty, quote_style ∈ necessary|always|never|non_numeric, quotes
+    escape by doubling (double_quote) or with ``escape``.  Vectorized:
+    one pass of Arrow kernels per field."""
+    if not fields:
+        raise ValueError("At least one CSV field must be specified")
+    n = batch.num_rows
+    parts = []
+    for i, name in enumerate(fields):
+        if name in batch.column_names:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s, numeric = _csv_field_str(col)
+        else:
+            s, numeric = pa.array([""] * n, type=pa.string()), False
+        if quote_style == "never":
+            need = pa.array([False] * n)
+        elif quote_style == "always":
+            need = pa.array([True] * n)
+        elif quote_style == "non_numeric":
+            need = pa.array([not numeric] * n)
+        else:  # necessary: quote/delimiter/terminator present
+            pat = "[" + re.escape(quote + delimiter) + "\n\r]"
+            need = pc.match_substring_regex(s, pat)
+        rep = (quote + quote) if double_quote else (escape + quote)
+        escaped = pc.replace_substring(s, pattern=quote, replacement=rep)
+        quoted = pc.binary_join_element_wise(
+            pa.array([quote] * n), escaped, pa.array([quote] * n), "")
+        s = pc.if_else(pc.fill_null(need, False), quoted, s)
+        if i:
+            parts.append(pa.array([delimiter] * n))
+        parts.append(s)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "")
+
+
 def encode_logfmt(batch: pa.Table) -> pa.Array:
     """k=v logfmt per row, vectorized via binary_join_element_wise.
     String values with spaces get quoted."""
