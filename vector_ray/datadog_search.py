@@ -1,22 +1,38 @@
 """DatadogSearch condition dialect — the reference's second condition
 language (src/conditions/datadog_search.rs; grammar from the public
-Datadog log-search syntax).
+Datadog log-search syntax).  Semantics follow the reference's
+EventFilter resolution (datadog_search.rs:93-320) and are validated
+against its full get_checks() matrix (tests/test_datadog_search.py +
+the extraction harness in tools/).
 
 Columnar model mapping:
 
-- ``@attr:value``      → column ``attr`` (facet/attribute search)
-- ``key:value``        → entry ``key:value`` in the ``tags`` column —
-  a ``list<string>`` of "k:v" entries or a comma-joined string; if no
-  tags column exists but a COLUMN named ``key`` does, the column is
-  used (documented columnar convenience)
-- ``keyword``          → substring of the ``message`` column
+- ``@attr:value``  → column ``attr``; unquoted dots descend struct
+  columns (``@a.b`` = field b of struct column a); ``@"a.b"`` is the
+  literal column name
+- ``key:value``    → entry ``key:value`` in the ``ddtags``/``tags``
+  columns (both are consulted, matching the reference's
+  *_match_multiple helpers) — ``list<string>`` of "k:v" entries or a
+  comma-joined string
+- reserved fields (host, source, status, service, trace_id, message,
+  timestamp) match their COLUMN only — never tags; ``source`` checks
+  both ``source`` and ``ddsource``; literal ``tags:x`` is element
+  equality
+- bare ``keyword`` / ``keyw*rd`` → word-boundary match on ``message``
+  (the reference's word_regex), NOT substring
 - ``_exists_:f`` / ``_missing_:f`` → tag/attribute presence
-- ``value*``, ``*value*``          → wildcard (translated to RE2)
-- ``field:>N  :>=  :<  :<=``       → numeric comparison
-- ``field:[a TO b]``               → inclusive range (numeric when both
-  bounds parse as numbers, lexicographic otherwise)
-- ``NOT x`` / ``-x``, ``a AND b``, ``a OR b``, parentheses;
-  juxtaposition is AND (Datadog default operator)
+- ``value*``ildcards anywhere; ``\\*`` is a literal star; ``\\X``
+  escapes specials
+- ``field:>N :>= :< :<=`` and ``field:[a TO b]`` / ``{a TO b}``
+  (exclusive) ranges; numeric when the COLUMN is numeric and the bound
+  parses, lexicographic otherwise (string values always compare
+  lexicographically — datadog_search.rs compare: Bytes lhs coerces rhs
+  to string); ``*`` bounds are open
+- ``field:(v1 OR v2)`` value grouping
+- ``NOT x`` / ``-x``; ``a AND b``, ``a OR b``, parentheses;
+  juxtaposition is AND.  An OR whose BOTH sides are negations behaves
+  as AND of the negations (Lucene prohibited-clause semantics, matched
+  to the reference's checks: ``-a OR -b`` ≡ ``-a -b``)
 
 Compiles to a vectorized callable ``table -> BooleanArray``; absent
 columns behave as null (no match / _missing_ matches) instead of
@@ -26,24 +42,232 @@ raising — the reference's events are schemaless, our tables are not.
 from __future__ import annotations
 
 import re
-from typing import Callable, List
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 MESSAGE_COL = "message"
-TAGS_COL = "tags"
+TAGS_COLS = ("ddtags", "tags")
+RESERVED = {"host", "source", "sourcecategory", "status", "service",
+            "trace_id", "message", "timestamp"}
+
+_NUM_RX = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+# ------------------------------------------------------------ helpers
+
+def _false(n: int) -> np.ndarray:
+    return np.zeros(n, dtype=bool)
+
+
+def _col(t: pa.Table, name: str):
+    if name in t.column_names:
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    return None
+
+
+def _as_bool(arr, n: int) -> np.ndarray:
+    if arr is None:
+        return _false(n)
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        return np.asarray(
+            pc.fill_null(arr, False).to_numpy(zero_copy_only=False), dtype=bool
+        )
+    return np.asarray(arr, dtype=bool)
+
+
+def _split_wildcards(value: str) -> List[str]:
+    """Split on unescaped ``*`` and resolve ``\\X`` escapes in each
+    literal segment.  len==1 means no wildcard."""
+    segs, cur, i = [], [], 0
+    while i < len(value):
+        ch = value[i]
+        if ch == "\\" and i + 1 < len(value):
+            cur.append(value[i + 1])
+            i += 2
+            continue
+        if ch == "*":
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    segs.append("".join(cur))
+    return segs
+
+
+def _unquote(s: str) -> Optional[str]:
+    """Quoted string → literal content (escapes resolved); else None."""
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        return re.sub(r"\\(.)", r"\1", s[1:-1])
+    return None
+
+
+def _word_regex(segs: Sequence[str]) -> str:
+    """The reference's word_regex: word-boundary match, * spans any."""
+    return r"(?s)\b" + "(?:.*?)".join(re.escape(s) for s in segs) + r"\b"
+
+
+def _wildcard_regex(segs: Sequence[str]) -> str:
+    """Full-value anchored wildcard match."""
+    return r"(?s)^" + "(?:.*?)".join(re.escape(s) for s in segs) + "$"
+
+
+def _entries(tags) -> pa.ListArray:
+    """Normalize a tags column to list<string> entries."""
+    if pa.types.is_string(tags.type) or pa.types.is_large_string(tags.type):
+        return pc.split_pattern(pc.fill_null(tags.cast(pa.string()), ""), pattern=",")
+    return tags
+
+
+def _tag_rows_matching(tags, per_entry: Callable, n: int) -> np.ndarray:
+    """Vectorized any-entry-matches over ONE tags column."""
+    if tags is None:
+        return _false(n)
+    entries = _entries(tags)
+    flat = pc.list_flatten(entries)
+    hits = _as_bool(per_entry(flat), len(flat))
+    lengths = pc.list_value_length(entries).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    out = _false(n)
+    nonempty = lengths > 0
+    if hits.size:
+        # clamp: reduceat requires indices < len; empty rows are masked
+        # out below (a clamped index would read a neighbour's sum)
+        idx = np.minimum(starts[:-1], hits.size - 1)
+        agg = np.add.reduceat(hits, idx)
+        out[nonempty] = agg[nonempty] > 0
+    return out
+
+
+def _tags_any(t: pa.Table, per_entry: Callable, n: int) -> np.ndarray:
+    """any-entry-matches over BOTH ddtags and tags (the reference's
+    *_match_multiple helpers, datadog_search.rs:106-146)."""
+    out = _false(n)
+    for name in TAGS_COLS:
+        out |= _tag_rows_matching(_col(t, name), per_entry, n)
+    return out
+
+
+# --------------------------------------------------------- field access
+
+def _parse_attr_path(name: str) -> List[str]:
+    """Unescaped dots split struct paths; ``\\.`` is a literal dot."""
+    segs, cur, i = [], [], 0
+    while i < len(name):
+        ch = name[i]
+        if ch == "\\" and i + 1 < len(name):
+            cur.append(name[i + 1])
+            i += 2
+            continue
+        if ch == ".":
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    segs.append("".join(cur))
+    return segs
+
+
+def _attr_accessor(name: str, quoted: bool) -> Callable:
+    """table -> column (or None) for an @attribute, descending struct
+    columns on unquoted dotted paths."""
+    segs = [name] if quoted else _parse_attr_path(name)
+
+    def _get(t: pa.Table):
+        col = _col(t, segs[0])
+        for seg in segs[1:]:
+            if col is None or not pa.types.is_struct(col.type):
+                return None
+            if seg not in [f.name for f in col.type]:
+                return None
+            col = pc.struct_field(col, seg)
+        return col
+
+    return _get
+
+
+# ------------------------------------------------------- value matching
+
+def _value_pred(raw: str) -> Callable:
+    """col -> bool array for an equals/wildcard value term."""
+    lit = _unquote(raw)
+    segs = [lit] if lit is not None else _split_wildcards(raw)
+    if len(segs) == 1:
+        v = segs[0]
+        return lambda c: pc.equal(c.cast(pa.string()), v)
+    rx = _wildcard_regex(segs)
+    return lambda c: pc.match_substring_regex(c.cast(pa.string()), rx)
+
+
+def _col_compare(col, op: str, bound: str, n: int) -> np.ndarray:
+    """Comparison against one column: numeric when both the column and
+    the bound are numeric, lexicographic string otherwise."""
+    kernels = {">": pc.greater, ">=": pc.greater_equal,
+               "<": pc.less, "<=": pc.less_equal}
+    k = kernels[op]
+    numeric_col = pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+    if numeric_col and _NUM_RX.match(bound):
+        return _as_bool(k(pc.cast(col, pa.float64()), float(bound)), n)
+    return _as_bool(k(col.cast(pa.string()), bound), n)
+
+
+def _col_range(col, lo: str, hi: str, lo_inc: bool, hi_inc: bool, n: int) -> np.ndarray:
+    out = _as_bool(col.is_valid(), n)
+    if lo != "*":
+        out &= _col_compare(col, ">=" if lo_inc else ">", lo, n)
+    if hi != "*":
+        out &= _col_compare(col, "<=" if hi_inc else "<", hi, n)
+    return out
+
+
+def _tag_value_pred(key: str, pred_on_value: Callable) -> Callable:
+    """entry-array -> bool for entries whose key matches and whose
+    VALUE part satisfies pred_on_value."""
+    prefix = "^" + re.escape(key) + ":"
+
+    def _entry(flat):
+        is_key = pc.match_substring_regex(flat, prefix)
+        value = pc.replace_substring_regex(flat, pattern=prefix, replacement="")
+        return pc.and_(is_key, pc.fill_null(pred_on_value(value), False))
+
+    return _entry
+
+
+# ------------------------------------------------------------ tokenizer
 
 _TOKEN_RX = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
-        (?P<quoted>"(?:[^"\\]|\\.)*") |
-        (?P<term>[^\s()]+)
+        (?P<term>(?:[^\s()\\]|\\[\s\S])+)
     )""",
     re.VERBOSE,
 )
+
+_GROUP_RX = re.compile(
+    r"(?P<f>-?@?(?:\"(?:[^\"\\]|\\.)*\"|[^\s():\\\"]|\\.)+):"
+    r"\(\s*(?P<body>[^()]*?)\s*\)",
+    re.DOTALL,
+)
+
+
+def _expand_value_groups(q: str) -> str:
+    """``field:(v1 OR v2)`` → ``(field:v1 OR field:v2)``."""
+
+    def _sub(m):
+        f = m.group("f")
+        vals = [v for v in re.split(r"\s+", m.group("body")) if v not in ("OR", "AND", "")]
+        joined = " OR ".join(f"{f}:{v}" for v in vals)
+        return "(" + joined + ")"
+
+    return _GROUP_RX.sub(_sub, q)
 
 
 def _tokenize(q: str) -> List[str]:
@@ -57,107 +281,12 @@ def _tokenize(q: str) -> List[str]:
             out.append("(")
         elif m.group("rparen"):
             out.append(")")
-        elif m.group("quoted") is not None:
-            out.append(m.group("quoted"))
         else:
             out.append(m.group("term"))
     return out
 
 
-def _false(n: int) -> pa.Array:
-    return pa.array(np.zeros(n, dtype=bool))
-
-
-def _col(t: pa.Table, name: str):
-    if name in t.column_names:
-        c = t[name]
-        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-    return None
-
-
-def _as_bool(arr, n: int) -> np.ndarray:
-    if arr is None:
-        return np.zeros(n, dtype=bool)
-    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
-        return np.asarray(
-            pc.fill_null(arr, False).to_numpy(zero_copy_only=False), dtype=bool
-        )
-    return np.asarray(arr, dtype=bool)
-
-
-def _wildcard_to_regex(v: str) -> str:
-    parts = [re.escape(p) for p in v.split("*")]
-    return "^" + ".*".join(parts) + "$"
-
-
-def _string_pred(value: str) -> Callable:
-    """Build col -> bool-array for an equals/wildcard value."""
-    if value.startswith('"') and value.endswith('"') and len(value) >= 2:
-        value = value[1:-1].replace('\\"', '"')
-    if "*" in value:
-        rx = _wildcard_to_regex(value)
-        return lambda c: pc.match_substring_regex(c.cast(pa.string()), rx)
-    return lambda c: pc.equal(c.cast(pa.string()), value)
-
-
-_NUM_RX = re.compile(r"^-?\d+(\.\d+)?$")
-
-
-def _compare_pred(op: str, rhs: str) -> Callable:
-    kernels = {">": pc.greater, ">=": pc.greater_equal,
-               "<": pc.less, "<=": pc.less_equal}
-    k = kernels[op]
-    if _NUM_RX.match(rhs):
-        num = float(rhs)
-        return lambda c: k(c.cast(pa.float64()), num)
-    return lambda c: k(c.cast(pa.string()), rhs)
-
-
-def _unquote(s: str) -> str:
-    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
-        return s[1:-1].replace('\\"', '"')
-    return s
-
-
-def _range_pred(lo: str, hi: str) -> Callable:
-    lo, hi = _unquote(lo), _unquote(hi)
-    if _NUM_RX.match(lo) and _NUM_RX.match(hi):
-        flo, fhi = float(lo), float(hi)
-        return lambda c: pc.and_(
-            pc.greater_equal(c.cast(pa.float64()), flo),
-            pc.less_equal(c.cast(pa.float64()), fhi),
-        )
-    return lambda c: pc.and_(
-        pc.greater_equal(c.cast(pa.string()), lo),
-        pc.less_equal(c.cast(pa.string()), hi),
-    )
-
-
-def _tag_rows_matching(tags, per_entry: Callable, n: int) -> np.ndarray:
-    """Vectorized any-entry-matches over a tags column (list<string>
-    or comma-joined string)."""
-    if tags is None:
-        return np.zeros(n, dtype=bool)
-    if pa.types.is_string(tags.type):
-        entries = pc.split_pattern(pc.fill_null(tags, ""), pattern=",")
-    else:
-        entries = tags
-    flat = pc.list_flatten(entries)
-    hits = _as_bool(per_entry(flat), len(flat))
-    lengths = pc.list_value_length(entries).to_numpy(zero_copy_only=False)
-    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
-    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=starts[1:])
-    out = np.zeros(n, dtype=bool)
-    nonempty = lengths > 0
-    if hits.size:
-        # clamp: reduceat requires indices < len; empty rows are masked
-        # out below (a clamped index would read a neighbour's sum)
-        idx = np.minimum(starts[:-1], hits.size - 1)
-        agg = np.add.reduceat(hits, idx)
-        out[nonempty] = agg[nonempty] > 0
-    return out
-
+# -------------------------------------------------------------- parser
 
 class _Parser:
     def __init__(self, tokens: List[str]):
@@ -183,7 +312,13 @@ class _Parser:
         while self.peek() == "OR":
             self.next()
             right = self.and_expr()
-            left = ("or", left, right)
+            # Lucene prohibited-clause semantics: an OR of two pure
+            # negations is the conjunction of the negations (reference
+            # check: "-@field:value1 OR -@field:value2")
+            if left[0] == "not" and right[0] == "not":
+                left = ("and", left, right)
+            else:
+                left = ("or", left, right)
         return left
 
     def and_expr(self):
@@ -217,14 +352,49 @@ class _Parser:
             return node
         if t is None:
             raise ValueError("unexpected end of query")
-        # range syntax re-joins: field:[a TO b] tokenizes as one term
-        # unless the brackets contain spaces — re-assemble
-        if ":[" in t and not t.endswith("]"):
+        # range syntax re-joins: "field:[a TO b]" tokenizes as several
+        # terms when the brackets contain spaces — re-assemble
+        if re.search(r"[\[{]", t) and not re.search(r"[\]}]$", t):
             parts = [t]
-            while parts[-1] != "]" and not parts[-1].endswith("]") and self.peek():
+            while self.peek() and not re.search(r"[\]}]$", parts[-1]):
                 parts.append(self.next())
             t = " ".join(parts)
         return ("term", t)
+
+
+# ------------------------------------------------------- term compiler
+
+def _split_field(term: str) -> Optional[Tuple[str, bool, str]]:
+    """Split ``field:rest`` at the first unescaped, unquoted colon.
+    Returns (field, field_quoted, rest) or None for bare keywords."""
+    i = 0
+    attr = term.startswith("@")
+    if attr:
+        i = 1
+    # quoted field names: "name" or the grammar's escaped form \"name\"
+    for q in ('"', '\\"'):
+        if term.startswith(q, i):
+            st = i + len(q)
+            j = term.find(q, st)
+            if j >= 0 and term[j + len(q): j + len(q) + 1] == ":":
+                name = re.sub(r"\\(.)", r"\1", term[st:j])
+                return ("@" + name if attr else name), True, term[j + len(q) + 1:]
+            return None
+    while i < len(term):
+        ch = term[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == ":":
+            if i == 0:
+                return None
+            return term[:i], False, term[i + 1:]
+        i += 1
+    return None
+
+
+_RANGE_RX = re.compile(r"^(\[|\{)(.*?) TO (.*?)(\]|\})$")
+_CMP_RX = re.compile(r"^(>=|<=|>|<)(.+)$")
 
 
 def _build_term(term: str) -> Callable:
@@ -237,91 +407,125 @@ def _build_term(term: str) -> Callable:
         def _presence(t: pa.Table) -> np.ndarray:
             n = t.num_rows
             if field.startswith("@"):
-                col = _col(t, field[1:])
-                present = (np.asarray(col.is_valid().to_numpy(zero_copy_only=False),
-                                      dtype=bool) if col is not None
-                           else np.zeros(n, dtype=bool))
+                get = _attr_accessor(field[1:], quoted=False)
+                col = get(t)
+                present = _as_bool(col.is_valid(), n) if col is not None else _false(n)
+            elif field == "source":
+                present = _false(n)
+                for name in ("ddsource", "source"):
+                    col = _col(t, name)
+                    if col is not None:
+                        present |= _as_bool(col.is_valid(), n)
+            elif field in RESERVED:
+                col = _col(t, field)
+                present = _as_bool(col.is_valid(), n) if col is not None else _false(n)
             else:
                 rx = "^" + re.escape(field) + "(:|$)"
-                present = _tag_rows_matching(
-                    _col(t, TAGS_COL),
-                    lambda flat: pc.match_substring_regex(flat, rx), n)
+                present = _tags_any(
+                    t, lambda flat: pc.match_substring_regex(flat, rx), n)
             return present if want_exists else ~present
 
         return _presence
 
-    cm = re.match(r"^(@?[\w.\-]+):(>=|<=|>|<)(.+)$", term)
-    if cm:
-        field, op, rhs = cm.group(1), cm.group(2), cm.group(3)
-        pred = _compare_pred(op, rhs)
-        return _field_matcher(field, pred)
+    split = _split_field(term)
+    if split is None:
+        # bare keyword (optionally quoted / wildcarded / a range) on the
+        # default field: word-boundary semantics (reference word_regex)
+        rm = _RANGE_RX.match(term)
+        if rm:
+            lo, hi = rm.group(2).strip(), rm.group(3).strip()
+            lo = _unquote(lo) or lo
+            hi = _unquote(hi) or hi
+            lo_inc, hi_inc = rm.group(1) == "[", rm.group(4) == "]"
 
-    rm = re.match(r"^(@?[\w.\-]+):\[(.+) TO (.+)\]$", term)
-    if rm:
-        return _field_matcher(
-            rm.group(1),
-            _range_pred(rm.group(2).strip(), rm.group(3).strip()),
-        )
+            def _default_range(t: pa.Table) -> np.ndarray:
+                col = _col(t, MESSAGE_COL)
+                if col is None:
+                    return _false(t.num_rows)
+                return _col_range(col, lo, hi, lo_inc, hi_inc, t.num_rows)
 
-    fm = re.match(r"^(@?[\w.\-]+):(.+)$", term)
-    if fm:
-        field, value = fm.group(1), fm.group(2)
-        return _field_matcher(field, _string_pred(value), raw_value=value)
+            return _default_range
 
-    # bare keyword → substring of the message column
-    kw = term[1:-1].replace('\\"', '"') if term.startswith('"') else term
+        lit = _unquote(term)
+        segs = [lit] if lit is not None else _split_wildcards(term)
+        rx = _word_regex(segs)
 
-    def _keyword(t: pa.Table) -> np.ndarray:
-        col = _col(t, MESSAGE_COL)
-        if col is None:
-            return np.zeros(t.num_rows, dtype=bool)
-        return _as_bool(pc.match_substring(col.cast(pa.string()), kw), t.num_rows)
+        def _keyword(t: pa.Table) -> np.ndarray:
+            col = _col(t, MESSAGE_COL)
+            if col is None:
+                return _false(t.num_rows)
+            return _as_bool(
+                pc.match_substring_regex(col.cast(pa.string()), rx), t.num_rows)
 
-    return _keyword
+        return _keyword
 
-
-# the Datadog reserved attributes: ``field:value`` on these searches
-# the event FIELD (and tags); any other bare field searches tags only
-# (datadog_search.rs equals/prefix/wildcard dispatch on Field kind)
-RESERVED = {"host", "source", "sourcecategory", "service", "status",
-            "trace_id", "message"}
-
-
-def _field_matcher(field: str, pred: Callable, raw_value: str = None) -> Callable:
+    field, fquoted, rest = split
     attr = field.startswith("@")
     name = field[1:] if attr else field
 
-    def _tag_match(t: pa.Table, n: int) -> np.ndarray:
-        tags = _col(t, TAGS_COL)
-        if tags is None:
-            return np.zeros(n, dtype=bool)
-        if raw_value is not None and "*" not in raw_value:
-            rv = raw_value
-            if rv.startswith('"') and rv.endswith('"') and len(rv) >= 2:
-                rv = rv[1:-1].replace('\\"', '"')
-            target = f"{name}:{rv}"
-            return _tag_rows_matching(tags, lambda flat: pc.equal(flat, target), n)
-        # wildcard / comparison / range against the tag VALUE part
-        prefix = "^" + re.escape(name) + ":"
+    cm = _CMP_RX.match(rest)
+    rm = _RANGE_RX.match(rest)
+    if rm:
+        lo, hi = rm.group(2).strip(), rm.group(3).strip()
+        lo = _unquote(lo) or lo
+        hi = _unquote(hi) or hi
+        lo_inc, hi_inc = rm.group(1) == "[", rm.group(4) == "]"
+        col_fn = lambda c, n: _col_range(c, lo, hi, lo_inc, hi_inc, n)  # noqa: E731
 
-        def _entry(flat):
-            is_key = pc.match_substring_regex(flat, prefix)
-            value = pc.replace_substring_regex(flat, pattern=prefix, replacement="")
-            return pc.and_(is_key, pc.fill_null(pred(value), False))
+        def _str_pred(values):  # for tag VALUE parts (always strings)
+            out = pc.is_valid(values)
+            if lo != "*":
+                out = pc.and_(out, (pc.greater_equal if lo_inc else pc.greater)(values, lo))
+            if hi != "*":
+                out = pc.and_(out, (pc.less_equal if hi_inc else pc.less)(values, hi))
+            return out
 
-        return _tag_rows_matching(tags, _entry, n)
+        tag_entry = _tag_value_pred(name, _str_pred) if lo != "*" or hi != "*" else None
+        if tag_entry is None:
+            # a:[* TO *] — key presence
+            rx_ = "^" + re.escape(name) + ":"
+            tag_entry = lambda flat: pc.match_substring_regex(flat, rx_)  # noqa: E731
+    elif cm:
+        op, bound = cm.group(1), _unquote(cm.group(2)) or cm.group(2)
+        col_fn = lambda c, n: _col_compare(c, op, bound, n)  # noqa: E731
+        kern = {">": pc.greater, ">=": pc.greater_equal,
+                "<": pc.less, "<=": pc.less_equal}[op]
+        tag_entry = _tag_value_pred(name, lambda v: kern(v, bound))
+    else:
+        pred = _value_pred(rest)
+        col_fn = lambda c, n: _as_bool(pred(c), n)  # noqa: E731
+        lit = _unquote(rest)
+        segs = [lit] if lit is not None else _split_wildcards(rest)
+        if len(segs) == 1:
+            target = f"{name}:{segs[0]}"
+            tag_entry = lambda flat: pc.equal(flat, target)  # noqa: E731
+        else:
+            # wildcard matches the whole "key:value" entry (reference
+            # wildcard_regex(&format!("{tag}:{wildcard}")))
+            full = [name + ":" + segs[0]] + list(segs[1:])
+            rx_ = _wildcard_regex(full)
+            tag_entry = lambda flat: pc.match_substring_regex(flat, rx_)  # noqa: E731
 
     def _match(t: pa.Table) -> np.ndarray:
         n = t.num_rows
         if attr:
+            col = _attr_accessor(name, fquoted)(t)
+            return col_fn(col, n) if col is not None else _false(n)
+        if name == "tags" and not fquoted:
+            # literal tags element equality (datadog_search.rs:135-141)
+            pred_ = _value_pred(rest)
+            return _tags_any(t, lambda flat: pred_(flat), n)
+        if name == "source" and not fquoted:
+            out = _false(n)
+            for cn in ("ddsource", "source"):
+                col = _col(t, cn)
+                if col is not None:
+                    out |= col_fn(col, n)
+            return out
+        if name in RESERVED and not fquoted:
             col = _col(t, name)
-            return _as_bool(pred(col), n) if col is not None else np.zeros(n, dtype=bool)
-        if name in RESERVED:
-            col = _col(t, name)
-            field_hit = (_as_bool(pred(col), n) if col is not None
-                         else np.zeros(n, dtype=bool))
-            return field_hit | _tag_match(t, n)
-        return _tag_match(t, n)
+            return col_fn(col, n) if col is not None else _false(n)
+        return _tags_any(t, tag_entry, n)
 
     return _match
 
@@ -347,6 +551,7 @@ def compile_datadog_search(query: str) -> Callable:
     query = query.strip()
     if not query or query == "*":
         return lambda t: pa.array(np.ones(t.num_rows, dtype=bool))
+    query = _expand_value_groups(query)
     fn = _build(_Parser(_tokenize(query)).parse())
 
     def _cond(t: pa.Table) -> pa.Array:
