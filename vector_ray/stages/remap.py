@@ -16,10 +16,29 @@ applied per Arrow batch.  Steps:
     ("drop",  [cols...])
     ("select", [cols...])
     ("coerce", col, arrow_type)
-    ("filter", condition_str)                — abort-on-condition analog
+    ("filter", condition_str)                — hard row removal
+    ("abort",  condition_str, message?)      — VRL ``abort`` analog
+    ("assert", condition_str, message?)      — assert/assert_eq analog:
+                                               rows FAILING the condition
+                                               error out with ``message``
 
-Rows where a parse step fails get ``__error=True``; ``apply_with_drops``
-splits the stream into (ok, dropped) exactly like reroute_dropped.
+Failure semantics mirror the reference exactly
+(remap.rs tests check_remap_error / check_remap_abort /
+check_remap_branching):
+
+* a row that errors (parse failure, failed assert) or aborts has ALL
+  of the program's changes rolled back — overwritten columns revert to
+  their original values, program-added columns become null — so the
+  event is forwarded (or rerouted) as it arrived.  Columns *deleted*
+  by drop/select are not restored (columnar-schema deviation; the
+  reference restores the full original event).
+* ``drop_on_error`` and ``drop_on_abort`` are independent; a flagged
+  row whose flag isn't dropped stays in the primary output, rolled
+  back (check_remap_error / check_remap_abort with flags false).
+* ``remap_with_drops`` reroutes flagged rows to a ``dropped`` port
+  annotated with ``metadata.dropped.{reason,message,component_id,
+  component_type,component_kind}`` (remap.rs:564-646 + the
+  check_remap_branching expected metadata).
 """
 
 from __future__ import annotations
@@ -34,10 +53,15 @@ from ..expr import compile_condition
 from ..parse import GrokParser, RegexParser
 
 ERROR_COL = "__error"
+ABORT_COL = "__abort"
+MSG_COL = "__drop_msg"
+IDX_COL = "__orig_idx"
+_INTERNAL = (ERROR_COL, ABORT_COL, MSG_COL)
 
 
 class Remap:
-    def __init__(self, steps: List[Tuple]):
+    def __init__(self, steps: List[Tuple], rollback: bool = True):
+        self.rollback = rollback
         self.steps = []
         for step in steps:
             op = step[0]
@@ -60,12 +84,23 @@ class Remap:
                 self.steps.append(("kv", field, list(keys), pair_sep, kv_sep))
             elif op == "filter":
                 self.steps.append(("filter", compile_condition(step[1])))
+            elif op == "abort":
+                msg = step[2] if len(step) > 2 else "aborted"
+                self.steps.append(("abort", compile_condition(step[1]), msg))
+            elif op == "assert":
+                msg = step[2] if len(step) > 2 else f"assertion failed: {step[1]}"
+                self.steps.append(("assert", compile_condition(step[1]), msg))
             else:
                 self.steps.append(step)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # carry the error flag as a live column so filter steps slice it too
-        batch = _set(batch, ERROR_COL, pa.array([False] * batch.num_rows))
+        n = batch.num_rows
+        orig = batch
+        # row identity so rollback survives row-removing filter steps
+        batch = _set(batch, IDX_COL, pa.array(range(n), type=pa.int64()))
+        batch = _set(batch, ERROR_COL, pa.array([False] * n))
+        batch = _set(batch, ABORT_COL, pa.array([False] * n))
+        batch = _set(batch, MSG_COL, pa.array([None] * n, type=pa.string()))
         for step in self.steps:
             op = step[0]
             if op == "parse":
@@ -73,7 +108,7 @@ class Remap:
                 cols, e = parser.parse(batch[field])
                 for name, arr in cols.items():
                     batch = _set(batch, name, arr)
-                batch = _or_err(batch, e)
+                batch = _flag(batch, ERROR_COL, e, f'error in parse of "{field}"')
             elif op == "kv":
                 from ..codecs import decode_key_value
 
@@ -81,7 +116,7 @@ class Remap:
                 t, e = decode_key_value(batch[field], keys, pair_sep, kv_sep)
                 for name in t.column_names:
                     batch = _set(batch, name, t[name])
-                batch = _or_err(batch, e)
+                batch = _flag(batch, ERROR_COL, e, f'error in parse_key_value of "{field}"')
             elif op == "parse_json":
                 _, field, keys = step[:3]
                 types = step[3] if len(step) > 3 else {}
@@ -96,7 +131,7 @@ class Remap:
                     vals = [None if p is None else p.get(k) for p in parsed]
                     arr = pa.array(vals, type=types.get(k))
                     batch = _set(batch, k, arr)
-                batch = _or_err(batch, bad)
+                batch = _flag(batch, ERROR_COL, bad, f'error in parse_json of "{field}"')
             elif op == "set":
                 _, name, fn = step
                 batch = _set(batch, name, fn(batch))
@@ -119,8 +154,7 @@ class Remap:
                 batch = batch.drop_columns([c for c in step[1] if c in batch.column_names])
             elif op == "select":
                 cols = list(step[1])
-                if ERROR_COL not in cols:
-                    cols.append(ERROR_COL)
+                cols += [c for c in (*_INTERNAL, IDX_COL) if c not in cols]
                 batch = batch.select(cols)
             elif op == "coerce":
                 _, col, typ = step
@@ -130,14 +164,62 @@ class Remap:
                 if isinstance(m, pa.ChunkedArray):
                     m = m.combine_chunks()
                 batch = batch.filter(m)
+            elif op == "abort":
+                _, cond, msg = step
+                m = pc.fill_null(_chunkless(cond(batch)), False)
+                batch = _flag(batch, ABORT_COL, m, msg)
+            elif op == "assert":
+                _, cond, msg = step
+                m = pc.invert(pc.fill_null(_chunkless(cond(batch)), False))
+                batch = _flag(batch, ERROR_COL, m, msg)
             else:
                 raise ValueError(f"unknown remap op {op!r}")
-        return batch
+        if self.rollback:
+            batch = self._rollback(orig, batch)
+        return batch.drop_columns([IDX_COL])
+
+    def _rollback(self, orig: pa.Table, out: pa.Table) -> pa.Table:
+        """Revert all program changes on flagged rows (remap.rs
+        check_remap_error: failed events forward as they arrived)."""
+        flag = pc.or_(out[ERROR_COL], out[ABORT_COL])
+        if not pc.any(flag).as_py():
+            return out
+        flag = _chunkless(flag)
+        idx = _chunkless(out[IDX_COL])
+        for name in out.column_names:
+            if name in _INTERNAL or name == IDX_COL:
+                continue
+            new = _chunkless(out[name])
+            if name in orig.column_names:
+                old = _chunkless(orig[name]).take(idx)
+                if old.type != new.type:
+                    try:
+                        old = old.cast(new.type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        continue  # incompatible coercion: keep new values
+                out = _set(out, name, pc.if_else(flag, old, new))
+            else:
+                out = _set(out, name, pc.if_else(flag, pa.scalar(None, type=new.type), new))
+        return out
 
 
-def _or_err(batch: pa.Table, e) -> pa.Table:
-    cur = batch[ERROR_COL]
-    return _set(batch, ERROR_COL, pc.or_(cur, pc.fill_null(e, True)))
+def _flag(batch: pa.Table, col: str, e, msg: str) -> pa.Table:
+    """Flag rows in ``e`` that aren't flagged yet and stamp ``msg`` on
+    them.  First failure wins: execution stops at the first error/abort
+    in the reference, so an already-flagged row can't pick up a second
+    flag from a later step."""
+    e = pc.fill_null(_chunkless(e), True)
+    cur_any = pc.or_(batch[ERROR_COL], batch[ABORT_COL])
+    fresh = pc.and_(e, pc.invert(_chunkless(cur_any)))
+    batch = _set(batch, col, pc.or_(batch[col], fresh))
+    msgs = pc.if_else(fresh, pa.scalar(msg, type=pa.string()), _chunkless(batch[MSG_COL]))
+    return _set(batch, MSG_COL, msgs)
+
+
+def _chunkless(arr):
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
 
 
 def _loads(v):
@@ -157,31 +239,75 @@ def _set(batch: pa.Table, name: str, arr) -> pa.Table:
     return batch.append_column(name, arr)
 
 
-def remap(ds, steps, drop_on_error: bool = False, **kw):
-    """Apply a Remap; drop failed rows when drop_on_error (no dropped port)."""
+def remap(ds, steps, drop_on_error: bool = False, drop_on_abort: bool = False, **kw):
+    """Apply a Remap; failed/aborted rows are dropped per their flag or
+    forwarded rolled-back (remap.rs check_remap_error/_drop/_abort)."""
     r = Remap(steps)
-    if drop_on_error:
-        def _fn(b):
-            out = r(b)
-            return out.filter(pc.invert(out[ERROR_COL])).drop_columns([ERROR_COL])
-    else:
-        _fn = r
+
+    def _fn(b):
+        out = r(b)
+        keep = pa.array([True] * out.num_rows)
+        if drop_on_error:
+            keep = pc.and_(keep, pc.invert(_chunkless(out[ERROR_COL])))
+        if drop_on_abort:
+            keep = pc.and_(keep, pc.invert(_chunkless(out[ABORT_COL])))
+        return out.filter(keep).drop_columns(list(_INTERNAL))
+
     return ds.map_batches(_fn, batch_format="pyarrow", **kw)
 
 
-def remap_with_drops(ds, steps, materialize: bool = True, **kw):
+#: dropped-port metadata layout (remap.rs check_remap_branching)
+DROPPED_META = (
+    "metadata.dropped.reason",
+    "metadata.dropped.message",
+    "metadata.dropped.component_id",
+    "metadata.dropped.component_type",
+    "metadata.dropped.component_kind",
+)
+
+
+def remap_with_drops(
+    ds,
+    steps,
+    materialize: bool = True,
+    component_id: str = "remap",
+    **kw,
+):
     """(ok, dropped) dataset pair — reroute_dropped semantics
-    (remap.rs:564-646)."""
+    (remap.rs:564-646).  Dropped rows are rolled back to their original
+    values and annotated with ``metadata.dropped.*`` columns."""
     r = Remap(steps)
     annotated = ds.map_batches(r, batch_format="pyarrow", **kw)
     if materialize:
         annotated = annotated.materialize()
 
     def _ok(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(b[ERROR_COL])).drop_columns([ERROR_COL])
+        keep = pc.invert(pc.or_(b[ERROR_COL], b[ABORT_COL]))
+        return b.filter(keep).drop_columns(list(_INTERNAL))
 
     def _dropped(b: pa.Table) -> pa.Table:
-        return b.filter(b[ERROR_COL]).drop_columns([ERROR_COL])
+        flag = pc.or_(b[ERROR_COL], b[ABORT_COL])
+        d = b.filter(flag)
+        reason = pc.if_else(
+            _chunkless(d[ABORT_COL]),
+            pa.scalar("abort", type=pa.string()),
+            pa.scalar("error", type=pa.string()),
+        )
+        message = pc.fill_null(_chunkless(d[MSG_COL]), "dropped")
+        n = d.num_rows
+        d = d.drop_columns(list(_INTERNAL))
+        for name, arr in zip(
+            DROPPED_META,
+            (
+                reason,
+                message,
+                pa.array([component_id] * n),
+                pa.array(["remap"] * n),
+                pa.array(["transform"] * n),
+            ),
+        ):
+            d = _set(d, name, arr)
+        return d
 
     return (
         annotated.map_batches(_ok, batch_format="pyarrow"),

@@ -95,9 +95,16 @@ def _t_xroute(cfg, inputs):
 @register("remap")
 def _t_remap(cfg, inputs):
     if cfg.get("reroute_dropped"):
-        ok, dropped = stages.remap_with_drops(inputs, cfg["steps"])
+        ok, dropped = stages.remap_with_drops(
+            inputs, cfg["steps"], component_id=cfg.get("component_id", "remap")
+        )
         return {"": ok, "dropped": dropped}
-    return stages.remap(inputs, cfg["steps"], drop_on_error=cfg.get("drop_on_error", False))
+    return stages.remap(
+        inputs,
+        cfg["steps"],
+        drop_on_error=cfg.get("drop_on_error", False),
+        drop_on_abort=cfg.get("drop_on_abort", False),
+    )
 
 
 @register("dedupe")
