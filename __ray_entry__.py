@@ -218,6 +218,24 @@ def q_remap_parse_json(sf_dir):
     return out.select_columns(["event_id", "k"])
 
 
+def q_remap_dropped(sf_dir):
+    """remap reroute_dropped: rows aborted by a guard condition land on
+    the dropped port rolled back (k reverted to null) and annotated with
+    metadata.dropped.* (remap.rs:564-646 + check_remap_branching)."""
+    from vector_ray.stages import remap_with_drops
+
+    ds = _events(sf_dir, ["event_id", "props"])
+    _ok, dropped = remap_with_drops(
+        ds,
+        [
+            ("parse_json", "props", ["k"], {"k": pa.int64()}),
+            ("abort", ".k > 90", "k out of range"),
+        ],
+        component_id="guard",
+    )
+    return dropped
+
+
 def q_dedupe_events(sf_dir):
     from vector_ray.stages import dedupe_exact
 
@@ -850,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_latest": q_aggregate_latest,
         "metric_to_log": q_metric_to_log,
         "remap_parse_json": q_remap_parse_json,
+        "remap_dropped": q_remap_dropped,
         "dedupe_events": q_dedupe_events,
         "sample_mod": q_sample_mod,
         "throttle_daily": q_throttle_daily,
@@ -1026,6 +1045,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "remap_parse_json": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "remap_dropped": (
+            "SELECT event_id, props, CAST(NULL AS BIGINT) AS k, "
+            "'abort' AS \"metadata.dropped.reason\", "
+            "'k out of range' AS \"metadata.dropped.message\", "
+            "'guard' AS \"metadata.dropped.component_id\", "
+            "'remap' AS \"metadata.dropped.component_type\", "
+            "'transform' AS \"metadata.dropped.component_kind\" "
+            "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90"
         ),
         "dedupe_events": (
             "SELECT user_id, event_type, min(event_id) AS event_id "
