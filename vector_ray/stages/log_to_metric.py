@@ -65,27 +65,72 @@ def _render_template(tpl: str, batch: pa.Table) -> pa.Array:
     return pc.binary_join_element_wise(*pieces, "")
 
 
-def _canonical_tags(tags: Dict[str, str], batch: pa.Table) -> pa.Array:
+def _canonical_tags(tags: Dict[str, object], batch: pa.Table) -> pa.Array:
     """Sorted-key 'k=v,k=v' canonical encoding (MetricSeries identity).
 
-    A tag whose template references a column the batch does not have is
-    DROPPED (the reference drops tags whose template fails to render —
-    log_to_metric.rs render_tags / count_http_requests_with_tags test)."""
+    Reference render_tags semantics (log_to_metric.rs:200-260 + the
+    tags test matrix):
+
+    - a tag whose template references a column the batch does not have
+      is DROPPED (count_http_requests_with_tags);
+    - a tag whose value renders null on a ROW is dropped for that row
+      only (TemplateRenderingError → skip), via null-skip joining;
+    - a literal ``None`` config value is a BARE tag — encoded as ``k``
+      with no ``=`` (multi_value_tags_yaml TagValue::Bare);
+    - a LIST config value is a multi-value tag: one ``k=v`` piece per
+      entry (multi_value_tags_* tests; TagValueSet full encoding);
+    - a ``"*"`` / ``"prefix_*"`` key expands a struct column's fields
+      into ``prefix<field>=<value>`` tags
+      (count_http_requests_with_tags_expansion / colliding_dynamic_tags
+      — colliding expanded keys both survive as a multi-value set).
+
+    Pieces are ordered by (tag key, config position): deterministic per
+    config, so series identity is stable.
+    """
     n = batch.num_rows
-    present = {
-        k: tpl
-        for k, tpl in tags.items()
-        if all(col in batch.column_names for col in _TPL.findall(tpl))
-    }
-    if not present:
+    pieces: list[tuple[str, pa.Array]] = []  # (sort key, "k=v" piece)
+
+    def _value_piece(k: str, tpl) -> None:
+        if tpl is None:  # bare tag
+            pieces.append((k, pa.array([k] * n, type=pa.string())))
+            return
+        if any(col not in batch.column_names for col in _TPL.findall(tpl)):
+            return  # template render fails for every row: tag dropped
+        v = _render_template(tpl, batch)
+        prefix = pa.array([k + "="] * n, type=pa.string())
+        pieces.append((k, pc.binary_join_element_wise(prefix, v, "", null_handling="emit_null")))
+
+    for k, spec in tags.items():
+        if k.endswith("*"):
+            prefix = k[:-1]
+            fields = _TPL.findall(str(spec))
+            col_name = fields[0] if fields else None
+            if col_name is None or col_name not in batch.column_names:
+                continue
+            col = batch[col_name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not pa.types.is_struct(col.type):
+                continue  # not a map-shaped field: nothing to expand
+            for f in col.type:
+                vals = pc.struct_field(col, f.name)
+                if not pa.types.is_string(vals.type):
+                    vals = vals.cast(pa.string())
+                kk = prefix + f.name
+                kp = pa.array([kk + "="] * n, type=pa.string())
+                pieces.append(
+                    (kk, pc.binary_join_element_wise(kp, vals, "", null_handling="emit_null"))
+                )
+        elif isinstance(spec, (list, tuple)):
+            for tpl in spec:
+                _value_piece(k, tpl)
+        else:
+            _value_piece(k, spec)
+
+    if not pieces:
         return pa.array([""] * n, type=pa.string())
-    pieces = []
-    for i, k in enumerate(sorted(present)):
-        v = _render_template(present[k], batch)
-        prefix = ("," if i else "") + k + "="
-        pieces.append(pa.array([prefix] * n, type=pa.string()))
-        pieces.append(v)
-    return pc.binary_join_element_wise(*pieces, "")
+    ordered = [p for _, p in sorted(pieces, key=lambda kp: kp[0])]
+    return pc.binary_join_element_wise(*ordered, ",", null_handling="skip")
 
 
 class LogToMetric:
