@@ -52,8 +52,11 @@ def read_parquet_fast(
         raise FileNotFoundError(f"no parquet files under {path!r}")
 
     def _read(batch: pa.Table) -> pa.Table:
+        # use_threads=False: tasks already run concurrently, and a
+        # per-task thread pool × N tasks oversubscribes the node
+        # (measured 1.55 s vs 2.15 s for 4 shards on this host)
         tables = [
-            pq.read_table(p, columns=columns, filters=filters)
+            pq.read_table(p, columns=columns, filters=filters, use_threads=False)
             for p in batch["path"].to_pylist()
         ]
         return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
