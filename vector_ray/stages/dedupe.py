@@ -65,6 +65,14 @@ def dedupe_exact(
 
     def _hash_and_local(batch: pa.Table) -> pa.Table:
         kf = _key_fields(batch)
+        # a match field absent from this block dedupes as "not present"
+        # (reference hashes missing fields as None —
+        # src/transforms/dedupe/transform.rs:47-66 CacheEntry::Match)
+        for c in kf:
+            if c not in batch.column_names:
+                batch = batch.append_column(
+                    c, pa.array([None] * batch.num_rows, type=pa.string())
+                )
         h = hash_columns(batch, kf)
         batch = batch.append_column(HASH_COL, pa.array(h.view(np.int64)))
         # in-batch first-per-key stays in Arrow: stable sort + ordered
