@@ -733,6 +733,19 @@ def q_minhash_dedup(sf_dir):
     return out.select_columns(["doc_id"])
 
 
+def q_ngram_jaccard_dedup(sf_dir):
+    """Exact word-n-gram Jaccard dedup (length-bucket blocking) over the
+    planted corpus: ws/case variants have Jaccard 1.0, mutated variants
+    ~0.78 ≥ the 0.7 threshold, salted bases are pairwise-dissimilar —
+    survivors are exactly the base ids."""
+    from vector_ray.pipelines.dedup import ngram_jaccard_dedup
+    from vector_ray.pipelines.dedup_fixture import planted_minhash_corpus
+
+    corpus = planted_minhash_corpus(_docs(sf_dir, ["doc_id", "text"]))
+    out = ngram_jaccard_dedup(corpus, n=3, threshold=0.7)
+    return out.select_columns(["doc_id"])
+
+
 def q_simhash_dedup(sf_dir):
     """SimHash near-dup removal over the planted corpus (whitespace/case
     and word-reversal variants are simhash-identical); survivors = base."""
@@ -899,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_groups": q_doc_fingerprint_groups,
         "ann_topk": q_ann_topk,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
         "sample_ratio": q_sample_ratio,
@@ -1256,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         # planted-fixture dedup: base ids are component minima by
         # construction, so the survivor set is exactly the base table
         "minhash_dedup": "SELECT doc_id FROM documents",
+        "ngram_jaccard_dedup": "SELECT doc_id FROM documents",
         "simhash_dedup": "SELECT doc_id FROM documents",
         "embedding_dedup": "SELECT vec_id FROM embeddings",
         "ann_topk": (
