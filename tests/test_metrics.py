@@ -345,3 +345,52 @@ def test_incremental_to_absolute_reference_matrix(ray_session):
     assert got[("gauge", 1)] == 42.0
     assert got[("absolute_counter", 1)] == 42.0
     assert [got[("mixed", t)] for t in (1, 2, 3)] == [10.0, 100.0, 110.0]
+
+
+def test_aggregate_sequenced_conflicting_kinds(ray_session):
+    """Port of aggregate.rs conflicting_kinds: a kind flip REPLACES the
+    accumulated state.  inc,inc,abs,abs → the last absolute; abs,abs,
+    inc,inc → the incrementals summed (emitted with the last kind)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import aggregate_sequenced
+
+    def table(seq):
+        n = len(seq)
+        return pa.table({
+            "name": pa.array(["a"] * n),
+            "namespace": pa.array([""] * n),
+            "tags": pa.array([""] * n),
+            "kind": pa.array([k for k, _ in seq]),
+            "value": pa.array([float(v) for _, v in seq]),
+            "ts": pa.array(list(range(n)), type=pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    win = 10**9
+
+    # inc 42, inc 42, abs 43, abs 43 → flush the absolute 43
+    t = table([("incremental", 42), ("incremental", 42),
+               ("absolute", 43), ("absolute", 43)])
+    out = aggregate_sequenced(rd.from_arrow(t), interval_ms=win).take_all()
+    assert len(out) == 1
+    assert out[0]["kind"] == "absolute" and out[0]["value"] == 43.0
+
+    # abs, abs, inc, inc → the two incrementals sum (replace on flip)
+    t = table([("absolute", 43), ("absolute", 43),
+               ("incremental", 42), ("incremental", 42)])
+    out = aggregate_sequenced(rd.from_arrow(t), interval_ms=win).take_all()
+    assert len(out) == 1
+    assert out[0]["kind"] == "incremental" and out[0]["value"] == 84.0
+
+    # uniform-kind series match plain auto; separate series independent
+    t = table([("incremental", 1), ("incremental", 2)])
+    t2 = pa.concat_tables([t, pa.table({
+        "name": ["b"], "namespace": [""], "tags": [""],
+        "kind": ["absolute"], "value": [7.0],
+        "ts": pa.array([5], type=pa.int64()).cast(pa.timestamp("us")),
+    })])
+    out = {r["name"]: r for r in
+           aggregate_sequenced(rd.from_arrow(t2), interval_ms=win).take_all()}
+    assert out["a"]["value"] == 3.0 and out["a"]["kind"] == "incremental"
+    assert out["b"]["value"] == 7.0 and out["b"]["kind"] == "absolute"

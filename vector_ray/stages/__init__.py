@@ -1,6 +1,6 @@
 """Transform stages — one module per Vector transform (SURVEY.md §2.1)."""
 
-from .aggregate import aggregate
+from .aggregate import aggregate, aggregate_sequenced
 from .dedupe import LRUDedupe, dedupe_exact, dedupe_windowed
 from .filter import filter_stage
 from .incremental import incremental_to_absolute
@@ -21,6 +21,7 @@ from .window import window_stage
 
 __all__ = [
     "aggregate",
+    "aggregate_sequenced",
     "LRUDedupe",
     "dedupe_exact",
     "dedupe_windowed",

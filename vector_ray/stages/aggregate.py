@@ -183,3 +183,66 @@ def _latest(ds, keys, ts_field, combine_limit=500_000):
         return df.drop(columns=["sum_value", "last_value", "last_ts"])
 
     return as_dataset(map_result(res, _fin))
+
+
+def aggregate_sequenced(ds, interval_ms: int = 10_000, ts_field: str = "ts",
+                        num_partitions: int = 32):
+    """Auto aggregation with the reference's kind-CONFLICT semantics.
+
+    The reference's ``auto`` folds records in arrival order and a
+    record whose kind conflicts with the accumulated state REPLACES it
+    (aggregate.rs conflicting_kinds test: inc, inc, abs, abs flushes
+    the last absolute; abs, abs, inc, inc flushes the two incrementals
+    summed).  Columnar restatement per (series, window), ordered by
+    event time: segment the rows at kind flips, keep only the LAST
+    segment — summed when it is incremental, last-value when absolute —
+    and emit with that segment's kind.
+
+    The plain ``aggregate(mode="auto")`` keeps kind in the series key
+    (uniform-kind series — the overwhelmingly common case — get the
+    identical answer with a cheaper partial-aggregate plan); use this
+    variant when mixed-kind series must fold exactly like the
+    reference.  Groups run in ``num_partitions`` fixed hash partitions,
+    vectorized inside (same shape as incremental_to_absolute).
+    """
+    from ..functions.hashes import hash_columns
+
+    series = ["name", "namespace", "tags"]
+    windowed = _window(ds, interval_ms, ts_field)
+    PART = "__agg_part"
+
+    def _part(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, series)
+        return batch.append_column(
+            PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
+        )
+
+    def _fold(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            series + [WIN_COL, ts_field], kind="mergesort"
+        ).reset_index(drop=True)
+        sid = part.groupby(series + [WIN_COL], sort=False).ngroup().to_numpy()
+        kind_inc = (part["kind"] == "incremental").to_numpy()
+        new_sid = np.empty(len(part), dtype=bool)
+        new_sid[0] = True
+        new_sid[1:] = sid[1:] != sid[:-1]
+        flip = new_sid.copy()
+        flip[1:] |= kind_inc[1:] != kind_inc[:-1]
+        seg = np.cumsum(flip)
+        last_seg = pd.Series(seg).groupby(sid).transform("max").to_numpy()
+        keep = seg == last_seg
+        tail = part[keep]
+        val = np.where(
+            kind_inc[keep],
+            tail.groupby(sid[keep], sort=False)["value"].transform("sum").to_numpy(),
+            tail["value"].to_numpy(),
+        )
+        tail = tail.assign(value=val)
+        out = tail.groupby(series + [WIN_COL, "kind"], sort=False, as_index=False).last()
+        return out[series + ["kind", WIN_COL, "value"]]
+
+    return (
+        windowed.map_batches(_part, batch_format="pyarrow", batch_size=None)
+        .groupby(PART)
+        .map_groups(_fold, batch_format="pandas")
+    )
