@@ -205,6 +205,39 @@ def q_incremental_reset(sf_dir):
     return _round_cols(df, ["value"], 3)
 
 
+def q_aggregate_sequenced(sf_dir):
+    """Kind-conflict auto aggregation (aggregate.rs conflicting_kinds):
+    per (user series, day window) ordered by ts, a kind flip replaces
+    the accumulated state; the flush is the LAST same-kind segment —
+    summed when incremental, last value when absolute."""
+    from vector_ray.stages.aggregate import aggregate_sequenced
+
+    ds = _events(sf_dir, ["user_id", "event_type", "value", "ts"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        kind = pc.if_else(
+            pc.equal(batch["event_type"], "purchase"),
+            pa.scalar("absolute"), pa.scalar("incremental"),
+        )
+        tags = pc.binary_join_element_wise(
+            pa.array(["u="] * n), batch["user_id"].cast(pa.string()), ""
+        )
+        return pa.table({
+            "name": pa.array(["v"] * n),
+            "namespace": pa.array([""] * n),
+            "tags": tags,
+            "kind": kind,
+            "value": batch["value"],
+            "ts": batch["ts"],
+        })
+
+    metrics = ds.map_batches(_mk, batch_format="pyarrow", batch_size=None)
+    out = aggregate_sequenced(metrics, interval_ms=86_400_000)
+    df = out.to_pandas()[["tags", "kind", "window_start", "value"]]
+    return _round_cols(df, ["value"], 3)
+
+
 def q_remap_parse_json(sf_dir):
     """remap: parse the props JSON column, project k."""
     from vector_ray.stages import remap
@@ -882,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_to_log": q_metric_to_log,
         "remap_parse_json": q_remap_parse_json,
         "remap_dropped": q_remap_dropped,
+        "aggregate_sequenced": q_aggregate_sequenced,
         "dedupe_events": q_dedupe_events,
         "sample_mod": q_sample_mod,
         "throttle_daily": q_throttle_daily,
@@ -1059,6 +1093,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "remap_parse_json": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "aggregate_sequenced": (
+            "WITH m AS (SELECT concat('u=', CAST(user_id AS VARCHAR)) AS tags, "
+            "CASE WHEN event_type = 'purchase' THEN 'absolute' ELSE 'incremental' END AS kind, "
+            "value, ts, to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400)::TIMESTAMP AS window_start "
+            "FROM events), "
+            "lk AS (SELECT tags, window_start, max_by(kind, ts) AS last_kind FROM m GROUP BY 1, 2), "
+            "bd AS (SELECT m.tags, m.window_start, max(m.ts) AS boundary FROM m "
+            "JOIN lk ON m.tags = lk.tags AND m.window_start = lk.window_start "
+            "WHERE m.kind <> lk.last_kind GROUP BY 1, 2) "
+            "SELECT m.tags, lk.last_kind AS kind, m.window_start, "
+            "round(CASE WHEN lk.last_kind = 'incremental' THEN sum(m.value) ELSE max_by(m.value, m.ts) END, 3) AS value "
+            "FROM m JOIN lk ON m.tags = lk.tags AND m.window_start = lk.window_start "
+            "LEFT JOIN bd ON m.tags = bd.tags AND m.window_start = bd.window_start "
+            "WHERE bd.boundary IS NULL OR m.ts > bd.boundary "
+            "GROUP BY m.tags, lk.last_kind, m.window_start"
         ),
         "remap_dropped": (
             "SELECT event_id, props, CAST(NULL AS BIGINT) AS k, "
