@@ -84,3 +84,31 @@ def test_multi_value_tags_templates(ray_session):
         {"tag": ["{{a}}", "lit"]},
     )
     assert sorted(got) == ["tag=lit", "tag=x,tag=lit"]
+
+# count_absolute (log_to_metric.rs): per-spec kind override on a counter
+def test_counter_kind_override(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pylist([{"amount": "33.99"}]))
+    out = log_to_metric(
+        ds,
+        [{"type": "counter", "field": "amount", "name": "amount_total",
+          "increment_by_value": True, "kind": "absolute"}],
+    ).take_all()
+    assert len(out) == 1
+    assert out[0]["kind"] == "absolute" and out[0]["value"] == 33.99
+
+
+# parse_failure: non-numeric increment_by_value emits nothing for that row
+def test_parse_failure_skips_row(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"status": "not a number"}, {"status": "42"}]
+    ))
+    out = log_to_metric(
+        ds,
+        [{"type": "counter", "field": "status", "name": "status_total",
+          "increment_by_value": True}],
+    ).take_all()
+    assert len(out) == 1 and out[0]["value"] == 42.0

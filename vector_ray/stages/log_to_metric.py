@@ -133,6 +133,21 @@ def _canonical_tags(tags: Dict[str, object], batch: pa.Table) -> pa.Array:
     return pc.binary_join_element_wise(*ordered, ",", null_handling="skip")
 
 
+def _safe_float(col: pa.Array) -> pa.Array:
+    """Cast to float64 with per-row failure → null (string inputs)."""
+    try:
+        return col.cast(pa.float64())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        vals = col.to_pylist()
+        out = []
+        for v in vals:
+            try:
+                out.append(None if v is None else float(v))
+            except (TypeError, ValueError):
+                out.append(None)
+        return pa.array(out, type=pa.float64())
+
+
 class LogToMetric:
     def __init__(self, metrics: List[dict], ts_field: Optional[str] = None):
         self.metrics = metrics
@@ -170,8 +185,18 @@ class LogToMetric:
                 value = pa.array(np.ones(n))
             elif typ == "set":
                 value = pa.array(np.ones(n))
+            elif fcol is not None:
+                # a value that fails numeric conversion emits NO metric
+                # for that row (log_to_metric.rs parse_failure test —
+                # TransformError::ParseFloatError skip)
+                if pa.types.is_floating(fcol.type) or pa.types.is_integer(fcol.type):
+                    value = fcol.cast(pa.float64())
+                else:
+                    value = _safe_float(fcol)
+                if valid is not None:
+                    valid = pc.and_(valid, pc.is_valid(value))
             else:
-                value = fcol.cast(pa.float64()) if fcol is not None else pa.array(np.ones(n))
+                value = pa.array(np.ones(n))
             set_value = (
                 fcol.cast(pa.string())
                 if typ == "set" and fcol is not None
@@ -188,12 +213,15 @@ class LogToMetric:
                 sample_rate = pa.array(np.ones(n, dtype=np.int64))
             else:
                 sample_rate = pa.array([None] * n, type=pa.int64())
+            # per-spec kind override (log_to_metric.rs count_absolute:
+            # `kind = "absolute"` on a counter)
+            kind = spec.get("kind", _KIND[typ])
             tbl = pa.table(
                 {
                     "name": name,
                     "namespace": namespace,
                     "tags": tags,
-                    "kind": pa.array([_KIND[typ]] * n, type=pa.string()),
+                    "kind": pa.array([kind] * n, type=pa.string()),
                     "value_type": pa.array([typ] * n, type=pa.string()),
                     "value": value,
                     "sample_rate": sample_rate,
