@@ -230,6 +230,10 @@ def _t_decode(cfg, inputs):
 
 @register("aggregate")
 def _t_agg(cfg, inputs):
+    if cfg.get("mode") == "auto_sequenced":
+        return stages.aggregate_sequenced(
+            inputs, interval_ms=cfg.get("interval_ms", 10_000)
+        )
     return stages.aggregate(
         inputs, mode=cfg.get("mode", "auto"), interval_ms=cfg.get("interval_ms", 10_000)
     )
