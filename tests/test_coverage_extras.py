@@ -198,7 +198,9 @@ def test_parse_url():
     )
     assert r["username"] == "user" and r["password"] == "pw"
     assert out[1]["host"] == "plain.org" and out[1]["port"] is None
-    assert out[2]["__error"] is True
+    # unparseable row forwards rolled back (no internal flag columns):
+    # original field intact, extracted columns null
+    assert out[2]["url"] == "not a url" and out[2]["host"] is None
 
 
 def test_hopping_window_agg():
