@@ -104,3 +104,18 @@ def hash_columns(batch: pa.Table, columns: list[str], seed: int = 0) -> np.ndarr
             0xFFFFFFFFFFFFFFFF
         )
     return out
+
+
+def ensure_columns(batch: pa.Table, columns: list[str]) -> pa.Table:
+    """Append all-null string columns for key fields a block lacks.
+
+    Heterogeneous inputs (from_items, mixed JSON) produce blocks with
+    differing schemas; the reference keys missing fields as None (e.g.
+    reduce's group-by discriminant, dedupe match fields), so a missing
+    key column participates as nulls rather than erroring."""
+    for c in columns:
+        if c not in batch.column_names:
+            batch = batch.append_column(
+                c, pa.array([None] * batch.num_rows, type=pa.string())
+            )
+    return batch

@@ -50,9 +50,10 @@ def window_stage(
     flush = compile_condition(flush_when)
     forward = compile_condition(forward_when) if forward_when else None
 
-    from ..functions.hashes import hash_columns
+    from ..functions.hashes import ensure_columns, hash_columns
 
     def _part(batch: pa.Table) -> pa.Table:
+        batch = ensure_columns(batch, group_by)  # missing group field → null key
         h = hash_columns(batch, group_by)
         return batch.append_column(
             _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
