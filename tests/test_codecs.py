@@ -510,3 +510,56 @@ def test_encode_csv_fields_reference_parity():
     assert encode_csv_fields(b7, ["a"]).to_pylist() == ["x", "y", "z"]
     with pytest.raises(ValueError, match="At least one CSV field"):
         encode_csv_fields(b7, [])
+
+
+def test_encode_cef_serialize_extensions():
+    """Port of encoding/format/cef.rs serialize_extensions: sorted
+    extensions, typed value rendering, escaping of = and backslash."""
+    from vector_ray.codecs import encode_cef
+
+    t = pa.table({
+        "name": ["Event name"],
+        "severity": [1],
+        "foo": ["bar"],
+        "comma": ["abc,bcd"],
+        "space": ["sp ace"],
+        "quote": ['the "quote" should be escaped'],
+        "bool": [True],
+        "int": [123],
+        "float": [3.1415925],
+        "time": ["2023-02-27T07:04:49.363Z"],
+    })
+    out = encode_cef(
+        t,
+        device_vendor="Datadog",
+        device_product="Vector",
+        device_version="0",
+        device_event_class_id="Telemetry Event",
+        extensions={k: k for k in
+                    ("foo", "comma", "space", "quote", "bool", "int", "float", "time")},
+    ).to_pylist()
+    assert out == [
+        'CEF:0|Datadog|Vector|0|Telemetry Event|Event name|1|'
+        'bool=true comma=abc,bcd float=3.1415925 foo=bar int=123 '
+        'quote=the "quote" should be escaped space=sp ace '
+        'time=2023-02-27T07:04:49.363Z'
+    ]
+
+
+def test_encode_cef_escaping_and_errors():
+    from vector_ray.codecs import encode_cef
+
+    t = pa.table({"name": ["a|b\\c"], "severity": [3], "v": ["x=y\\z"]})
+    out = encode_cef(t, device_vendor="V|x", extensions={"k": "v"}).to_pylist()
+    assert out[0].startswith("CEF:0|V\\|x|")
+    assert "a\\|b\\\\c" in out[0]
+    assert "k=x\\=y\\\\z" in out[0]
+
+    # null/empty extension values drop that extension for the row
+    t2 = pa.table({"name": ["n", "n"], "severity": [1, 1], "v": ["", "ok"]})
+    o = encode_cef(t2, extensions={"k": "v"}).to_pylist()
+    assert o[0].endswith("|n|1") and o[1].endswith("|n|1|k=ok")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_cef(pa.table({"name": ["n"], "severity": [11]}))

@@ -1325,3 +1325,83 @@ def decode_arrow(data: bytes) -> pa.Table:
     the serializer only)."""
     with pa.ipc.open_stream(io.BytesIO(data)) as reader:
         return reader.read_all()
+
+
+def encode_cef(
+    batch: pa.Table,
+    device_vendor: str = "Datadog",
+    device_product: str = "Vector",
+    device_version: str = "",
+    device_event_class_id: str = "",
+    version: str = "0",
+    name_col: str = "name",
+    severity_col: str = "severity",
+    extensions: Optional[Dict[str, str]] = None,
+) -> pa.Array:
+    """CEF serializer (encoding/format/cef.rs:260-345):
+
+        CEF:{version}|{vendor}|{product}|{device_version}|{class_id}|{name}|{severity}|{ext}
+
+    Header values escape ``\\`` and ``|``; extension values escape
+    ``\\`` and ``=``; extensions render sorted by key, joined with
+    spaces, and a null/empty value drops that extension for the row
+    (the reference skips empty values).  Severity must be an integer
+    0..10 — out-of-range or non-numeric severities raise, matching the
+    serializer's per-event error.
+    """
+
+    def _esc_header(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("|", "\\|")
+
+    def _esc_col(col, extra: str):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type):
+            col = col.cast(pa.string())
+        col = pc.replace_substring(col, pattern="\\", replacement="\\\\")
+        return pc.replace_substring(col, pattern=extra, replacement="\\" + extra)
+
+    n = batch.num_rows
+    sev = batch[severity_col]
+    if isinstance(sev, pa.ChunkedArray):
+        sev = sev.combine_chunks()
+    try:
+        sev_int = sev.cast(pa.int64())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+        raise ValueError(f"CEF severity must be a number: {e}") from e
+    bad = pc.or_(pc.less(sev_int, 0), pc.greater(sev_int, 10))
+    if pc.any(pc.fill_null(bad, True)).as_py():
+        raise ValueError("CEF severity must be a number from 0 to 10")
+
+    head = "CEF:{}|{}|{}|{}|{}|".format(
+        version,
+        _esc_header(device_vendor),
+        _esc_header(device_product),
+        _esc_header(device_version),
+        _esc_header(device_event_class_id),
+    )
+    pieces = [
+        pa.array([head] * n, type=pa.string()),
+        _esc_col(batch[name_col], "|"),
+        pa.array(["|"] * n, type=pa.string()),
+        sev_int.cast(pa.string()),
+    ]
+    ext_pieces = []
+    for key in sorted(extensions or {}):
+        col = batch[(extensions or {})[key]]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # empty string values drop the extension like nulls do
+        if pa.types.is_string(col.type):
+            col = pc.if_else(pc.equal(col, ""), pa.scalar(None, type=pa.string()), col)
+        v = _esc_col(col, "=")
+        kp = pa.array([key + "="] * n, type=pa.string())
+        ext_pieces.append(pc.binary_join_element_wise(kp, v, "", null_handling="emit_null"))
+    if ext_pieces:
+        ext = pc.binary_join_element_wise(*ext_pieces, " ", null_handling="skip") \
+            if len(ext_pieces) > 1 else pc.fill_null(ext_pieces[0], "")
+        bar = pc.if_else(
+            pc.equal(ext, ""), pa.scalar("", type=pa.string()), pa.scalar("|", type=pa.string())
+        )
+        pieces += [bar, ext]
+    return pc.binary_join_element_wise(*pieces, "")
