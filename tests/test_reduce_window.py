@@ -320,3 +320,31 @@ def test_window_reference_zero_pass(ray_session):
     ds = _wstream(None, (1, 50), "forward", "flush", (51, 70))
     got = _wrun(ds, 0, 0, forward=True)
     assert got == ["forward", "flush"]
+
+
+def test_reduce_concat_arrays(ray_session):
+    """Port of reduce/transform.rs arrays (typed restatement): concat
+    EXTENDS with array values, array collects them nested."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.reduce import reduce_stage
+
+    t = pa.table({
+        "request_id": ["1", "2", "1", "2"],
+        "foo": pa.array([[1, 3], [2, 4], [5, 7], [6, 8]], type=pa.list_(pa.int64())),
+        "seq": [0, 1, 2, 3],
+    })
+    out = reduce_stage(
+        rd.from_arrow(t), group_by=["request_id"], order_by="seq",
+        merge_strategies={"foo": "concat"},
+    ).take_all()
+    got = {r["request_id"]: list(r["foo"]) for r in out}
+    assert got == {"1": [1, 3, 5, 7], "2": [2, 4, 6, 8]}
+
+    out = reduce_stage(
+        rd.from_arrow(t), group_by=["request_id"], order_by="seq",
+        merge_strategies={"foo": "array"},
+    ).take_all()
+    got = {r["request_id"]: [list(x) for x in r["foo"]] for r in out}
+    assert got == {"1": [[1, 3], [5, 7]], "2": [[2, 4], [6, 8]]}

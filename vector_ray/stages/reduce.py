@@ -42,7 +42,21 @@ def _merge_series(s: pd.Series, strategy: str):
     if strategy == "array":
         return list(s)
     if strategy == "concat":
-        return " ".join(str(v) for v in s if v is not None)
+        # reference Concat (reduce/merge_strategy.rs ConcatMerger):
+        # array values EXTEND the accumulator, scalars append; a pure
+        # string stream falls back to the space-joined message form
+        vals = [v for v in s if v is not None]
+        if any(isinstance(v, (list, np.ndarray)) for v in vals):
+            out = []
+            for v in vals:
+                if isinstance(v, np.ndarray):
+                    out.extend(v.tolist())
+                elif isinstance(v, list):
+                    out.extend(v)
+                else:
+                    out.append(v)
+            return out
+        return " ".join(str(v) for v in vals)
     if strategy == "concat_newline":
         return "\n".join(str(v) for v in s if v is not None)
     if strategy == "concat_raw":
