@@ -216,6 +216,49 @@ def aggseries1m():
             "rows_per_sec": round(n / wall)}
 
 
+def reduce100k():
+    """100k distinct group keys through sessionizing reduce (VERDICT r2
+    item 2 done-criterion): the stage runs over 32 FIXED hash
+    partitions regardless of key count — Ray never sees one group per
+    user.  Each user has two 3-event bursts 2h apart with a 30min
+    session gap → exactly 2 sessions per user; asserts the exact
+    session count and per-session sums."""
+    import ray.data as rd
+
+    from vector_ray.stages.reduce import reduce_stage
+
+    n_users, per = 100_000, 6
+    n = n_users * per
+    HOUR = 3_600_000_000
+
+    def gen(batch):
+        ids = batch["id"].to_numpy()
+        user = ids % n_users
+        seq = ids // n_users  # 0..5 per user
+        # events 0,1,2 at minutes 0,1,2; events 3,4,5 at minutes 120,121,122
+        minute = np.where(seq < 3, seq, 120 + (seq - 3))
+        ts = minute.astype(np.int64) * 60_000_000
+        return pa.table({
+            "user": pa.array(["u%d" % u for u in user.tolist()]),
+            "ts": pa.array(ts, type=pa.int64()),
+            "value": pa.array(np.ones(len(ids)), type=pa.float64()),
+        })
+
+    ds = rd.range(n, override_num_blocks=64).map_batches(gen, batch_format="pyarrow")
+    t0 = time.time()
+    out = reduce_stage(
+        ds, group_by=["user"], order_by="ts", ts_field="ts",
+        expire_after_ms=30 * 60 * 1000,
+        merge_strategies={"value": "sum"},
+    )
+    res = out.to_pandas() if hasattr(out, "to_pandas") else out
+    wall = time.time() - t0
+    assert len(res) == 2 * n_users, len(res)
+    assert (res["value"].to_numpy() == 3.0).all()
+    return {"rows": n, "keys": n_users, "sessions": len(res),
+            "wall": round(wall, 1), "rows_per_sec": round(n / wall)}
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     _init()
