@@ -563,3 +563,53 @@ def test_encode_cef_escaping_and_errors():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         encode_cef(pa.table({"name": ["n"], "severity": [11]}))
+
+
+def test_encode_json_metric():
+    """Ports of encoding/format/json.rs serialize_json_metric_counter /
+    _set / _histogram_without_timestamp (timestamp at the engine's
+    microsecond resolution)."""
+    import datetime as dt
+
+    from vector_ray.codecs import encode_json_metric
+
+    counter = pa.table({
+        "name": ["foos"],
+        "namespace": ["vector"],
+        "tags": ["Key3=Value3,key1=value1,key2=value2"],
+        "kind": ["incremental"],
+        "value_type": ["counter"],
+        "value": [100.0],
+        "sample_rate": pa.array([None], type=pa.int64()),
+        "set_value": pa.array([None], type=pa.string()),
+        "ts": pa.array([dt.datetime(2018, 11, 14, 8, 9, 10, 11)], type=pa.timestamp("us")),
+    })
+    assert encode_json_metric(counter).to_pylist() == [
+        '{"name":"foos","namespace":"vector",'
+        '"tags":{"Key3":"Value3","key1":"value1","key2":"value2"},'
+        '"timestamp":"2018-11-14T08:09:10.000011Z",'
+        '"kind":"incremental","counter":{"value":100.0}}'
+    ]
+
+    mset = pa.table({
+        "name": ["users"], "namespace": [""], "tags": [""],
+        "kind": ["incremental"], "value_type": ["set"], "value": [1.0],
+        "sample_rate": pa.array([None], type=pa.int64()),
+        "set_value": ["bob"],
+        "ts": pa.array([None], type=pa.timestamp("us")),
+    })
+    assert encode_json_metric(mset).to_pylist() == [
+        '{"name":"users","kind":"incremental","set":{"values":["bob"]}}'
+    ]
+
+    histo = pa.table({
+        "name": ["glork"], "namespace": [""], "tags": [""],
+        "kind": ["incremental"], "value_type": ["histogram"], "value": [10.0],
+        "sample_rate": pa.array([1], type=pa.int64()),
+        "set_value": pa.array([None], type=pa.string()),
+        "ts": pa.array([None], type=pa.timestamp("us")),
+    })
+    assert encode_json_metric(histo).to_pylist() == [
+        '{"name":"glork","kind":"incremental",'
+        '"distribution":{"samples":[{"value":10.0,"rate":1}],"statistic":"histogram"}}'
+    ]

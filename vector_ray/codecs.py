@@ -1405,3 +1405,51 @@ def encode_cef(
         )
         pieces += [bar, ext]
     return pc.binary_join_element_wise(*pieces, "")
+
+
+def encode_json_metric(batch: pa.Table) -> pa.Array:
+    """Metric rows → the reference's metric JSON shape
+    (lib/codecs/src/encoding/format/json.rs serialize_json_metric_*):
+
+        {"name":..,"namespace"?,"tags"?:{..sorted..},"timestamp"?,
+         "kind":..,"counter"|{..}|"gauge"|"set"|"distribution":{..}}
+
+    Field order matches the serializer (name, namespace, tags,
+    timestamp, kind, value struct); tags decode from the canonical
+    ``k=v,k=v`` encoding and render byte-sorted (BTreeMap order);
+    histogram/summary/distribution rows render as single-sample
+    Distribution payloads with their statistic kind.  Timestamps are
+    microsecond RFC3339 (the engine's resolution; the reference prints
+    whatever sub-second precision the event carries).
+    """
+    cols = {c: batch[c].to_pylist() for c in batch.column_names}
+    n = batch.num_rows
+    has = cols.__contains__
+    out = []
+    for i in range(n):
+        d = {"name": cols["name"][i]}
+        ns = cols["namespace"][i] if has("namespace") else None
+        if ns:
+            d["namespace"] = ns
+        tags = cols["tags"][i] if has("tags") else None
+        if tags:
+            pairs = [t.split("=", 1) for t in tags.split(",") if t]
+            d["tags"] = {k: v for k, v in sorted((p[0], p[1] if len(p) > 1 else None) for p in pairs)}
+        ts = cols["ts"][i] if has("ts") else None
+        if ts is not None:
+            d["timestamp"] = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        d["kind"] = cols["kind"][i] if has("kind") else "incremental"
+        vt = cols["value_type"][i] if has("value_type") else "counter"
+        v = cols["value"][i] if has("value") else None
+        if vt in ("counter", "gauge"):
+            d[vt] = {"value": v}
+        elif vt == "set":
+            d["set"] = {"values": [cols["set_value"][i]] if has("set_value") else []}
+        else:  # histogram / summary / distribution
+            rate = cols["sample_rate"][i] if has("sample_rate") else None
+            d["distribution"] = {
+                "samples": [{"value": v, "rate": int(rate) if rate is not None else 1}],
+                "statistic": "summary" if vt == "summary" else "histogram",
+            }
+        out.append(json.dumps(d, separators=(",", ":")))
+    return pa.array(out, type=pa.string())
