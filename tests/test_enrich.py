@@ -220,3 +220,29 @@ def test_case_insensitive_lookup(ray_session):
     lut2 = EnrichTable(pa.table({"k": ["ZiP"], "v": ["zup"]}), ["k"])
     out2 = lut2.probe(pa.table({"k": pa.array(["zip"])}), ["k"])
     assert out2["v"].to_pylist() == [None]
+
+
+def test_open_ended_date_bounds(ray_session):
+    """file.rs finds_row_from_date / finds_row_to_date: a row with a
+    NULL from/to bound is open-ended on that side."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from vector_ray.enrich import EnrichTable
+
+    t = pa.table({
+        "k": ["a", "a"],
+        "zip": ["early", "late"],
+        "from": pa.array([None, dt.datetime(2020, 1, 1)], type=pa.timestamp("us")),
+        "to": pa.array([dt.datetime(2019, 12, 31, 23, 59, 59), None],
+                       type=pa.timestamp("us")),
+    })
+    table = EnrichTable(t, key_columns=["k"], valid_from="from", valid_to="to")
+    probe = pa.table({
+        "k": ["a", "a"],
+        "ts": pa.array([dt.datetime(2015, 6, 1), dt.datetime(2023, 6, 1)],
+                       type=pa.timestamp("us")),
+    })
+    out = table.probe(probe, on=["k"], select=["zip"], date_field="ts")
+    assert out["zip"].to_pylist() == ["early", "late"]

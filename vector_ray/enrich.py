@@ -211,11 +211,16 @@ class EnrichTable:
             ridx = merged["__ridx"].to_numpy()
             valid = ~np.isnan(ridx)
             ridx_i = np.where(valid, ridx, 0).astype(np.int64)
+            # a NULL bound on a table row means open-ended on that side
+            # (file.rs finds_row_from_date / _to_date: a condition may
+            # carry only `from` or only `to`)
             if self.valid_from:
-                vf = self.table[self.valid_from].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                vf_col = self.table[self.valid_from].cast(pa.timestamp("us")).cast(pa.int64())
+                vf = pc.fill_null(vf_col, np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
                 valid &= merged["__ts"].to_numpy() >= vf[ridx_i]
             if self.valid_to:
-                vt = self.table[self.valid_to].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                vt_col = self.table[self.valid_to].cast(pa.timestamp("us")).cast(pa.int64())
+                vt = pc.fill_null(vt_col, np.iinfo(np.int64).max).to_numpy(zero_copy_only=False)
                 valid &= merged["__ts"].to_numpy() <= vt[ridx_i]
             merged = merged[valid | merged["__ridx"].isna()]
             if strict_single:
