@@ -605,9 +605,13 @@ def q_join_orders_customers(sf_dir):
 
 
 def q_pricing_summary(sf_dir):
-    """TPC-H-Q1-shaped groupby via the engine's aggregate machinery."""
+    """TPC-H-Q1-shaped groupby via the engine's partial-aggregate
+    machinery: per-batch Arrow group_by combiners, then a 6-row
+    combine — no sort-based shuffle for a 6-group aggregate (the
+    flagship's sink-edge pattern)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+
+    from vector_ray.stages.partial_agg import grouped_aggregate
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -620,15 +624,15 @@ def q_pricing_summary(sf_dir):
         return b.append_column("revenue", rev)
 
     ds = ds.map_batches(_rev, batch_format="pyarrow")
-    out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_rev"),
-            Sum("l_discount", alias_name="sum_disc"),
-            Count(alias_name="n"),
-        )
-        .to_pandas()
+    out = grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("revenue", "sum", "sum_rev"),
+            ("l_discount", "sum", "sum_disc"),
+            ("l_quantity", "count", "n"),
+        ],
     )
     return _round_cols(out, ["sum_qty", "sum_rev"], 2).pipe(_round_cols, ["sum_disc"], 3)
 
