@@ -54,3 +54,49 @@ def test_ip_enrich_from_mmdb(ray_session):
             assert row["isp"] == flat[row["ip"]]
         else:
             assert row["isp"] is None or row["isp"] != row["isp"]
+
+
+def test_geoip_city_lookup_reference_layout():
+    """Port of enrichment_tables/geoip.rs city_lookup: Vector's City
+    field set for 2.125.160.216 against the MaxMind test database,
+    including most-specific-subdivision region fields."""
+    from vector_ray.enrich_ip import IpRangeTable
+    from vector_ray.mmdb import to_city_range_table
+
+    t = IpRangeTable(to_city_range_table(
+        "/root/reference/tests/data/GeoIP2-City-Test.mmdb"))
+    import pyarrow as pa
+
+    out = t.probe(pa.table({"ip": ["2.125.160.216"]}), "ip")
+    row = out.to_pylist()[0]
+    assert row["city_name"] == "Boxford"
+    assert row["country_code"] == "GB"
+    assert row["continent_code"] == "EU"
+    assert row["country_name"] == "United Kingdom"
+    assert row["region_code"] == "WBK"
+    assert row["region_name"] == "West Berkshire"
+    assert row["timezone"] == "Europe/London"
+    assert row["latitude"] == 51.75 and row["longitude"] == -1.25
+    assert row["postal_code"] == "OX1"
+    assert row["metro_code"] is None
+
+
+def test_geoip_isp_and_connection_lookups():
+    """Ports of geoip.rs isp_lookup / connection_type_lookup_success:
+    flat records pass through with Vector's field names."""
+    import pyarrow as pa
+
+    from vector_ray.enrich_ip import IpRangeTable
+
+    isp = IpRangeTable.from_mmdb("/root/reference/tests/data/GeoIP2-ISP-Test.mmdb")
+    row = isp.probe(pa.table({"ip": ["208.192.1.2"]}), "ip").to_pylist()[0]
+    assert row["autonomous_system_number"] == 701
+    assert row["autonomous_system_organization"] == (
+        "MCI Communications Services, Inc. d/b/a Verizon Business")
+    assert row["isp"] == "Verizon Business"
+    assert row["organization"] == "Verizon Business"
+
+    ct = IpRangeTable.from_mmdb(
+        "/root/reference/tests/data/GeoIP2-Connection-Type-Test.mmdb")
+    row = ct.probe(pa.table({"ip": ["201.243.200.1"]}), "ip").to_pylist()[0]
+    assert row["connection_type"] == "Corporate"

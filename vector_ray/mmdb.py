@@ -226,3 +226,65 @@ def to_range_table(path: str, fields: Optional[List[str]] = None) -> pa.Table:
         vals = [flats[i].get(k) for i in order]
         cols[k.replace(".", "_")] = pa.array(vals)
     return pa.table(cols)
+
+
+def _path_get(record: dict, path: tuple):
+    cur = record
+    for p in path:
+        if not isinstance(cur, dict) or p not in cur:
+            return None
+        cur = cur[p]
+    return cur
+
+
+#: Vector's GeoIP City field layout (src/enrichment_tables/geoip.rs:180-230):
+#: named top-level fields; the LAST subdivision is the most specific one.
+_CITY_LAYOUT = {
+    "city_name": ("city", "names", "en"),
+    "continent_code": ("continent", "code"),
+    "country_code": ("country", "iso_code"),
+    "country_name": ("country", "names", "en"),
+    "timezone": ("location", "time_zone"),
+    "latitude": ("location", "latitude"),
+    "longitude": ("location", "longitude"),
+    "metro_code": ("location", "metro_code"),
+    "postal_code": ("postal", "code"),
+}
+
+#: ISP / ASN / Connection-Type / Anonymous-IP records are already flat
+#: with Vector's field names (geoip.rs:232-260 passes them through).
+
+
+def vector_city_record(record: dict) -> Dict[str, Any]:
+    """mmdb City record → Vector's geoip field set (geoip.rs city_lookup
+    expected layout, incl. most-specific-subdivision region fields)."""
+    out = {k: _path_get(record, path) for k, path in _CITY_LAYOUT.items()}
+    subs = record.get("subdivisions")
+    sub = subs[-1] if isinstance(subs, list) and subs else None
+    out["region_code"] = _path_get(sub, ("iso_code",)) if isinstance(sub, dict) else None
+    out["region_name"] = _path_get(sub, ("names", "en")) if isinstance(sub, dict) else None
+    return out
+
+
+def to_city_range_table(path: str) -> pa.Table:
+    """to_range_table with Vector's City field layout."""
+    reader = MmdbReader(path)
+    starts: List[int] = []
+    ends: List[int] = []
+    flats: List[Dict[str, Any]] = []
+    for start, depth, record in reader.networks_ipv4():
+        starts.append(start)
+        ends.append(start + (1 << (32 - depth)) - 1)
+        flats.append(vector_city_record(record))
+    order = np.argsort(np.asarray(starts, dtype=np.int64), kind="stable")
+    cols: Dict[str, pa.Array] = {
+        "start_ip": pa.array(np.asarray(starts, dtype=np.int64)[order]),
+        "end_ip": pa.array(np.asarray(ends, dtype=np.int64)[order]),
+    }
+    fields = list(_CITY_LAYOUT) + ["region_code", "region_name"]
+    for k in fields:
+        typ = pa.float64() if k in ("latitude", "longitude") else (
+            pa.int64() if k == "metro_code" else pa.string()
+        )
+        cols[k] = pa.array([flats[i].get(k) for i in order], type=typ)
+    return pa.table(cols)
