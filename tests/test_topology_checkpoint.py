@@ -288,3 +288,30 @@ def test_python_transform_timer_hook(ray_session):
     # event time spans 1s..35s → fires at 10s, 20s, 30s boundaries
     assert list(fires["ts"]) == [10_000_000, 20_000_000, 30_000_000]
     assert (data["seen_so_far"].isna()).all()  # padded on data rows
+
+
+def test_manifest_content_hash(tmp_path, ray_session):
+    """Each committed partition manifest carries a content hash of its
+    output bytes (per-partition lineage for resume audits)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vector_ray.checkpoint import run_partitioned
+
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), src)
+
+    def process(f, out_dir):
+        t = pq.read_table(f)
+        pq.write_table(t, os.path.join(out_dir, "out.parquet"))
+        return {"rows": t.num_rows}
+
+    done = run_partitioned([src], process, str(tmp_path / "out"))
+    (pid, meta), = done.items()
+    assert meta["rows"] == 3 and len(meta["content_hash"]) == 32
+    mpath = tmp_path / "out" / "_manifest" / f"{pid}.json"
+    on_disk = json.loads(mpath.read_text())
+    assert on_disk["content_hash"] == meta["content_hash"]

@@ -125,8 +125,25 @@ def run_partitioned(
         os.makedirs(tmp, exist_ok=True)
         t0 = time.time()
         metrics = process(f, tmp)
+        # content lineage: hash of the partition's output bytes (file
+        # name + size + md5), so a resume audit can verify a completed
+        # partition wasn't truncated or overwritten out-of-band
+        content = hashlib.md5()
+        for root, _dirs, files in os.walk(tmp):
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                content.update(name.encode())
+                content.update(str(os.path.getsize(p)).encode())
+                with open(p, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        content.update(chunk)
         os.replace(tmp, pdir)
-        meta = {"inputs": [f], "wall_secs": round(time.time() - t0, 3), **(metrics or {})}
+        meta = {
+            "inputs": [f],
+            "wall_secs": round(time.time() - t0, 3),
+            "content_hash": content.hexdigest(),
+            **(metrics or {}),
+        }
         ckpt.commit(pid, meta)
         done[pid] = meta
     return done
