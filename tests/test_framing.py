@@ -1,0 +1,88 @@
+"""Framer parity — ports of lib/codecs/src/decoding/framing/* tests."""
+
+import gzip
+
+import pytest
+
+from vector_ray.framing import (
+    GELF_MAGIC,
+    frame_character_delimited,
+    frame_chunked_gelf,
+    frame_length_delimited,
+    frame_newline,
+    frame_octet_counting,
+    frame_varint_length_delimited,
+    framed_source,
+)
+
+
+def test_newline_basic_and_trailing_fragment():
+    assert frame_newline(b"a\nbc\n") == [b"a", b"bc"]
+    # fragment without trailing newline is still a frame
+    assert frame_newline(b"a\nbc") == [b"a", b"bc"]
+    assert frame_newline(b"") == []
+
+
+def test_newline_max_length_discards():
+    # LinesCodec discard semantics: over-long frames are dropped whole
+    assert frame_newline(b"short\nwaytoolongline\nok", max_length=6) == [b"short", b"ok"]
+
+
+def test_character_delimited():
+    assert frame_character_delimited(b"a,b,,c", b",") == [b"a", b"b", b"", b"c"]
+    assert frame_character_delimited(b"a;b;", b";") == [b"a", b"b"]
+
+
+def test_length_delimited_roundtrip():
+    # tokio LengthDelimitedCodec default: 4-byte big-endian prefix
+    data = b"".join(len(f).to_bytes(4, "big") + f for f in (b"foo", b"", b"barbaz"))
+    assert frame_length_delimited(data) == [b"foo", b"", b"barbaz"]
+    with pytest.raises(ValueError):
+        frame_length_delimited(data + b"\x00\x00\x00\x05oops")
+
+
+def test_varint_length_delimited():
+    def varint(n):
+        out = b""
+        while True:
+            b, n = n & 0x7F, n >> 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    big = b"x" * 300
+    data = varint(3) + b"foo" + varint(300) + big
+    assert frame_varint_length_delimited(data) == [b"foo", big]
+
+
+def test_octet_counting_rfc6587():
+    # octet_counting.rs: "<count> <msg>" frames, non-transparent
+    # newline fallback for invalid prefixes
+    msg1 = b"<13>1 2023 host app - - - hi"
+    data = str(len(msg1)).encode() + b" " + msg1 + b"5 hello"
+    assert frame_octet_counting(data) == [msg1, b"hello"]
+    # invalid prefix falls back to the next newline
+    assert frame_octet_counting(b"notacount here\n3 abc") == [b"notacount here", b"abc"]
+
+
+def test_chunked_gelf_reassembly():
+    mid = (42).to_bytes(8, "big")
+    c0 = GELF_MAGIC + mid + bytes([0, 2]) + b'{"version":"1.1","host":"a",'
+    c1 = GELF_MAGIC + mid + bytes([1, 2]) + b'"short_message":"m"}'
+    whole = b'{"version":"1.1","host":"b","short_message":"w"}'
+    # out-of-order arrival, duplicate chunk kept-first, plus a whole datagram
+    out = frame_chunked_gelf([c1, whole, c0, c1])
+    assert whole in out
+    assert b'{"version":"1.1","host":"a","short_message":"m"}' in out
+    assert len(out) == 2
+    # incomplete message (missing chunk) is dropped
+    assert frame_chunked_gelf([c0]) == []
+    # gzip-compressed whole datagram decompresses transparently
+    assert frame_chunked_gelf([gzip.compress(whole)]) == [whole]
+
+
+def test_framed_source_reads_files(ray_session, tmp_path):
+    p = tmp_path / "log.txt"
+    p.write_bytes(b"one\ntwo\nthree\n")
+    ds = framed_source(str(p), frame_newline, as_string=True)
+    assert sorted(r["message"] for r in ds.take_all()) == ["one", "three", "two"]

@@ -1,0 +1,202 @@
+"""Stream framers — byte streams → message frames (§2.6 framing).
+
+Reference: lib/codecs/src/decoding/framing/ — newline_delimited.rs,
+character_delimited.rs, length_delimited.rs,
+varint_length_delimited.rs, octet_counting.rs (RFC 6587),
+chunked_gelf.rs.  Each framer here is a pure function over a complete
+byte buffer (batch engines see whole objects, not sockets): it returns
+the list of frames, applying the same boundary/overflow semantics the
+reference's incremental decoders enforce.
+
+``framed_source`` turns (path, framer) into a Ray Dataset with one row
+per frame — the file-per-task read shape of sources/parquet.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Callable, Dict, List, Optional
+
+import pyarrow as pa
+
+GELF_MAGIC = b"\x1e\x0f"  # chunked_gelf.rs GELF_MAGIC
+
+
+def frame_newline(data: bytes, max_length: Optional[int] = None) -> List[bytes]:
+    """newline_delimited.rs: split on \\n; a trailing fragment without a
+    newline is still a frame; frames over max_length are discarded
+    (LinesCodec discard semantics)."""
+    return frame_character_delimited(data, b"\n", max_length)
+
+
+def frame_character_delimited(
+    data: bytes, delimiter: bytes, max_length: Optional[int] = None
+) -> List[bytes]:
+    """character_delimited.rs: split on a 1-byte delimiter; over-long
+    frames are discarded rather than truncated."""
+    if not data:
+        return []
+    parts = data.split(delimiter)
+    if parts and parts[-1] == b"":
+        parts = parts[:-1]  # trailing delimiter closes the last frame
+    if max_length is not None:
+        parts = [p for p in parts if len(p) <= max_length]
+    return parts
+
+
+def frame_length_delimited(
+    data: bytes, length_size: int = 4, byteorder: str = "big"
+) -> List[bytes]:
+    """length_delimited.rs (tokio LengthDelimitedCodec defaults): a
+    ``length_size``-byte unsigned prefix, then that many payload bytes.
+    A truncated trailing frame raises (the stream is incomplete)."""
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        if i + length_size > n:
+            raise ValueError("truncated length prefix")
+        ln = int.from_bytes(data[i : i + length_size], byteorder)
+        i += length_size
+        if i + ln > n:
+            raise ValueError("truncated frame payload")
+        out.append(data[i : i + ln])
+        i += ln
+    return out
+
+
+def frame_varint_length_delimited(data: bytes) -> List[bytes]:
+    """varint_length_delimited.rs: protobuf LEB128 varint length prefix."""
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        ln, shift = 0, 0
+        while True:
+            if i >= n:
+                raise ValueError("truncated varint prefix")
+            b = data[i]
+            i += 1
+            ln |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise ValueError("varint length prefix too long")
+        if i + ln > n:
+            raise ValueError("truncated frame payload")
+        out.append(data[i : i + ln])
+        i += ln
+    return out
+
+
+def frame_octet_counting(data: bytes, max_length: Optional[int] = None) -> List[bytes]:
+    """octet_counting.rs (RFC 6587 syslog): frames are ``<count> <msg>``
+    where count is the byte length of msg.  A frame whose prefix isn't a
+    valid count falls back to newline framing for that stretch (the
+    reference falls back to LinesCodec); over-long frames are discarded.
+    """
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n and data[j : j + 1].isdigit():
+            j += 1
+        if j > i and j < n and data[j : j + 1] == b" ":
+            ln = int(data[i:j])
+            start = j + 1
+            if start + ln <= n:
+                frame = data[start : start + ln]
+                if max_length is None or len(frame) <= max_length:
+                    out.append(frame)
+                i = start + ln
+                continue
+        # invalid prefix or truncated count: non-transparent fallback —
+        # consume to the next newline as one frame
+        nl = data.find(b"\n", i)
+        end = n if nl == -1 else nl
+        frame = data[i:end]
+        if frame and (max_length is None or len(frame) <= max_length):
+            out.append(frame)
+        i = end + 1
+    return out
+
+
+def _maybe_decompress(payload: bytes) -> bytes:
+    if payload[:2] == b"\x1f\x8b":  # GZIP_MAGIC
+        return gzip.decompress(payload)
+    if payload[:1] == b"\x78":  # ZLIB_MAGIC family
+        try:
+            return zlib.decompress(payload)
+        except zlib.error:
+            return payload
+    return payload
+
+
+def frame_chunked_gelf(datagrams: List[bytes]) -> List[bytes]:
+    """chunked_gelf.rs: each datagram is either a whole GELF message or
+    a chunk ``1e 0f | message_id u64 | seq u8 | total u8 | payload``.
+    Chunks reassemble per message id in sequence order; messages with
+    missing chunks are dropped (the reference times them out);
+    duplicate chunks keep the first; gzip/zlib payloads decompress
+    transparently (the reference's decoder does the same sniff)."""
+    whole: List[bytes] = []
+    pending: Dict[int, dict] = {}
+    order: List[int] = []
+    for dg in datagrams:
+        if dg[:2] != GELF_MAGIC:
+            whole.append(_maybe_decompress(dg))
+            continue
+        if len(dg) < 12:
+            continue  # malformed chunk header
+        mid = int.from_bytes(dg[2:10], "big")
+        seq, total = dg[10], dg[11]
+        if seq >= total:
+            continue  # sequence beyond total (reference error, chunk dropped)
+        entry = pending.get(mid)
+        if entry is None:
+            entry = {"total": total, "chunks": {}}
+            pending[mid] = entry
+            order.append(mid)
+        if entry["total"] != total:
+            continue  # conflicting totals: chunk dropped
+        entry["chunks"].setdefault(seq, dg[12:])
+    for mid in order:
+        entry = pending[mid]
+        if len(entry["chunks"]) == entry["total"]:
+            payload = b"".join(entry["chunks"][s] for s in range(entry["total"]))
+            whole.append(_maybe_decompress(payload))
+    return whole
+
+
+def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "message",
+                  as_string: bool = False, **kw):
+    """File-per-task framed reads → Dataset with one row per frame."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = []
+            for root, _d, fs in os.walk(paths):
+                files += [os.path.join(root, f) for f in sorted(fs)]
+        else:
+            files = [paths]
+    else:
+        files = list(paths)
+
+    def _read(batch: pa.Table) -> pa.Table:
+        frames: List[bytes] = []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as fh:
+                frames.extend(framer(fh.read()))
+        if as_string:
+            arr = pa.array([f.decode("utf-8", "replace") for f in frames], type=pa.string())
+        else:
+            arr = pa.array(frames, type=pa.binary())
+        return pa.table({column: arr})
+
+    items = rd.from_items([{"path": f} for f in files])
+    return items.repartition(max(1, len(files))).map_batches(
+        _read, batch_format="pyarrow", batch_size=None, **kw
+    )
