@@ -86,3 +86,21 @@ def test_framed_source_reads_files(ray_session, tmp_path):
     p.write_bytes(b"one\ntwo\nthree\n")
     ds = framed_source(str(p), frame_newline, as_string=True)
     assert sorted(r["message"] for r in ds.take_all()) == ["one", "three", "two"]
+
+
+def test_framed_source_in_topology(ray_session, tmp_path):
+    """framed source type drives a full config topology."""
+    from vector_ray.topology import Topology
+
+    p = tmp_path / "syslog.bin"
+    msg = b"<13>1 host app m1"
+    p.write_bytes(str(len(msg)).encode() + b" " + msg + b"8 m2 short")
+    topo = Topology({
+        "sources": {"in": {"type": "framed", "path": str(p),
+                           "framing": "octet_counting"}},
+        "transforms": {"keep": {"type": "filter", "inputs": ["in"],
+                                "condition": ".message != ''"}},
+        "sinks": {},
+    })
+    rows = topo._build("keep").take_all()
+    assert sorted(r["message"] for r in rows) == ["<13>1 host app m1", "m2 short"]

@@ -363,6 +363,36 @@ def _src_text(cfg, _inputs):
     return rd.read_text(cfg["path"])
 
 
+@register("framed")
+def _src_framed(cfg, _inputs):
+    """File source with an explicit framing method (§2.6 framers):
+    ``framing`` = newline | character_delimited | length_delimited |
+    varint_length_delimited | octet_counting, plus method options
+    (delimiter, max_length, length_size)."""
+    from functools import partial
+
+    from . import framing as fr
+
+    method = cfg.get("framing", "newline")
+    if method == "newline":
+        framer = partial(fr.frame_newline, max_length=cfg.get("max_length"))
+    elif method == "character_delimited":
+        framer = partial(
+            fr.frame_character_delimited,
+            delimiter=cfg["delimiter"].encode(),
+            max_length=cfg.get("max_length"),
+        )
+    elif method == "length_delimited":
+        framer = partial(fr.frame_length_delimited, length_size=cfg.get("length_size", 4))
+    elif method == "varint_length_delimited":
+        framer = fr.frame_varint_length_delimited
+    elif method == "octet_counting":
+        framer = partial(fr.frame_octet_counting, max_length=cfg.get("max_length"))
+    else:
+        raise ValueError(f"unknown framing method {method!r}")
+    return fr.framed_source(cfg["path"], framer, as_string=cfg.get("as_string", True))
+
+
 @register("static_enrich")
 def _t_static(cfg, inputs):
     from .stages.static_enrich import static_enrich
