@@ -205,6 +205,26 @@ def q_incremental_reset(sf_dir):
     return _round_cols(df, ["value"], 3)
 
 
+def q_static_enrich(sf_dir):
+    """aws_ec2_metadata analog: broadcast constant metadata columns
+    (one driver-side fetch, constant per batch)."""
+    from vector_ray.stages.static_enrich import static_enrich
+
+    ds = _events(sf_dir, ["event_id", "user_id"])
+    out = static_enrich(ds, {"az": "us-east-1a", "instance_type": "m5.large"})
+    return out
+
+
+def q_trace_to_log(sf_dir):
+    """trace_to_log projection: span fields rename to log-schema names
+    and every row stamps source_type='trace'."""
+    from vector_ray.stages.static_enrich import trace_to_log
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts"])
+    out = trace_to_log(ds, rename={"event_type": "message", "ts": "timestamp"})
+    return out
+
+
 def q_aggregate_sequenced(sf_dir):
     """Kind-conflict auto aggregation (aggregate.rs conflicting_kinds):
     per (user series, day window) ordered by ts, a kind flip replaces
@@ -920,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remap_parse_json": q_remap_parse_json,
         "remap_dropped": q_remap_dropped,
         "aggregate_sequenced": q_aggregate_sequenced,
+        "static_enrich": q_static_enrich,
+        "trace_to_log": q_trace_to_log,
         "dedupe_events": q_dedupe_events,
         "sample_mod": q_sample_mod,
         "throttle_daily": q_throttle_daily,
@@ -1097,6 +1119,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "remap_parse_json": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "static_enrich": (
+            "SELECT event_id, user_id, 'us-east-1a' AS az, 'm5.large' AS instance_type FROM events"
+        ),
+        "trace_to_log": (
+            "SELECT event_id, event_type AS message, ts AS timestamp, 'trace' AS source_type FROM events"
         ),
         "aggregate_sequenced": (
             "WITH m AS (SELECT concat('u=', CAST(user_id AS VARCHAR)) AS tags, "
