@@ -104,3 +104,17 @@ def test_framed_source_in_topology(ray_session, tmp_path):
     })
     rows = topo._build("keep").take_all()
     assert sorted(r["message"] for r in rows) == ["<13>1 host app m1", "m2 short"]
+
+
+def test_enframe_roundtrips():
+    from vector_ray import framing as fr
+
+    frames = [b"foo", b"", b"bar baz", b"x" * 200]
+    assert fr.frame_newline(fr.enframe_newline([b"a", b"b"])) == [b"a", b"b"]
+    assert fr.frame_length_delimited(fr.enframe_length_delimited(frames)) == frames
+    assert fr.frame_varint_length_delimited(
+        fr.enframe_varint_length_delimited(frames)) == frames
+    nonempty = [b"foo", b"bar baz"]
+    assert fr.frame_octet_counting(fr.enframe_octet_counting(nonempty)) == nonempty
+    assert fr.frame_character_delimited(
+        fr.enframe_character_delimited(nonempty, b"|"), b"|") == nonempty

@@ -200,3 +200,37 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
     return items.repartition(max(1, len(files))).map_batches(
         _read, batch_format="pyarrow", batch_size=None, **kw
     )
+
+
+# ----------------------------------------------------------- encode side
+# (lib/codecs/src/encoding/framing/: the sink-side inverses)
+
+def enframe_newline(frames: List[bytes]) -> bytes:
+    return b"".join(f + b"\n" for f in frames)
+
+
+def enframe_character_delimited(frames: List[bytes], delimiter: bytes) -> bytes:
+    return delimiter.join(frames) + (delimiter if frames else b"")
+
+
+def enframe_length_delimited(
+    frames: List[bytes], length_size: int = 4, byteorder: str = "big"
+) -> bytes:
+    return b"".join(len(f).to_bytes(length_size, byteorder) + f for f in frames)
+
+
+def enframe_varint_length_delimited(frames: List[bytes]) -> bytes:
+    def varint(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b, n = n & 0x7F, n >> 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    return b"".join(varint(len(f)) + f for f in frames)
+
+
+def enframe_octet_counting(frames: List[bytes]) -> bytes:
+    """RFC 6587 octet-counting: ``<len> <msg>`` per frame."""
+    return b"".join(str(len(f)).encode() + b" " + f for f in frames)
