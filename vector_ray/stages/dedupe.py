@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashes import hash_columns
+from ..functions.hashes import ensure_columns, hash_columns
 
 HASH_COL = "__dedupe_hash"
 
@@ -186,6 +186,7 @@ def dedupe_timed(
     ttl_us = int(ttl_ms) * 1000
 
     def _key(batch: pa.Table) -> pa.Table:
+        batch = ensure_columns(batch, fields)  # missing match field → null
         h = hash_columns(batch, fields)
         return batch.append_column("__dd_key", pa.array(h.view(np.int64)))
 

@@ -60,13 +60,14 @@ def throttle(
     # task (only one window's worth of a key lands together, modulo the
     # P-way spread).  Inside a partition the admission ranks are a
     # single vectorized pandas groupby-cumcount.
-    from ..functions.hashes import hash_columns
+    from ..functions.hashes import ensure_columns, hash_columns
 
     keys = ([key_field] if key_field else []) + [WINDOW_COL]
     num_partitions = 32
     PART = "__throttle_part"
 
     def _part(batch: pa.Table) -> pa.Table:
+        batch = ensure_columns(batch, keys)  # missing key field → null key
         h = hash_columns(batch, keys)
         return batch.append_column(
             PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
