@@ -247,3 +247,18 @@ def test_rollback_after_filter_step(ray_session):
     assert [r["message"] for r in out] == ["a", "c"]
     assert out[0]["stamp"] == "s" and out[0]["n"] == "1"
     assert out[1]["stamp"] is None and out[1]["n"] is None
+
+
+# check_remap_emits_multiple as a remap STEP: one program expands the
+# list column and transforms the expanded rows
+def test_emits_multiple_remap_step(ray_session):
+    ds = _ds([{"message": "augment me", "events": ["foo", "bar"]}])
+    out = _rows(
+        remap(
+            ds,
+            [("unnest", "events", "event"), ("set_literal", "stamp", "s")],
+        ),
+        key="event",
+    )
+    assert [(r["event"], r["stamp"]) for r in out] == [("bar", "s"), ("foo", "s")]
+    assert all(r["message"] == "augment me" for r in out)

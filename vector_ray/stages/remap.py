@@ -164,6 +164,16 @@ class Remap:
                 if isinstance(m, pa.ChunkedArray):
                     m = m.combine_chunks()
                 batch = batch.filter(m)
+            elif op == "unnest":
+                # ("unnest", field[, out_col]) — the `. = .events`
+                # emit-multiple analog (remap.rs check_remap_emits_multiple):
+                # one output row per list element, scalars repeat;
+                # rollback follows each row to its source via __idx
+                from .unnest import unnest_batch
+
+                _, field = step[:2]
+                out_col = step[2] if len(step) > 2 else None
+                batch = unnest_batch(batch, field, out_col)
             elif op == "abort":
                 _, cond, msg = step
                 m = pc.fill_null(_chunkless(cond(batch)), False)
