@@ -118,3 +118,24 @@ def test_enframe_roundtrips():
     assert fr.frame_octet_counting(fr.enframe_octet_counting(nonempty)) == nonempty
     assert fr.frame_character_delimited(
         fr.enframe_character_delimited(nonempty, b"|"), b"|") == nonempty
+
+
+def test_framed_source_with_decoding(ray_session, tmp_path):
+    """Reference-style framing + decoding pair on one source config."""
+    from vector_ray.topology import Topology
+
+    msg = b"<34>1 2003-10-11T22:14:15.003Z mymachine su - ID47 - 'su root' failed"
+    p = tmp_path / "syslog.bin"
+    p.write_bytes(str(len(msg)).encode() + b" " + msg)
+    topo = Topology({
+        "sources": {"in": {"type": "framed", "path": str(p),
+                           "framing": "octet_counting",
+                           "decoding": "syslog"}},
+        "transforms": {"t": {"type": "filter", "inputs": ["in"],
+                             "condition": "true"}},
+        "sinks": {},
+    })
+    rows = topo._build("t").take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["appname"] == "su" and r["hostname"] == "mymachine"

@@ -223,7 +223,13 @@ def _t_decode(cfg, inputs):
     dec = table_decoders[codec]
 
     def _apply(batch):
-        return dec(batch[field])
+        out = dec(batch[field])
+        if isinstance(out, tuple):  # (table, err_mask) decoders: drop bad frames
+            import pyarrow.compute as _pc
+
+            t, err = out
+            return t.filter(_pc.invert(_pc.fill_null(err, True)))
+        return out
 
     return inputs.map_batches(_apply, batch_format="pyarrow", batch_size=None)
 
@@ -390,7 +396,12 @@ def _src_framed(cfg, _inputs):
         framer = partial(fr.frame_octet_counting, max_length=cfg.get("max_length"))
     else:
         raise ValueError(f"unknown framing method {method!r}")
-    return fr.framed_source(cfg["path"], framer, as_string=cfg.get("as_string", True))
+    ds = fr.framed_source(cfg["path"], framer, as_string=cfg.get("as_string", True))
+    if cfg.get("decoding"):
+        # reference source configs pair framing with decoding
+        # (lib/codecs/src/decoding/mod.rs Decoder = framer + deserializer)
+        return _t_decode({"codec": cfg["decoding"], "field": "message"}, ds)
+    return ds
 
 
 @register("static_enrich")
