@@ -613,3 +613,21 @@ def test_encode_json_metric():
         '{"name":"glork","kind":"incremental",'
         '"distribution":{"samples":[{"value":10.0,"rate":1}],"statistic":"histogram"}}'
     ]
+
+
+def test_decode_syslog_either_variant():
+    """syslog_loose Variant::Either analog: 5424 first, 3164 fallback,
+    only lines matching neither error."""
+    from vector_ray.codecs import decode_syslog
+
+    lines = pa.array([
+        "<34>1 2003-10-11T22:14:15.003Z mymachine su - ID47 - 'su root' failed",
+        "<34>Oct 11 22:14:15 mymachine su: 'su root' failed",
+        "total garbage",
+    ])
+    t, err = decode_syslog(lines)
+    assert err.to_pylist() == [False, False, True]
+    rows = t.to_pylist()
+    assert rows[0]["hostname"] == "mymachine" and rows[0]["appname"] == "su"
+    assert rows[1]["hostname"] == "mymachine" and rows[1]["appname"] == "su"
+    assert rows[1]["msg"] == "'su root' failed"

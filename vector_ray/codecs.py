@@ -140,11 +140,37 @@ SYSLOG_5424_GROK = (
 )
 
 
-def decode_syslog(col, rfc: str = "5424"):
-    """Syslog line → (pri/host/app/msg... columns, error mask)."""
-    parser = _parse.GrokParser(SYSLOG_5424_GROK if rfc == "5424" else SYSLOG_3164_GROK)
-    cols, err = parser.parse(col)
-    return pa.table(cols), err
+def decode_syslog(col, rfc: str = "either"):
+    """Syslog line → (pri/host/app/msg... columns, error mask).
+
+    ``rfc``: "5424" | "3164" | "either" (default).  "either" mirrors the
+    reference deserializer's syslog_loose ``Variant::Either``
+    (decoding/format/syslog.rs:282): each line parses as RFC 5424
+    first, falling back to RFC 3164; only lines matching neither error.
+    3164 lines surface the 5424 column set with 5424-only fields null.
+    """
+    if rfc in ("5424", "3164"):
+        parser = _parse.GrokParser(SYSLOG_5424_GROK if rfc == "5424" else SYSLOG_3164_GROK)
+        cols, err = parser.parse(col)
+        return pa.table(cols), err
+    if rfc != "either":
+        raise ValueError(f"decode_syslog: unknown rfc {rfc!r}")
+    new_cols, new_err = _parse.GrokParser(SYSLOG_5424_GROK).parse(col)
+    t = pa.table(new_cols)
+    err = pc.fill_null(new_err, True)
+    if not pc.any(err).as_py():
+        return t, err
+    old_cols, old_err = _parse.GrokParser(SYSLOG_3164_GROK).parse(col)
+    old_err = pc.fill_null(old_err, True)
+    use_old = pc.and_(err, pc.invert(old_err))
+    for name in t.column_names:
+        if name in old_cols:
+            old = old_cols[name]
+            new = t[name].combine_chunks() if isinstance(t[name], pa.ChunkedArray) else t[name]
+            if old.type != new.type:
+                old = old.cast(new.type)
+            t = t.set_column(t.column_names.index(name), name, pc.if_else(use_old, old, new))
+    return t, pc.and_(err, old_err)
 
 
 # ------------------------------------------------------------- encode
