@@ -139,3 +139,21 @@ def test_framed_source_with_decoding(ray_session, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r["appname"] == "su" and r["hostname"] == "mymachine"
+
+
+def test_write_framed_roundtrip(ray_session, tmp_path):
+    """Framed sink → framed source roundtrip (octet counting)."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray import framing as fr
+    from vector_ray.sinks import write_framed
+
+    msgs = ["alpha", "beta gamma", "d"]
+    ds = rd.from_arrow(pa.table({"message": msgs}))
+    out = str(tmp_path / "framed")
+    write_framed(ds, out, framing="octet_counting")
+    data = b"".join(open(f, "rb").read() for f in sorted(glob.glob(out + "/*")))
+    assert sorted(f.decode() for f in fr.frame_octet_counting(data)) == sorted(msgs)

@@ -89,6 +89,47 @@ def write_arrow_ipc(ds, path: str, schema: Optional[pa.Schema] = None,
     return path
 
 
+def write_framed(ds, path: str, framing: str = "newline", column: str = "message",
+                 delimiter: bytes = b"|", length_size: int = 4,
+                 min_rows_per_file: Optional[int] = None) -> str:
+    """Distributed framed-bytes sink (encoding/framing/* analog): each
+    row's ``column`` value becomes one frame; frames join per the
+    framing method (newline | character_delimited | length_delimited |
+    varint_length_delimited | octet_counting) into one binary file per
+    write task."""
+    from functools import partial
+
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    from . import framing as fr
+
+    enframers = {
+        "newline": fr.enframe_newline,
+        "character_delimited": partial(fr.enframe_character_delimited, delimiter=delimiter),
+        "length_delimited": partial(fr.enframe_length_delimited, length_size=length_size),
+        "varint_length_delimited": fr.enframe_varint_length_delimited,
+        "octet_counting": fr.enframe_octet_counting,
+    }
+    if framing not in enframers:
+        raise ValueError(f"unknown framing {framing!r} (have {sorted(enframers)})")
+    enframe = enframers[framing]
+
+    class _FramedSink(BlockBasedFileDatasink):
+        def __init__(self, p):
+            super().__init__(p, min_rows_per_file=min_rows_per_file, file_format="bin")
+
+        def write_block_to_file(self, block, file) -> None:
+            col = block.to_arrow()[column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.to_pylist()
+            frames = [v.encode() if isinstance(v, str) else (v or b"") for v in vals]
+            file.write(enframe(frames))
+
+    ds.write_datasink(_FramedSink(path))
+    return path
+
+
 def write_routed(tagged_ds, base_dir: str, **kw) -> str:
     """Single-pass fan-out: a ``__route``-tagged dataset lands as
     hive-partitioned Parquet (one subdir per sink) without materializing
