@@ -74,3 +74,26 @@ def test_local_dedupe_idempotent(data):
     # survivor count equals distinct keys
     seen = {(r["x"], r["s"]) for r in data}
     assert len(once) == len(seen)
+
+
+frames_strategy = st.lists(st.binary(max_size=64), max_size=20)
+
+
+@given(frames=frames_strategy)
+def test_length_delimited_roundtrip_property(frames):
+    from vector_ray import framing as fr
+
+    assert fr.frame_length_delimited(fr.enframe_length_delimited(frames)) == frames
+    assert fr.frame_varint_length_delimited(
+        fr.enframe_varint_length_delimited(frames)) == frames
+
+
+@given(frames=st.lists(
+    st.binary(max_size=64).filter(lambda b: b"\n" not in b and b != b""),
+    max_size=20,
+))
+def test_newline_octet_roundtrip_property(frames):
+    from vector_ray import framing as fr
+
+    assert fr.frame_newline(fr.enframe_newline(frames)) == frames
+    assert fr.frame_octet_counting(fr.enframe_octet_counting(frames)) == frames
