@@ -373,3 +373,28 @@ def test_bucket_edge_cover_chains_within_signature_runs():
     # small bucket still emits all pairs
     ea2, eb2 = bucket_edge_cover(ids[:3], sdig[:3], max_pairs=10)
     assert len(ea2) == 3
+
+
+def test_audio_spectral_features_pure_tone(ray_session):
+    """Spectral centroid of a pure tone lands at the tone frequency
+    (real DSP check — np.fft path, no media libs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.multimodal import AudioFeatures, audio_features
+
+    sr = AudioFeatures.SR
+    t = np.arange(sr) / sr  # 1 second
+    tone = (np.sin(2 * np.pi * 1000 * t) * 10_000).astype(np.int16)
+
+    def tone_decoder(payload, duration_ms):
+        return tone
+
+    media = rd.from_arrow(pa.table({
+        "media_id": [1], "kind": ["audio"], "payload": [b"x"],
+        "duration_ms": [1000],
+    }))
+    df = audio_features(media, batch_size=8, decoder=tone_decoder).to_pandas()
+    assert abs(df["spectral_centroid"][0] - 1000) < 20
+    assert 990 <= df["spectral_rolloff"][0] <= 1100

@@ -157,8 +157,12 @@ def fake_audio_decoder(payload: bytes, duration_ms: int) -> np.ndarray:
 
 
 class AudioFeatures:
-    """Actor-pool stage: decode → RMS / zero-crossing-rate / peak
-    features per clip (librosa-style summary stats on the PCM)."""
+    """Actor-pool stage: decode → RMS / zero-crossing-rate / peak /
+    spectral-centroid / spectral-rolloff features per clip
+    (librosa-style summary stats — the spectral features are real DSP
+    via numpy rfft; only the decode itself goes through the hook)."""
+
+    SR = 16_000  # fake decoder's sample rate (16 samples/ms)
 
     def __init__(self, decoder: Optional[Callable] = None):
         self.decoder = decoder or fake_audio_decoder
@@ -166,20 +170,32 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         durs = batch["duration_ms"].to_pylist()
-        rms = np.zeros(batch.num_rows)
-        zcr = np.zeros(batch.num_rows)
-        peak = np.zeros(batch.num_rows)
+        n = batch.num_rows
+        rms = np.zeros(n)
+        zcr = np.zeros(n)
+        peak = np.zeros(n)
+        centroid = np.zeros(n)
+        rolloff = np.zeros(n)
         for i, (p, d) in enumerate(zip(payloads, durs)):
             pcm = self.decoder(p, d).astype(np.float64)
             rms[i] = np.sqrt(np.mean(pcm * pcm))
             zcr[i] = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
             peak[i] = float(np.abs(pcm).max())
+            mag = np.abs(np.fft.rfft(pcm))
+            total = mag.sum()
+            if total > 0:
+                freqs = np.fft.rfftfreq(len(pcm), d=1.0 / self.SR)
+                centroid[i] = float((freqs * mag).sum() / total)
+                cum = np.cumsum(mag)
+                rolloff[i] = float(freqs[np.searchsorted(cum, 0.85 * total)])
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "rms": pa.array(rms),
                 "zcr": pa.array(zcr),
                 "peak": pa.array(peak),
+                "spectral_centroid": pa.array(centroid),
+                "spectral_rolloff": pa.array(rolloff),
             }
         )
 
