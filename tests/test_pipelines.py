@@ -398,3 +398,30 @@ def test_audio_spectral_features_pure_tone(ray_session):
     df = audio_features(media, batch_size=8, decoder=tone_decoder).to_pandas()
     assert abs(df["spectral_centroid"][0] - 1000) < 20
     assert 990 <= df["spectral_rolloff"][0] <= 1100
+
+
+def test_image_edge_and_entropy_features(ray_session):
+    """Edge energy and luma entropy on known patterns: a flat image has
+    zero edge energy and zero entropy; a checkerboard maxes both."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.pipelines.multimodal import image_features
+
+    def flat_decoder(payload, w, h):
+        return np.full((h, w, 3), 128, dtype=np.uint8)
+
+    def checker_decoder(payload, w, h):
+        y, x = np.mgrid[0:h, 0:w]
+        v = ((x + y) % 2) * 255
+        return np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+
+    media = rd.from_arrow(pa.table({
+        "media_id": [1], "kind": ["image"], "payload": [b"x"],
+        "width": [8], "height": [8],
+    }))
+    flat = image_features(media, batch_size=8, decoder=flat_decoder).to_pandas()
+    assert flat["edge_energy"][0] == 0.0 and flat["luma_entropy"][0] == 0.0
+    chk = image_features(media, batch_size=8, decoder=checker_decoder).to_pandas()
+    assert chk["edge_energy"][0] > 200 and 0.9 < chk["luma_entropy"][0] <= 1.01

@@ -75,17 +75,33 @@ class ImageFeatures:
         payloads = batch["payload"].to_pylist()
         widths = batch["width"].to_pylist()
         heights = batch["height"].to_pylist()
-        means = np.zeros((batch.num_rows, 3), dtype=np.float64)
-        stds = np.zeros((batch.num_rows, 3), dtype=np.float64)
+        n = batch.num_rows
+        means = np.zeros((n, 3), dtype=np.float64)
+        stds = np.zeros((n, 3), dtype=np.float64)
+        edge = np.zeros(n, dtype=np.float64)
+        entropy = np.zeros(n, dtype=np.float64)
         for i, (p, w, h) in enumerate(zip(payloads, widths, heights)):
             img = self.decoder(p, w, h)
-            means[i] = img.reshape(-1, 3).mean(axis=0)
-            stds[i] = img.reshape(-1, 3).std(axis=0)
+            flat = img.reshape(-1, 3)
+            means[i] = flat.mean(axis=0)
+            stds[i] = flat.std(axis=0)
+            # real image math on the decoded array: mean |gradient|
+            # (edge energy) and 64-bin luma histogram entropy
+            luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            gx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+            gy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+            edge[i] = gx + gy
+            hist, _ = np.histogram(luma, bins=64, range=(0, 256))
+            pdist = hist / max(1, hist.sum())
+            nz = pdist[pdist > 0]
+            entropy[i] = float(-(nz * np.log2(nz)).sum())
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "mean_rgb": pa.array(list(means)),
                 "std_rgb": pa.array(list(stds)),
+                "edge_energy": pa.array(edge),
+                "luma_entropy": pa.array(entropy),
             }
         )
 
