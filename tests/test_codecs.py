@@ -631,3 +631,24 @@ def test_decode_syslog_either_variant():
     assert rows[0]["hostname"] == "mymachine" and rows[0]["appname"] == "su"
     assert rows[1]["hostname"] == "mymachine" and rows[1]["appname"] == "su"
     assert rows[1]["msg"] == "'su root' failed"
+
+
+def test_decode_json_auto_matrix():
+    """Ports of decoding/format/json.rs deserialize_json / _json_array /
+    _skip_empty / _error_invalid_json / non-object payloads."""
+    from vector_ray.codecs import decode_json_auto
+
+    col = pa.array([
+        '{ "foo": 123 }',
+        '[{ "foo": 123 }, { "bar": 456 }]',
+        "",
+        "{ foo",
+        '"plain string"',
+    ])
+    t, err = decode_json_auto(col)
+    assert err.to_pylist() == [False, False, False, True, False]
+    rows = t.to_pylist()
+    assert len(rows) == 4  # 1 + 2 (array expands) + 0 (empty) + 1
+    assert rows[0]["foo"] == 123
+    assert rows[1]["foo"] == 123 and rows[2]["bar"] == 456
+    assert rows[3]["message"] == "plain string"

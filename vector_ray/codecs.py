@@ -45,6 +45,43 @@ def decode_json(col, keys: List[str], types: Optional[Dict[str, pa.DataType]] = 
     return pa.table(cols), pa.array(err)
 
 
+def decode_json_auto(col):
+    """Schema-inferring JSON deserializer
+    (lib/codecs/src/decoding/format/json.rs test matrix):
+
+    - an object payload → one event;
+    - a top-level ARRAY expands to one event per element
+      (deserialize_json_array);
+    - an empty payload produces NO event (deserialize_skip_empty);
+    - invalid JSON errors that input row (deserialize_error_invalid_json);
+    - non-object scalars land under a ``message`` column (the
+      non-object-event namespace behavior).
+
+    Returns (expanded table, per-INPUT-row error mask) — the table's
+    row count can exceed the input's.  Column set/types infer from the
+    batch; pipelines needing a stable schema should use ``decode_json``
+    with explicit keys.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rows: List[dict] = []
+    err: List[bool] = []
+    for v in col.to_pylist():
+        if v is None or (isinstance(v, (str, bytes)) and not v.strip()):
+            err.append(False)  # empty payload: no event, no error
+            continue
+        try:
+            d = json.loads(v)
+        except Exception:
+            err.append(True)
+            continue
+        err.append(False)
+        items = d if isinstance(d, list) else [d]
+        for it in items:
+            rows.append(it if isinstance(it, dict) else {"message": it})
+    return pa.Table.from_pylist(rows), pa.array(err)
+
+
 def decode_csv(col, headers: List[str], types: Optional[Dict[str, pa.DataType]] = None):
     """CSV line per row → typed columns, via pyarrow's C++ CSV reader
     (quoting/escapes handled; one reassembled buffer per batch)."""
