@@ -79,7 +79,15 @@ def decode_json_auto(col):
         items = d if isinstance(d, list) else [d]
         for it in items:
             rows.append(it if isinstance(it, dict) else {"message": it})
-    return pa.Table.from_pylist(rows), pa.array(err)
+    # pa.Table.from_pylist infers columns from the FIRST row only;
+    # union the key set explicitly so later-row-only fields survive
+    keys: Dict[str, None] = {}
+    for r in rows:
+        for k in r:
+            keys.setdefault(k)
+    cols = {k: pa.array([r.get(k) for r in rows]) for k in keys}
+    t = pa.table(cols) if cols else pa.table({"message": pa.array([], type=pa.string())})
+    return t, pa.array(err)
 
 
 def decode_csv(col, headers: List[str], types: Optional[Dict[str, pa.DataType]] = None):
