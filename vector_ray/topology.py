@@ -216,6 +216,9 @@ def _t_decode(cfg, inputs):
         "influxdb": C.decode_influxdb,
         "gelf": C.decode_gelf,
         "syslog": C.decode_syslog,
+        # schema-inferring json: bad rows produce no output rows, so the
+        # (table, err) mask doesn't align with the table — take rows only
+        "json": lambda col: C.decode_json_auto(col)[0],
     }
     if codec not in table_decoders:
         raise ValueError(f"decode: unknown codec {codec!r} "
