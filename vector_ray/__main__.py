@@ -113,6 +113,18 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_list(args) -> int:
+    """Print every registered component type (reference `vector list`)."""
+    from .topology import _REGISTRY
+    from .functions import scalar
+
+    print("components:")
+    for name in sorted(_REGISTRY):
+        print(f"  {name}")
+    print(f"scalar functions: {len(scalar.FUNCTIONS)}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -129,6 +141,9 @@ def main(argv=None) -> int:
     t = sub.add_parser("test", help="run behavior TOML tests")
     t.add_argument("path")
     t.set_defaults(fn=cmd_test)
+    ls = sub.add_parser("list", help="list registered component types "
+                                     "(`vector list` analog, cli.rs)")
+    ls.set_defaults(fn=cmd_list)
     args = p.parse_args(argv)
     return args.fn(args)
 
