@@ -315,3 +315,21 @@ def test_manifest_content_hash(tmp_path, ray_session):
     mpath = tmp_path / "out" / "_manifest" / f"{pid}.json"
     on_disk = json.loads(mpath.read_text())
     assert on_disk["content_hash"] == meta["content_hash"]
+
+
+def test_cli_generate_and_list(capsys):
+    """`generate` prints a chained skeleton (generate.rs analog);
+    `list` prints the component registry."""
+    import json
+
+    from vector_ray.__main__ import main
+
+    assert main(["generate", "text/remap,filter/parquet"]) == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["transforms"]["transform1"]["inputs"] == ["transform0"]
+    assert cfg["sinks"]["sink0"]["inputs"] == ["transform1"]
+    assert main(["generate", "text/bogus/parquet"]) == 1
+    capsys.readouterr()
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "remap" in out and "scalar functions:" in out

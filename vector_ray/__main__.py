@@ -125,6 +125,43 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    """Config skeleton from a 'src/t1,t2/sink' expression
+    (src/generate.rs generate_example: transforms chain in order; the
+    first consumes the source)."""
+    import json as _json
+
+    from .topology import _REGISTRY
+
+    parts = args.expression.split("/")
+    if len(parts) != 3:
+        print("expected 'source/transform,transform/sink'", flush=True)
+        return 1
+    src, transforms, sink = parts
+    cfg = {"sources": {}, "transforms": {}, "sinks": {}}
+    errs = []
+    if src:
+        if src not in _REGISTRY:
+            errs.append(f"unknown source type {src!r}")
+        cfg["sources"]["source0"] = {"type": src, "path": "<path>"}
+    prev = "source0" if src else None
+    for i, t in enumerate(x for x in transforms.split(",") if x):
+        if t not in _REGISTRY:
+            errs.append(f"unknown transform type {t!r}")
+        name = f"transform{i}"
+        cfg["transforms"][name] = {"type": t, "inputs": [prev] if prev else []}
+        prev = name
+    if sink:
+        cfg["sinks"]["sink0"] = {"type": sink, "inputs": [prev] if prev else [],
+                                 "path": "<out-dir>"}
+    if errs:
+        for e in errs:
+            print(f"error: {e}")
+        return 1
+    print(_json.dumps(cfg, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -144,6 +181,14 @@ def main(argv=None) -> int:
     ls = sub.add_parser("list", help="list registered component types "
                                      "(`vector list` analog, cli.rs)")
     ls.set_defaults(fn=cmd_list)
+    gen = sub.add_parser(
+        "generate",
+        help="print a config skeleton from 'source/transform,transform/sink' "
+             "(`vector generate` analog, src/generate.rs): the first "
+             "transform consumes the source, each subsequent one chains",
+    )
+    gen.add_argument("expression")
+    gen.set_defaults(fn=cmd_generate)
     args = p.parse_args(argv)
     return args.fn(args)
 
