@@ -333,3 +333,13 @@ def test_cli_generate_and_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "remap" in out and "scalar functions:" in out
+
+
+def test_cli_vrl_one_shot(capsys):
+    import json
+
+    from vector_ray.__main__ import main
+
+    assert main(["vrl", "upcase", "hello"]) == 0
+    assert json.loads(capsys.readouterr().out) == "HELLO"
+    assert main(["vrl", "nope", "x"]) == 1

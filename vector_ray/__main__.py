@@ -162,6 +162,33 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_vrl(args) -> int:
+    """Evaluate one stdlib function on a JSON-literal input (the batch
+    engine's stand-in for the reference's interactive VRL REPL)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from .functions import scalar
+
+    def lit(s):
+        try:
+            return _json.loads(s)
+        except Exception:
+            return s  # bare string convenience
+
+    col = pa.array([lit(args.value)])
+    extra = [lit(a) for a in args.args]
+    try:
+        out = scalar.call(args.function, col, *extra)
+    except Exception as e:
+        print(f"error: {e}")
+        return 1
+    val = out[0].as_py() if isinstance(out, (pa.Array, pa.ChunkedArray)) else out
+    print(_json.dumps(val, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +216,15 @@ def main(argv=None) -> int:
     )
     gen.add_argument("expression")
     gen.set_defaults(fn=cmd_generate)
+    vrl = sub.add_parser(
+        "vrl",
+        help="one-shot scalar-function evaluation over JSON literals "
+             "(`vector vrl` REPL analog): vrl <fn> <value> [args...]",
+    )
+    vrl.add_argument("function")
+    vrl.add_argument("value")
+    vrl.add_argument("args", nargs="*")
+    vrl.set_defaults(fn=cmd_vrl)
     args = p.parse_args(argv)
     return args.fn(args)
 
