@@ -343,3 +343,20 @@ def test_cli_vrl_one_shot(capsys):
     assert main(["vrl", "upcase", "hello"]) == 0
     assert json.loads(capsys.readouterr().out) == "HELLO"
     assert main(["vrl", "nope", "x"]) == 1
+
+
+def test_cli_json_config(tmp_path, capsys, ray_session):
+    """validate accepts JSON configs (config/format.rs multi-format)."""
+    import json
+
+    from vector_ray.__main__ import main
+
+    cfg = {
+        "sources": {"in": {"type": "inline", "rows": [{"x": 1}]}},
+        "transforms": {"t": {"type": "filter", "inputs": ["in"],
+                             "condition": ".x == 1"}},
+        "sinks": {},
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    assert main(["validate", str(p)]) == 0

@@ -20,10 +20,24 @@ import time
 
 
 def _load_config(path: str) -> dict:
-    import tomllib
+    """Load TOML (default), JSON (.json), or YAML (.yaml/.yml when a
+    yaml module is available) — the reference accepts all three config
+    formats (src/config/format.rs)."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            doc = json.load(f)
+    elif path.endswith((".yaml", ".yml")):
+        try:
+            import yaml
+        except ImportError as e:
+            raise SystemExit("yaml configs need a pyyaml install") from e
+        with open(path) as f:
+            doc = yaml.safe_load(f)
+    else:
+        import tomllib
 
-    with open(path, "rb") as f:
-        doc = tomllib.load(f)
+        with open(path, "rb") as f:
+            doc = tomllib.load(f)
     # allow either top-level sections or a [config] wrapper
     return doc.get("config", doc)
 
