@@ -176,6 +176,11 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    print(json.dumps(_load_config(args.config), indent=2, default=str))
+    return 0
+
+
 def cmd_vrl(args) -> int:
     """Evaluate one stdlib function on a JSON-literal input (the batch
     engine's stand-in for the reference's interactive VRL REPL)."""
@@ -239,6 +244,13 @@ def main(argv=None) -> int:
     vrl.add_argument("value")
     vrl.add_argument("args", nargs="*")
     vrl.set_defaults(fn=cmd_vrl)
+    cc = sub.add_parser(
+        "convert-config",
+        help="load a TOML/JSON/YAML config and print it as JSON "
+             "(`vector convert-config` analog)",
+    )
+    cc.add_argument("config")
+    cc.set_defaults(fn=cmd_convert)
     args = p.parse_args(argv)
     return args.fn(args)
 
