@@ -97,3 +97,30 @@ def test_newline_octet_roundtrip_property(frames):
 
     assert fr.frame_newline(fr.enframe_newline(frames)) == frames
     assert fr.frame_octet_counting(fr.enframe_octet_counting(frames)) == frames
+
+
+_ident = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_val = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N"), max_codepoint=122),
+    min_size=1, max_size=12,
+)
+
+
+@given(rows=st.lists(
+    st.fixed_dictionaries({"a": _val, "b": _val, "n": st.integers(-1000, 1000)}),
+    min_size=1, max_size=10,
+))
+@settings(max_examples=25, deadline=None)
+def test_csv_encode_decode_roundtrip_property(rows):
+    import pyarrow as pa
+
+    from vector_ray.codecs import decode_csv, encode_csv
+
+    t = pa.Table.from_pylist(rows)
+    lines = encode_csv(t)
+    out, err = decode_csv(
+        lines, headers=t.column_names,
+        types={"a": pa.string(), "b": pa.string(), "n": pa.int64()},
+    )
+    assert not any(err.to_pylist())
+    assert out.to_pylist() == t.to_pylist()
