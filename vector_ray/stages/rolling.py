@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashes import hash_columns
+from ..functions.hashes import ensure_columns, hash_columns
 
 _PART = "__roll_part"
 
@@ -33,6 +33,7 @@ def rolling_agg(ds, group_by: Sequence[str], specs: Sequence[RollSpec],
     specs = list(specs)
 
     def _part(batch: pa.Table) -> pa.Table:
+        batch = ensure_columns(batch, group_by)  # missing group field → null key
         h = hash_columns(batch, group_by)
         return batch.append_column(
             _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
