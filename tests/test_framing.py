@@ -157,3 +157,14 @@ def test_write_framed_roundtrip(ray_session, tmp_path):
     write_framed(ds, out, framing="octet_counting")
     data = b"".join(open(f, "rb").read() for f in sorted(glob.glob(out + "/*")))
     assert sorted(f.decode() for f in fr.frame_octet_counting(data)) == sorted(msgs)
+
+
+def test_framed_source_chunked_streaming(ray_session, tmp_path):
+    """A file larger than chunk_bytes streams in chunks with correct
+    frame boundaries across chunk edges."""
+    p = tmp_path / "big.log"
+    lines = [f"line-{i:06d}" for i in range(5000)]
+    p.write_bytes(("\n".join(lines) + "\n").encode())
+    ds = framed_source(str(p), frame_newline, as_string=True, chunk_bytes=4096)
+    got = sorted(r["message"] for r in ds.take_all())
+    assert got == sorted(lines)

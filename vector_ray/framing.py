@@ -169,8 +169,14 @@ def frame_chunked_gelf(datagrams: List[bytes]) -> List[bytes]:
 
 
 def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "message",
-                  as_string: bool = False, **kw):
-    """File-per-task framed reads → Dataset with one row per frame."""
+                  as_string: bool = False, chunk_bytes: int = 64 << 20, **kw):
+    """File-per-task framed reads → Dataset with one row per frame.
+
+    Delimiter-based framers (newline / character_delimited) stream
+    files larger than ``chunk_bytes`` in bounded chunks (the per-task
+    generator yields one block per chunk, so Ray's streaming executor
+    backpressures normally).  Length-prefixed framers read whole files:
+    they are record containers, typically written bounded."""
     import os
 
     import ray.data as rd
@@ -185,16 +191,42 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
     else:
         files = list(paths)
 
-    def _read(batch: pa.Table) -> pa.Table:
-        frames: List[bytes] = []
-        for p in batch["path"].to_pylist():
-            with open(p, "rb") as fh:
-                frames.extend(framer(fh.read()))
+    delimiter = getattr(framer, "keywords", {}).get("delimiter") if hasattr(framer, "keywords") else None
+    base = getattr(framer, "func", framer)
+    delim = b"\n" if base is frame_newline else delimiter
+
+    def _emit(frames: List[bytes]) -> pa.Table:
         if as_string:
             arr = pa.array([f.decode("utf-8", "replace") for f in frames], type=pa.string())
         else:
             arr = pa.array(frames, type=pa.binary())
         return pa.table({column: arr})
+
+    def _read(batch: pa.Table):
+        for p in batch["path"].to_pylist():
+            size = os.path.getsize(p)
+            with open(p, "rb") as fh:
+                if delim is not None and size > chunk_bytes:
+                    # delimiter framing streams huge files in bounded
+                    # chunks: split each chunk at its LAST delimiter and
+                    # carry the tail — a multi-GB log never materializes
+                    # in one worker heap
+                    tail = b""
+                    while True:
+                        chunk = fh.read(chunk_bytes)
+                        if not chunk:
+                            if tail:
+                                yield _emit(framer(tail))
+                            break
+                        buf = tail + chunk
+                        cut = buf.rfind(delim)
+                        if cut == -1:
+                            tail = buf
+                            continue
+                        yield _emit(framer(buf[: cut + 1]))
+                        tail = buf[cut + 1 :]
+                else:
+                    yield _emit(framer(fh.read()))
 
     items = rd.from_items([{"path": f} for f in files])
     return items.repartition(max(1, len(files))).map_batches(
