@@ -119,3 +119,20 @@ def ensure_columns(batch: pa.Table, columns: list[str]) -> pa.Table:
                 c, pa.array([None] * batch.num_rows, type=pa.string())
             )
     return batch
+
+
+def default_partitions(floor: int = 32, cap: int = 1024) -> int:
+    """Default hash-partition count for group-keyed stages.
+
+    A fixed 32 caps a stage's phase-2 parallelism at 32 tasks — fine on
+    one node, a 256-node cluster would idle.  Scale with the cluster:
+    2 tasks per CPU, floored at 32 (partition overhead is trivial) and
+    capped at 1024 (each partition is one sort group; millions of tiny
+    groups would swamp the shuffle)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(floor, min(cap, cpus * 2)) if cpus else floor

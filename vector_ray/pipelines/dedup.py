@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..functions.hashes import hash_columns, hash_string_column
+from ..functions.hashes import default_partitions, hash_columns, hash_string_column
 from ..functions.text import fingerprint
 from ..functions.vectors import (
     fixed_binary_to_matrix,
@@ -232,7 +232,7 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 32,
+    num_partitions: int = 0,
     max_bucket_pairs: int = 256,
     broadcast_sig_limit: int = 200_000,
 ):
@@ -257,6 +257,7 @@ def minhash_lsh_dedup(
     Replaces the round-1 driver union-find + closure drop-set flagged
     in VERDICT.md.
     """
+    num_partitions = num_partitions or default_partitions()
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHasher,
@@ -487,7 +488,7 @@ class SimHasher:
 
 
 def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str = "doc_id",
-                  num_partitions: int = 32, row_chunk: int = 512):
+                  num_partitions: int = 0, row_chunk: int = 512):
     """Near-dup removal by simhash: 4 16-bit block keys (any match →
     same bucket candidate), verify hamming ≤ k, drop the larger id of
     every near-dup pair.
@@ -497,6 +498,7 @@ def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str 
     popcount (no Python ``bin()``), and the drop-id set is applied with
     a distributed anti-join — no driver-side set.
     """
+    num_partitions = num_partitions or default_partitions()
     hashed = docs.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),

@@ -148,10 +148,10 @@ def _partial_sum_and_last(ds, keys, ts_field, combine_limit=500_000):
         _partial, batch_format="pyarrow", batch_size=None
     ).materialize()
     if partials_ds.count() > combine_limit:
-        from ..functions.hashes import hash_columns
+        from ..functions.hashes import default_partitions, hash_columns
 
         PART = "__agg_part"
-        num_partitions = 64
+        num_partitions = default_partitions()
 
         def _part(batch: pa.Table) -> pa.Table:
             h = hash_columns(batch, keys)
@@ -186,7 +186,7 @@ def _latest(ds, keys, ts_field, combine_limit=500_000):
 
 
 def aggregate_sequenced(ds, interval_ms: int = 10_000, ts_field: str = "ts",
-                        num_partitions: int = 32):
+                        num_partitions: int = 0):
     """Auto aggregation with the reference's kind-CONFLICT semantics.
 
     The reference's ``auto`` folds records in arrival order and a
@@ -205,8 +205,9 @@ def aggregate_sequenced(ds, interval_ms: int = 10_000, ts_field: str = "ts",
     reference.  Groups run in ``num_partitions`` fixed hash partitions,
     vectorized inside (same shape as incremental_to_absolute).
     """
-    from ..functions.hashes import hash_columns
+    from ..functions.hashes import default_partitions, hash_columns
 
+    num_partitions = num_partitions or default_partitions()
     series = ["name", "namespace", "tags"]
     windowed = _window(ds, interval_ms, ts_field)
     PART = "__agg_part"

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashes import hash_columns
+from ..functions.hashes import default_partitions, hash_columns
 
 _PART = "__cc_part"
 
@@ -97,7 +97,7 @@ def _dedupe(t: pa.Table) -> pa.Table:
 
 
 def connected_components(edges, u_col: str = "a", v_col: str = "b",
-                         num_partitions: int = 32, max_rounds: int = 10,
+                         num_partitions: int = 0, max_rounds: int = 10,
                          include_roots: bool = True):
     """Edge list Dataset → Dataset(node, comp) for every non-isolated
     node, where comp is the component's minimum node id.
@@ -112,6 +112,7 @@ def connected_components(edges, u_col: str = "a", v_col: str = "b",
     dedup drop-list path only needs the non-root nodes and saves a
     shuffle.
     """
+    num_partitions = num_partitions or default_partitions()
     cur = edges.map_batches(
         lambda b, uc=u_col, vc=v_col: _canonicalize(
             pa.table({"u": b[uc], "v": b[vc]})

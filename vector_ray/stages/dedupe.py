@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashes import ensure_columns, hash_columns
+from ..functions.hashes import default_partitions, ensure_columns, hash_columns
 
 HASH_COL = "__dedupe_hash"
 
@@ -94,7 +94,7 @@ def dedupe_exact(
     # group per distinct key would pay per-group scheduling overhead);
     # the exact first-per-key runs as one vectorized pandas groupby per
     # partition, keyed by the REAL key values (hash-collision safe)
-    num_partitions = 32
+    num_partitions = default_partitions()
     PART = "__dedupe_part"
 
     def _part(batch: pa.Table) -> pa.Table:

@@ -26,8 +26,10 @@ SERIES_KEY = ["name", "namespace", "tags"]
 _PART = "__i2a_part"
 
 
-def incremental_to_absolute(ds, ts_field: str = "ts", num_partitions: int = 32):
-    from ..functions.hashes import hash_columns
+def incremental_to_absolute(ds, ts_field: str = "ts", num_partitions: int = 0):
+    from ..functions.hashes import default_partitions, hash_columns
+
+    num_partitions = num_partitions or default_partitions()
 
     def _part(batch: pa.Table) -> pa.Table:
         h = hash_columns(batch, SERIES_KEY)

@@ -119,7 +119,9 @@ def aggregated_histogram(long_ds, limits: Sequence[float], combine_limit: int = 
     from ..functions.hashes import hash_columns
 
     PART = "__hist_part"
-    num_partitions = 64
+    from ..functions.hashes import default_partitions
+
+    num_partitions = default_partitions()
     wkeys = SERIES_KEY + [WIN_COL]
 
     def _part(batch: pa.Table) -> pa.Table:

@@ -103,7 +103,7 @@ def reduce_stage(
     end_every_period_ms: Optional[int] = None,
     expire_after_ms: Optional[int] = None,
     ts_field: str = "ts",
-    num_partitions: int = 64,
+    num_partitions: int = 0,
 ):
     """``end_every_period_ms`` (config.rs:100-106): sessions additionally
     flush at fixed event-time period boundaries — rows in different
@@ -116,8 +116,9 @@ def reduce_stage(
     strategies = dict(merge_strategies or {})
     starts = compile_condition(starts_when) if starts_when else None
     ends = compile_condition(ends_when) if ends_when else None
+    from ..functions.hashes import default_partitions, ensure_columns, hash_columns
 
-    from ..functions.hashes import ensure_columns, hash_columns
+    num_partitions = num_partitions or default_partitions()
 
     def _part(batch: pa.Table) -> pa.Table:
         batch = ensure_columns(batch, group_by)  # missing group field → null key

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashes import ensure_columns, hash_columns
+from ..functions.hashes import default_partitions, ensure_columns, hash_columns
 
 _PART = "__roll_part"
 
@@ -28,9 +28,10 @@ RollSpec = Tuple[str, str, str]
 
 
 def rolling_agg(ds, group_by: Sequence[str], specs: Sequence[RollSpec],
-                window_n: int, order_by: str, num_partitions: int = 32):
+                window_n: int, order_by: str, num_partitions: int = 0):
     group_by = list(group_by)
     specs = list(specs)
+    num_partitions = num_partitions or default_partitions()
 
     def _part(batch: pa.Table) -> pa.Table:
         batch = ensure_columns(batch, group_by)  # missing group field → null key

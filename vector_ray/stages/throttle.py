@@ -60,10 +60,10 @@ def throttle(
     # task (only one window's worth of a key lands together, modulo the
     # P-way spread).  Inside a partition the admission ranks are a
     # single vectorized pandas groupby-cumcount.
-    from ..functions.hashes import ensure_columns, hash_columns
+    from ..functions.hashes import default_partitions, ensure_columns, hash_columns
 
     keys = ([key_field] if key_field else []) + [WINDOW_COL]
-    num_partitions = 32
+    num_partitions = default_partitions()
     PART = "__throttle_part"
 
     def _part(batch: pa.Table) -> pa.Table:

@@ -45,12 +45,14 @@ def window_stage(
     num_events_before: int = 5,
     num_events_after: int = 5,
     forward_when=None,
-    num_partitions: int = 64,
+    num_partitions: int = 0,
 ):
     flush = compile_condition(flush_when)
     forward = compile_condition(forward_when) if forward_when else None
 
-    from ..functions.hashes import ensure_columns, hash_columns
+    from ..functions.hashes import default_partitions, ensure_columns, hash_columns
+
+    num_partitions = num_partitions or default_partitions()
 
     def _part(batch: pa.Table) -> pa.Table:
         batch = ensure_columns(batch, group_by)  # missing group field → null key
