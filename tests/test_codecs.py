@@ -560,9 +560,9 @@ def test_encode_cef_escaping_and_errors():
     o = encode_cef(t2, extensions={"k": "v"}).to_pylist()
     assert o[0].endswith("|n|1") and o[1].endswith("|n|1|k=ok")
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        encode_cef(pa.table({"name": ["n"], "severity": [11]}))
+    # per-event severity error: the bad row nulls, the good row encodes
+    o = encode_cef(pa.table({"name": ["n", "m"], "severity": [11, 2]})).to_pylist()
+    assert o[0] is None and o[1].endswith("|m|2")
 
 
 def test_encode_json_metric():
@@ -652,3 +652,32 @@ def test_decode_json_auto_matrix():
     assert rows[0]["foo"] == 123
     assert rows[1]["foo"] == 123 and rows[2]["bar"] == 456
     assert rows[3]["message"] == "plain string"
+
+
+def test_decode_json_auto_mixed_types():
+    """Heterogeneous value types for one key JSON-stringify instead of
+    failing the batch."""
+    from vector_ray.codecs import decode_json_auto
+
+    t, err = decode_json_auto(pa.array(['{"a": 1}', '{"a": "x"}']))
+    assert err.to_pylist() == [False, False]
+    assert t["a"].to_pylist() == ["1", '"x"']
+
+
+def test_encode_json_metric_multivalue_and_bare_tags():
+    """Multi-value tags serialize as lists; bare tags as null values
+    (json.rs serialize_metric_tags_full)."""
+    from vector_ray.codecs import encode_json_metric
+
+    t = pa.table({
+        "name": ["counter"], "namespace": [""],
+        "tags": ["a=first,a,a=second"],
+        "kind": ["incremental"], "value_type": ["counter"], "value": [1.0],
+        "sample_rate": pa.array([None], type=pa.int64()),
+        "set_value": pa.array([None], type=pa.string()),
+        "ts": pa.array([None], type=pa.timestamp("us")),
+    })
+    assert encode_json_metric(t).to_pylist() == [
+        '{"name":"counter","tags":{"a":["first",null,"second"]},'
+        '"kind":"incremental","counter":{"value":1.0}}'
+    ]

@@ -394,3 +394,23 @@ def test_aggregate_sequenced_conflicting_kinds(ray_session):
            aggregate_sequenced(rd.from_arrow(t2), interval_ms=win).take_all()}
     assert out["a"]["value"] == 3.0 and out["a"]["kind"] == "incremental"
     assert out["b"]["value"] == 7.0 and out["b"]["kind"] == "absolute"
+
+
+def test_aggregate_sequenced_null_series_key(ray_session):
+    """Null series keys (namespace/tags None) must not vanish
+    (dropna=False on the fold groupbys)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import aggregate_sequenced
+
+    t = pa.table({
+        "name": ["a", "a"],
+        "namespace": pa.array([None, None], type=pa.string()),
+        "tags": pa.array([None, None], type=pa.string()),
+        "kind": ["incremental", "incremental"],
+        "value": [1.0, 2.0],
+        "ts": pa.array([1, 2], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = aggregate_sequenced(rd.from_arrow(t), interval_ms=10**9).take_all()
+    assert len(out) == 1 and out[0]["value"] == 3.0

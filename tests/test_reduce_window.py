@@ -348,3 +348,25 @@ def test_reduce_concat_arrays(ray_session):
     ).take_all()
     got = {r["request_id"]: [list(x) for x in r["foo"]] for r in out}
     assert got == {"1": [[1, 3], [5, 7]], "2": [[2, 4], [6, 8]]}
+
+
+def test_reduce_missing_key_unifies_with_typed_blocks(ray_session):
+    """A block missing the group column unifies with blocks where the
+    column is int64 (null-typed fill, not string)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.reduce import reduce_stage
+
+    a = rd.from_arrow(pa.table({"user": pa.array([7], type=pa.int64()),
+                                "v": [1.0], "seq": [0]}))
+    b = rd.from_arrow(pa.table({"v": [2.0], "seq": [1]}))
+    out = reduce_stage(a.union(b), group_by=["user"], order_by="seq",
+                       merge_strategies={"v": "sum"}).take_all()
+    # pandas upcasts the nullable int key to float (7.0 / NaN) — the
+    # point is both groups survive with the right sums
+    import math
+
+    got = {(None if r.get("user") is None or (isinstance(r["user"], float)
+            and math.isnan(r["user"])) else int(r["user"])): r["v"] for r in out}
+    assert got == {7: 1.0, None: 2.0}

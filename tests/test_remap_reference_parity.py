@@ -262,3 +262,20 @@ def test_emits_multiple_remap_step(ray_session):
     )
     assert [(r["event"], r["stamp"]) for r in out] == [("bar", "s"), ("foo", "s")]
     assert all(r["message"] == "augment me" for r in out)
+
+
+# flagged rows survive a row-expanding unnest step (they bypass the
+# expansion and still reach the dropped port)
+def test_unnest_preserves_flagged_rows(ray_session):
+    rows = [
+        {"n": "1", "events": ["a", "b"]},
+        {"n": "oops", "events": None},
+    ]
+    ok, dropped = remap_with_drops(
+        _ds(rows),
+        [("parse_regex", "n", r"^(?P<n_int>\d+)$"), ("unnest", "events", "event")],
+    )
+    assert sorted(r["event"] for r in ok.take_all()) == ["a", "b"]
+    d = dropped.take_all()
+    assert len(d) == 1 and d[0]["n"] == "oops"
+    assert d[0]["metadata.dropped.reason"] == "error"

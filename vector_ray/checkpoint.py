@@ -132,15 +132,21 @@ def run_partitioned(
         # out-of-band-replaced partitions.  deep_hash=True additionally
         # digests the bytes for forensic-grade verification.
         content = hashlib.md5()
+        all_files = []
         for root, _dirs, files in os.walk(tmp):
-            for name in sorted(files):
-                p = os.path.join(root, name)
-                content.update(name.encode())
-                content.update(str(os.path.getsize(p)).encode())
-                if deep_hash:
-                    with open(p, "rb") as fh:
-                        for chunk in iter(lambda: fh.read(1 << 20), b""):
-                            content.update(chunk)
+            for name in files:
+                all_files.append(os.path.join(root, name))
+        # sort by RELATIVE path (os.walk's directory order is fs-dependent)
+        # and separate fields so ("a","12") never collides with ("a1","2")
+        for p in sorted(all_files, key=lambda f: os.path.relpath(f, tmp)):
+            content.update(os.path.relpath(p, tmp).encode())
+            content.update(b"\0")
+            content.update(str(os.path.getsize(p)).encode())
+            content.update(b"\0")
+            if deep_hash:
+                with open(p, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        content.update(chunk)
         os.replace(tmp, pdir)
         meta = {
             "inputs": [f],

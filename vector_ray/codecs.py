@@ -85,7 +85,18 @@ def decode_json_auto(col):
     for r in rows:
         for k in r:
             keys.setdefault(k)
-    cols = {k: pa.array([r.get(k) for r in rows]) for k in keys}
+    cols = {}
+    for k in keys:
+        vals = [r.get(k) for r in rows]
+        try:
+            cols[k] = pa.array(vals)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # heterogeneous value types across rows (legal JSON, no
+            # single Arrow type): JSON-encode to strings instead of
+            # failing the batch
+            cols[k] = pa.array(
+                [None if v is None else json.dumps(v) for v in vals], type=pa.string()
+            )
     t = pa.table(cols) if cols else pa.table({"message": pa.array([], type=pa.string())})
     return t, pa.array(err)
 
@@ -1417,8 +1428,8 @@ def encode_cef(
     ``\\`` and ``=``; extensions render sorted by key, joined with
     spaces, and a null/empty value drops that extension for the row
     (the reference skips empty values).  Severity must be an integer
-    0..10 — out-of-range or non-numeric severities raise, matching the
-    serializer's per-event error.
+    0..10 — a row with an out-of-range or non-numeric severity encodes
+    as NULL (the serializer's per-event error; the batch survives).
     """
 
     def _esc_header(s: str) -> str:
@@ -1438,11 +1449,19 @@ def encode_cef(
         sev = sev.combine_chunks()
     try:
         sev_int = sev.cast(pa.int64())
-    except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
-        raise ValueError(f"CEF severity must be a number: {e}") from e
-    bad = pc.or_(pc.less(sev_int, 0), pc.greater(sev_int, 10))
-    if pc.any(pc.fill_null(bad, True)).as_py():
-        raise ValueError("CEF severity must be a number from 0 to 10")
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        out = []
+        for v in sev.to_pylist():
+            try:
+                out.append(None if v is None else int(v))
+            except (TypeError, ValueError):
+                out.append(None)
+        sev_int = pa.array(out, type=pa.int64())
+    # per-EVENT error like the reference serializer: an invalid or
+    # out-of-range severity nulls that row's output instead of failing
+    # the whole batch (cef.rs SeverityMaxValueSnafu is per encode call)
+    bad = pc.fill_null(pc.or_(pc.less(sev_int, 0), pc.greater(sev_int, 10)), True)
+    sev_int = pc.if_else(bad, pa.scalar(None, type=pa.int64()), sev_int)
 
     head = "CEF:{}|{}|{}|{}|{}|".format(
         version,
@@ -1504,8 +1523,20 @@ def encode_json_metric(batch: pa.Table) -> pa.Array:
             d["namespace"] = ns
         tags = cols["tags"][i] if has("tags") else None
         if tags:
-            pairs = [t.split("=", 1) for t in tags.split(",") if t]
-            d["tags"] = {k: v for k, v in sorted((p[0], p[1] if len(p) > 1 else None) for p in pairs)}
+            # canonical k=v,k=v may repeat a key (multi-value TagValueSet)
+            # and carry bare keys (TagValue::Bare → null).  Full encoding
+            # serializes a multi-value tag as a list
+            # (json.rs serialize_metric_tags_full: {"a":["first",null,..]});
+            # single-value tags stay scalars.
+            grouped: Dict[str, list] = {}
+            for piece in tags.split(","):
+                if not piece:
+                    continue
+                k, _, v = piece.partition("=")
+                grouped.setdefault(k, []).append(v if "=" in piece else None)
+            d["tags"] = {
+                k: (vs[0] if len(vs) == 1 else vs) for k, vs in sorted(grouped.items())
+            }
         ts = cols["ts"][i] if has("ts") else None
         if ts is not None:
             d["timestamp"] = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"

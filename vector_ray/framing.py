@@ -123,7 +123,10 @@ def frame_octet_counting(data: bytes, max_length: Optional[int] = None) -> List[
 
 def _maybe_decompress(payload: bytes) -> bytes:
     if payload[:2] == b"\x1f\x8b":  # GZIP_MAGIC
-        return gzip.decompress(payload)
+        try:
+            return gzip.decompress(payload)
+        except (OSError, EOFError):  # corrupt/truncated: per-message skip,
+            return payload          # not a batch-fatal error
     if payload[:1] == b"\x78":  # ZLIB_MAGIC family
         try:
             return zlib.decompress(payload)

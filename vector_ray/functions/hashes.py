@@ -86,7 +86,11 @@ def hash_columns(batch: pa.Table, columns: list[str], seed: int = 0) -> np.ndarr
     for c in columns:
         col = batch[c]
         t = col.type
-        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        if pa.types.is_null(t):
+            # all-null key column (ensure_columns fill): constant hash,
+            # overwritten by the null sentinel below
+            h = np.zeros(batch.num_rows, dtype=np.uint64)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
             h = hash_string_column(col, seed)
         elif pa.types.is_timestamp(t):
             h = hash_numeric_column(col.cast(pa.int64()), seed)
@@ -112,12 +116,12 @@ def ensure_columns(batch: pa.Table, columns: list[str]) -> pa.Table:
     Heterogeneous inputs (from_items, mixed JSON) produce blocks with
     differing schemas; the reference keys missing fields as None (e.g.
     reduce's group-by discriminant, dedupe match fields), so a missing
-    key column participates as nulls rather than erroring."""
+    key column participates as nulls rather than erroring.  The column
+    is null-TYPED (not string) so Ray can unify it with blocks where
+    the field exists under any concrete type."""
     for c in columns:
         if c not in batch.column_names:
-            batch = batch.append_column(
-                c, pa.array([None] * batch.num_rows, type=pa.string())
-            )
+            batch = batch.append_column(c, pa.nulls(batch.num_rows))
     return batch
 
 

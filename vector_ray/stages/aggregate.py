@@ -222,7 +222,7 @@ def aggregate_sequenced(ds, interval_ms: int = 10_000, ts_field: str = "ts",
         part = part.sort_values(
             series + [WIN_COL, ts_field], kind="mergesort"
         ).reset_index(drop=True)
-        sid = part.groupby(series + [WIN_COL], sort=False).ngroup().to_numpy()
+        sid = part.groupby(series + [WIN_COL], sort=False, dropna=False).ngroup().to_numpy()
         kind_inc = (part["kind"] == "incremental").to_numpy()
         new_sid = np.empty(len(part), dtype=bool)
         new_sid[0] = True
@@ -239,7 +239,9 @@ def aggregate_sequenced(ds, interval_ms: int = 10_000, ts_field: str = "ts",
             tail["value"].to_numpy(),
         )
         tail = tail.assign(value=val)
-        out = tail.groupby(series + [WIN_COL, "kind"], sort=False, as_index=False).last()
+        out = tail.groupby(
+            series + [WIN_COL, "kind"], sort=False, dropna=False, as_index=False
+        ).last()
         return out[series + ["kind", WIN_COL, "value"]]
 
     return (

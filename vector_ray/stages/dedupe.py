@@ -68,11 +68,7 @@ def dedupe_exact(
         # a match field absent from this block dedupes as "not present"
         # (reference hashes missing fields as None —
         # src/transforms/dedupe/transform.rs:47-66 CacheEntry::Match)
-        for c in kf:
-            if c not in batch.column_names:
-                batch = batch.append_column(
-                    c, pa.array([None] * batch.num_rows, type=pa.string())
-                )
+        batch = ensure_columns(batch, kf)
         h = hash_columns(batch, kf)
         batch = batch.append_column(HASH_COL, pa.array(h.view(np.int64)))
         # in-batch first-per-key stays in Arrow: stable sort + ordered

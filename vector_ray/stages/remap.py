@@ -168,12 +168,33 @@ class Remap:
                 # ("unnest", field[, out_col]) — the `. = .events`
                 # emit-multiple analog (remap.rs check_remap_emits_multiple):
                 # one output row per list element, scalars repeat;
-                # rollback follows each row to its source via __idx
+                # rollback follows each row to its source via __idx.
+                # Rows already flagged bypass the expansion (execution
+                # stopped at their failure) so they still reach the
+                # forward/reroute path even with a null/empty list.
                 from .unnest import unnest_batch
 
                 _, field = step[:2]
                 out_col = step[2] if len(step) > 2 else None
-                batch = unnest_batch(batch, field, out_col)
+                flag = pc.or_(batch[ERROR_COL], batch[ABORT_COL])
+                flag = pc.fill_null(_chunkless(flag), False)
+                if pc.any(flag).as_py():
+                    ok_part = unnest_batch(batch.filter(pc.invert(flag)), field, out_col)
+                    flagged = batch.filter(flag)
+                    # flagged rows keep one row each; the exploded
+                    # column is null (its value is rolled back anyway)
+                    name = out_col or field
+                    elem_t = ok_part[name].type if name in ok_part.column_names else pa.string()
+                    flagged = _set(
+                        flagged.drop_columns([field]),
+                        name,
+                        pa.array([None] * flagged.num_rows, type=elem_t),
+                    )
+                    batch = pa.concat_tables(
+                        [ok_part, flagged.select(ok_part.column_names)]
+                    )
+                else:
+                    batch = unnest_batch(batch, field, out_col)
             elif op == "abort":
                 _, cond, msg = step
                 m = pc.fill_null(_chunkless(cond(batch)), False)
