@@ -168,3 +168,15 @@ def test_framed_source_chunked_streaming(ray_session, tmp_path):
     ds = framed_source(str(p), frame_newline, as_string=True, chunk_bytes=4096)
     got = sorted(r["message"] for r in ds.take_all())
     assert got == sorted(lines)
+
+
+def test_framed_source_split_boundaries_exhaustive(ray_session, tmp_path):
+    """Byte-range splits reproduce exact frames at every chunk size —
+    including ranges landing exactly on frame starts and mid-frame."""
+    p = tmp_path / "b.log"
+    lines = [f"x{i}" * (i % 4 + 1) for i in range(200)]
+    p.write_bytes(("\n".join(lines) + "\n").encode())
+    for cb in (7, 16, 33, 100):
+        ds = framed_source(str(p), frame_newline, as_string=True, chunk_bytes=cb)
+        got = sorted(r["message"] for r in ds.take_all())
+        assert got == sorted(lines), cb

@@ -259,6 +259,42 @@ def reduce100k():
             "wall": round(wall, 1), "rows_per_sec": round(n / wall)}
 
 
+def framing1g():
+    """~1 GB newline-framed log through the chunked framed_source →
+    syslog decode → count, asserting exact frame and decode counts —
+    scale evidence for the framing family (whole file >> chunk size,
+    so the chunk-edge path is exercised thousands of times)."""
+    import os
+
+    from vector_ray.framing import frame_newline, framed_source
+    from vector_ray.codecs import decode_syslog
+
+    path = "/tmp/vector_ray_stress_frames.log"
+    n_lines = 8_000_000
+    line = "<34>1 2023-10-11T22:14:15.003Z host-%07d app - ID%d - payload %s\n"
+    if not os.path.exists(path) or os.path.getsize(path) < 900 << 20:
+        with open(path, "w") as f:
+            for i in range(0, n_lines, 100_000):
+                f.write("".join(
+                    line % (j, j, "x" * 80) for j in range(i, i + 100_000)
+                ))
+    size_mb = os.path.getsize(path) / 1e6
+
+    t0 = time.time()
+    ds = framed_source(path, frame_newline, as_string=True, chunk_bytes=64 << 20)
+
+    def _decode(batch):
+        t, err = decode_syslog(batch["message"], rfc="5424")
+        assert not pa.compute.any(err).as_py()
+        return t.select(["hostname"])
+
+    n = ds.map_batches(_decode, batch_format="pyarrow", batch_size=None).count()
+    wall = time.time() - t0
+    assert n == n_lines, n
+    return {"lines": n, "file_mb": round(size_mb, 1), "wall": round(wall, 1),
+            "mb_per_sec": round(size_mb / wall, 1)}
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     _init()

@@ -205,34 +205,65 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
             arr = pa.array(frames, type=pa.binary())
         return pa.table({column: arr})
 
+    # Delimiter framing splits each file into byte-range TASKS with
+    # Hadoop-text-split adjustment (a frame belongs to the range its
+    # first byte lands in): one giant log parallelizes across the
+    # cluster instead of serializing through one reader.  Non-seekable
+    # framings (length-prefixed, octet-counting) read whole files —
+    # they are record containers, typically written bounded.
+    splits = []
+    for f in files:
+        size = os.path.getsize(f)
+        if delim is not None and size > chunk_bytes:
+            for off in range(0, size, chunk_bytes):
+                splits.append({"path": f, "offset": off,
+                               "length": min(chunk_bytes, size - off)})
+        else:
+            splits.append({"path": f, "offset": 0, "length": size})
+
     def _read(batch: pa.Table):
-        for p in batch["path"].to_pylist():
+        for p, off, ln in zip(
+            batch["path"].to_pylist(),
+            batch["offset"].to_pylist(),
+            batch["length"].to_pylist(),
+        ):
             size = os.path.getsize(p)
             with open(p, "rb") as fh:
-                if delim is not None and size > chunk_bytes:
-                    # delimiter framing streams huge files in bounded
-                    # chunks: split each chunk at its LAST delimiter and
-                    # carry the tail — a multi-GB log never materializes
-                    # in one worker heap
-                    tail = b""
-                    while True:
-                        chunk = fh.read(chunk_bytes)
-                        if not chunk:
-                            if tail:
-                                yield _emit(framer(tail))
-                            break
-                        buf = tail + chunk
-                        cut = buf.rfind(delim)
-                        if cut == -1:
-                            tail = buf
-                            continue
-                        yield _emit(framer(buf[: cut + 1]))
-                        tail = buf[cut + 1 :]
-                else:
+                if delim is None or (off == 0 and ln >= size):
                     yield _emit(framer(fh.read()))
+                    continue
+                fh.seek(off - 1 if off else 0)
+                prev_is_delim = off > 0 and fh.read(1) == delim
+                buf = fh.read(ln)
+                if off > 0 and not prev_is_delim:
+                    # a frame belongs to the range holding its FIRST
+                    # byte: when off lands mid-frame, the head fragment
+                    # is the previous range's (it reads forward to
+                    # finish it); when off-1 was the delimiter, the
+                    # frame starting AT off is ours — no skip
+                    cut = buf.find(delim)
+                    if cut == -1:
+                        continue  # no frame STARTS in this range
+                    buf = buf[cut + 1 :]
+                # complete the boundary-spanning tail frame from the next
+                # range (read forward to its delimiter); an EMPTY buf
+                # means no frame starts in this range — the next frame
+                # begins at the next range's offset and belongs to it
+                if buf and off + ln < size and not buf.endswith(delim):
+                    while True:
+                        more = fh.read(1 << 20)
+                        if not more:
+                            break
+                        cut = more.find(delim)
+                        if cut != -1:
+                            buf += more[: cut + 1]
+                            break
+                        buf += more
+                if buf:
+                    yield _emit(framer(buf))
 
-    items = rd.from_items([{"path": f} for f in files])
-    return items.repartition(max(1, len(files))).map_batches(
+    items = rd.from_items(splits)
+    return items.repartition(max(1, len(splits))).map_batches(
         _read, batch_format="pyarrow", batch_size=None, **kw
     )
 
