@@ -414,3 +414,26 @@ def test_aggregate_sequenced_null_series_key(ray_session):
     })
     out = aggregate_sequenced(rd.from_arrow(t), interval_ms=10**9).take_all()
     assert len(out) == 1 and out[0]["value"] == 3.0
+
+
+def test_aggregate_sequenced_conflicting_value_type(ray_session):
+    """Port of aggregate.rs conflicting_value_type: a value-type flip
+    (counter → gauge) replaces accumulated state like a kind flip."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import aggregate_sequenced
+
+    t = pa.table({
+        "name": ["a"] * 4,
+        "namespace": [""] * 4,
+        "tags": [""] * 4,
+        "kind": ["incremental"] * 4,
+        "value_type": ["counter", "counter", "gauge", "gauge"],
+        "value": [1.0, 2.0, 5.0, 7.0],
+        "ts": pa.array([1, 2, 3, 4], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = aggregate_sequenced(rd.from_arrow(t), interval_ms=10**9).take_all()
+    # the gauge segment replaces the counter sum; incremental gauges sum
+    assert len(out) == 1
+    assert out[0]["value_type"] == "gauge" and out[0]["value"] == 12.0

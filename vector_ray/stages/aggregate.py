@@ -229,6 +229,11 @@ def aggregate_sequenced(ds, interval_ms: int = 10_000, ts_field: str = "ts",
         new_sid[1:] = sid[1:] != sid[:-1]
         flip = new_sid.copy()
         flip[1:] |= kind_inc[1:] != kind_inc[:-1]
+        if "value_type" in part.columns:
+            # a value-TYPE conflict also replaces accumulated state
+            # (aggregate.rs conflicting_value_type: counter→gauge etc.)
+            vt = part["value_type"].to_numpy()
+            flip[1:] |= vt[1:] != vt[:-1]
         seg = np.cumsum(flip)
         last_seg = pd.Series(seg).groupby(sid).transform("max").to_numpy()
         keep = seg == last_seg
@@ -242,7 +247,8 @@ def aggregate_sequenced(ds, interval_ms: int = 10_000, ts_field: str = "ts",
         out = tail.groupby(
             series + [WIN_COL, "kind"], sort=False, dropna=False, as_index=False
         ).last()
-        return out[series + ["kind", WIN_COL, "value"]]
+        extra = ["value_type"] if "value_type" in out.columns else []
+        return out[series + ["kind", *extra, WIN_COL, "value"]]
 
     return (
         windowed.map_batches(_part, batch_format="pyarrow", batch_size=None)
