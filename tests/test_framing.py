@@ -180,3 +180,21 @@ def test_framed_source_split_boundaries_exhaustive(ray_session, tmp_path):
         ds = framed_source(str(p), frame_newline, as_string=True, chunk_bytes=cb)
         got = sorted(r["message"] for r in ds.take_all())
         assert got == sorted(lines), cb
+
+
+def test_framed_source_runaway_frame_capped(ray_session, tmp_path):
+    """A delimiter-less stretch longer than max_frame_bytes is dropped
+    instead of pulling the rest of the file into one task."""
+    p = tmp_path / "runaway.log"
+    good = [f"g{i}" for i in range(50)]
+    p.write_bytes(
+        ("\n".join(good[:25]) + "\n").encode()
+        + b"X" * 200_000  # delimiter-less runaway
+        + ("\n" + "\n".join(good[25:]) + "\n").encode()
+    )
+    ds = framed_source(str(p), frame_newline, as_string=True,
+                       chunk_bytes=8192, max_frame_bytes=16384)
+    got = [r["message"] for r in ds.take_all()]
+    # every good line survives; the runaway frame does not appear whole
+    assert set(good) <= set(got)
+    assert not any(len(m) > 100_000 for m in got)

@@ -172,7 +172,8 @@ def frame_chunked_gelf(datagrams: List[bytes]) -> List[bytes]:
 
 
 def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "message",
-                  as_string: bool = False, chunk_bytes: int = 64 << 20, **kw):
+                  as_string: bool = False, chunk_bytes: int = 64 << 20,
+                  max_frame_bytes: int = 64 << 20, **kw):
     """File-per-task framed reads → Dataset with one row per frame.
 
     Delimiter-based framers (newline / character_delimited) stream
@@ -250,6 +251,7 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
                 # means no frame starts in this range — the next frame
                 # begins at the next range's offset and belongs to it
                 if buf and off + ln < size and not buf.endswith(delim):
+                    tail_start = buf.rfind(delim) + 1  # 0 when buf is all one frame
                     while True:
                         more = fh.read(1 << 20)
                         if not more:
@@ -259,6 +261,13 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
                             buf += more[: cut + 1]
                             break
                         buf += more
+                        if len(buf) - tail_start > max_frame_bytes:
+                            break  # stop pulling; frame dropped below
+                    if len(buf) - tail_start > max_frame_bytes:
+                        # runaway frame (delimiter-less stretch): drop it
+                        # rather than pull the rest of the file into one
+                        # worker (LinesCodec max-length discard semantics)
+                        buf = buf[:tail_start]
                 if buf:
                     yield _emit(framer(buf))
 
