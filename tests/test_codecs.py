@@ -681,3 +681,21 @@ def test_encode_json_metric_multivalue_and_bare_tags():
         '{"name":"counter","tags":{"a":["first",null,"second"]},'
         '"kind":"incremental","counter":{"value":1.0}}'
     ]
+
+
+def test_encode_gelf_validation_and_underscore_coercion():
+    """Ports of encoding/format/gelf.rs gelf_serializing_coerced /
+    _invalid_error: extra fields get the underscore prefix; rows
+    missing host or message encode as NULL (per-event error)."""
+    from vector_ray.codecs import encode_gelf
+
+    t = pa.table({
+        "host": ["example.org", None, "example.org"],
+        "message": ["Some message", "m", None],
+        "noUnderScore": [0, 1, 2],
+    })
+    out = encode_gelf(t).to_pylist()
+    assert out[1] is None and out[2] is None
+    doc = json.loads(out[0])
+    assert doc["_noUnderScore"] == 0
+    assert doc["short_message"] == "Some message" and doc["version"] == "1.1"

@@ -672,15 +672,24 @@ def encode_gelf(batch: pa.Table, host_col: str = "host",
                 message_col: str = "message") -> pa.Array:
     """GELF encoder: one JSON line per row with required version/host/
     short_message; remaining columns become underscore-prefixed
-    additional fields (GELF spec)."""
+    additional fields (GELF spec).
+
+    Per-event validation (encoding/format/gelf.rs
+    gelf_serializing_invalid_error): a row missing host or
+    short_message encodes as NULL rather than emitting an invalid GELF
+    document or failing the batch."""
     cols = batch.column_names
     standard = {"level", "full_message", "timestamp"}
     extras = [c for c in cols if c not in (host_col, message_col) and c not in standard]
     data = {c: batch[c].to_pylist() for c in cols}
     out = []
     for i in range(batch.num_rows):
-        d = {"version": "1.1", "host": data[host_col][i],
-             "short_message": data[message_col][i]}
+        host = data[host_col][i] if host_col in data else None
+        msg = data[message_col][i] if message_col in data else None
+        if host is None or msg is None:
+            out.append(None)  # required-field error: per-event skip
+            continue
+        d = {"version": "1.1", "host": host, "short_message": msg}
         for c in standard & set(cols):
             v = data[c][i]
             if v is not None:
