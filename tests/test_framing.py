@@ -198,3 +198,31 @@ def test_framed_source_runaway_frame_capped(ray_session, tmp_path):
     # every good line survives; the runaway frame does not appear whole
     assert set(good) <= set(got)
     assert not any(len(m) > 100_000 for m in got)
+
+
+def test_multibyte_delimiter_falls_back_to_whole_file(ray_session, tmp_path):
+    """A multi-byte delimiter bypasses ranged splits (boundary probes
+    are single-byte) — frames stay exact."""
+    from functools import partial
+
+    from vector_ray.framing import frame_character_delimited
+
+    p = tmp_path / "multi.dat"
+    frames = [f"f{i}".encode() for i in range(100)]
+    p.write_bytes(b"||".join(frames) + b"||")
+    ds = framed_source(
+        str(p), partial(frame_character_delimited, delimiter=b"||"),
+        as_string=True, chunk_bytes=16,
+    )
+    got = sorted(r["message"] for r in ds.take_all())
+    assert got == sorted(f.decode() for f in frames)
+
+
+def test_in_range_overlong_frame_dropped(ray_session, tmp_path):
+    """max_frame_bytes applies to frames fully inside one range too."""
+    p = tmp_path / "inrange.log"
+    p.write_bytes(b"ok1\n" + b"Y" * 5000 + b"\nok2\n" + b"z" * 200_000)
+    ds = framed_source(str(p), frame_newline, as_string=True,
+                       chunk_bytes=100_000, max_frame_bytes=1000)
+    got = sorted(r["message"] for r in ds.take_all())
+    assert got == ["ok1", "ok2"]

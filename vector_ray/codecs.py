@@ -679,13 +679,19 @@ def encode_gelf(batch: pa.Table, host_col: str = "host",
     short_message encodes as NULL rather than emitting an invalid GELF
     document or failing the batch."""
     cols = batch.column_names
+    # a missing COLUMN is a misconfiguration, not a per-event error —
+    # fail loudly rather than emitting an all-NULL batch
+    for required in (host_col, message_col):
+        if required not in cols:
+            raise KeyError(f"encode_gelf: column {required!r} not in batch "
+                           f"(have {cols})")
     standard = {"level", "full_message", "timestamp"}
     extras = [c for c in cols if c not in (host_col, message_col) and c not in standard]
     data = {c: batch[c].to_pylist() for c in cols}
     out = []
     for i in range(batch.num_rows):
-        host = data[host_col][i] if host_col in data else None
-        msg = data[message_col][i] if message_col in data else None
+        host = data[host_col][i]
+        msg = data[message_col][i]
         if host is None or msg is None:
             out.append(None)  # required-field error: per-event skip
             continue

@@ -198,8 +198,15 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
     delimiter = getattr(framer, "keywords", {}).get("delimiter") if hasattr(framer, "keywords") else None
     base = getattr(framer, "func", framer)
     delim = b"\n" if base is frame_newline else delimiter
+    if delim is not None and len(delim) != 1:
+        # ranged ownership probes exactly one boundary byte; a
+        # multi-byte delimiter could also straddle a forward-read edge —
+        # fall back to whole-file reads for those (rare) framings
+        delim = None
 
-    def _emit(frames: List[bytes]) -> pa.Table:
+    def _emit(frames: List[bytes], cap: Optional[int] = None) -> pa.Table:
+        if cap is not None:
+            frames = [f for f in frames if len(f) <= cap]
         if as_string:
             arr = pa.array([f.decode("utf-8", "replace") for f in frames], type=pa.string())
         else:
@@ -218,20 +225,23 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
         if delim is not None and size > chunk_bytes:
             for off in range(0, size, chunk_bytes):
                 splits.append({"path": f, "offset": off,
-                               "length": min(chunk_bytes, size - off)})
+                               "length": min(chunk_bytes, size - off),
+                               "size": size})
         else:
-            splits.append({"path": f, "offset": 0, "length": size})
+            splits.append({"path": f, "offset": 0, "length": size, "size": size})
 
     def _read(batch: pa.Table):
-        for p, off, ln in zip(
+        for p, off, ln, size in zip(
             batch["path"].to_pylist(),
             batch["offset"].to_pylist(),
             batch["length"].to_pylist(),
+            # planning-time size: all ranges must agree on ONE snapshot
+            # even if the file is appended between planning and reading
+            batch["size"].to_pylist(),
         ):
-            size = os.path.getsize(p)
             with open(p, "rb") as fh:
                 if delim is None or (off == 0 and ln >= size):
-                    yield _emit(framer(fh.read()))
+                    yield _emit(framer(fh.read(size) if size else b""))
                     continue
                 fh.seek(off - 1 if off else 0)
                 prev_is_delim = off > 0 and fh.read(1) == delim
@@ -269,7 +279,9 @@ def framed_source(paths, framer: Callable[[bytes], List[bytes]], column: str = "
                         # worker (LinesCodec max-length discard semantics)
                         buf = buf[:tail_start]
                 if buf:
-                    yield _emit(framer(buf))
+                    # over-long frames inside the range are dropped too,
+                    # so the cap doesn't depend on chunk alignment
+                    yield _emit(framer(buf), cap=max_frame_bytes)
 
     items = rd.from_items(splits)
     return items.repartition(max(1, len(splits))).map_batches(

@@ -123,7 +123,14 @@ def write_framed(ds, path: str, framing: str = "newline", column: str = "message
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             vals = col.to_pylist()
-            frames = [v.encode() if isinstance(v, str) else (v or b"") for v in vals]
+            # NULL values are per-event encoder errors (encode_cef /
+            # encode_gelf emit NULL for invalid rows): skip them rather
+            # than writing empty frames
+            frames = [
+                v.encode() if isinstance(v, str) else v
+                for v in vals
+                if v is not None
+            ]
             file.write(enframe(frames))
 
     ds.write_datasink(_FramedSink(path))
