@@ -109,3 +109,13 @@ def test_multirow_vectorized():
     })
     got = compile_datadog_search("a:1 OR needle")(t).to_pylist()
     assert got == [True, False, True, False]
+
+
+def test_trailing_empty_tag_rows_not_truncated():
+    """reduceat regression: trailing empty/null list rows must not
+    truncate the last non-empty row's segment (ADVICE r4)."""
+    t = pa.table({"tags": [["env:prod", "team:x"], []]})
+    assert compile_datadog_search("team:x")(t).to_pylist() == [True, False]
+    t2 = pa.table({"tags": [["a:1"], ["env:prod", "team:x"], [], None]})
+    got = compile_datadog_search("team:x")(t2).to_pylist()
+    assert got == [False, True, False, False]

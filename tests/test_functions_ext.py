@@ -311,3 +311,14 @@ def test_enrichment_bridge():
     lut = EnrichTable(pa.table({"k": ["a", "b"], "v": ["1", "2"]}), ["k"])
     got = call("get_enrichment_table_record", s("b", "a"), lut).to_pylist()
     assert [dict(d) for d in got] == [{"v": "2"}, {"v": "1"}]
+
+
+def test_decode_influxdb_malformed_field_value_contextual():
+    """A bad numeric field value produces the contextual decode error,
+    not a bare ValueError (ADVICE r4)."""
+    import pytest
+
+    from vector_ray.codecs import decode_influxdb
+
+    with pytest.raises(ValueError, match="invalid influxdb line"):
+        decode_influxdb(s("m v=abc"))

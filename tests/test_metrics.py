@@ -437,3 +437,19 @@ def test_aggregate_sequenced_conflicting_value_type(ray_session):
     # the gauge segment replaces the counter sum; incremental gauges sum
     assert len(out) == 1
     assert out[0]["value_type"] == "gauge" and out[0]["value"] == 12.0
+
+
+def test_incremental_to_absolute_null_series_key():
+    """dropna regression (ADVICE r4): a null namespace must still form a
+    series group — values accumulate, not NaN."""
+    t = pa.table({
+        "name": ["c", "c", "c"],
+        "namespace": pa.array([None, None, None], type=pa.string()),
+        "tags": ["", "", ""],
+        "kind": ["incremental"] * 3,
+        "value": [1.0, 2.0, 3.0],
+        "ts": pa.array([0, 1, 2], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = incremental_to_absolute(rd.from_arrow(t))
+    vals = sorted(r["value"] for r in out.take_all())
+    assert vals == [1.0, 3.0, 6.0]

@@ -1006,14 +1006,19 @@ def decode_influxdb(col, default_ts_ns: int = 0) -> pa.Table:
             fname = k[6:]
             if v.startswith('"'):
                 continue  # string fields cannot be modelled (reference parity)
-            if v in ("t", "T", "true", "True"):
-                fv = 1.0
-            elif v in ("f", "F", "false", "False"):
-                fv = 0.0
-            elif v.endswith(("i", "u")):
-                fv = float(int(v[:-1]))
-            else:
-                fv = float(v)
+            try:
+                if v in ("t", "T", "true", "True"):
+                    fv = 1.0
+                elif v in ("f", "F", "false", "False"):
+                    fv = 0.0
+                elif v.endswith(("i", "u")):
+                    fv = float(int(v[:-1]))
+                else:
+                    fv = float(v)
+            except ValueError as exc:
+                raise ValueError(
+                    f"invalid influxdb line {line!r}: bad field value {v!r}"
+                ) from exc
             names.append(f"{d['measurement']}_{fname}")
             tags_out.append(canon)
             values.append(fv)

@@ -136,12 +136,13 @@ def _tag_rows_matching(tags, per_entry: Callable, n: int) -> np.ndarray:
     np.cumsum(lengths, out=starts[1:])
     out = _false(n)
     nonempty = lengths > 0
-    if hits.size:
-        # clamp: reduceat requires indices < len; empty rows are masked
-        # out below (a clamped index would read a neighbour's sum)
-        idx = np.minimum(starts[:-1], hits.size - 1)
-        agg = np.add.reduceat(hits, idx)
-        out[nonempty] = agg[nonempty] > 0
+    if hits.size and nonempty.any():
+        # reduceat over non-empty rows only: their start offsets are
+        # strictly increasing and all < hits.size, so each segment sums
+        # exactly one row's entries (a clamped index over empty trailing
+        # rows would truncate the last non-empty row's segment).
+        idx = starts[:-1][nonempty]
+        out[nonempty] = np.add.reduceat(hits, idx) > 0
     return out
 
 

@@ -87,7 +87,7 @@ def _idna_host(h):
         return h
 
 
-def parse_url(col, default_known_ports: bool = False, drop_failed: bool = False):
+def parse_url(col, *, default_known_ports: bool = False, drop_failed: bool = False):
     """parse_url VRL-function analog: URL column → struct of components
     (scheme/username/password/host/port/path/query/fragment) + error
     mask (parse_url.cue).  Vectorized extract_regex; port casts to int;

@@ -27,11 +27,12 @@ _PART = "__i2a_part"
 
 
 def incremental_to_absolute(ds, ts_field: str = "ts", num_partitions: int = 0):
-    from ..functions.hashes import default_partitions, hash_columns
+    from ..functions.hashes import default_partitions, ensure_columns, hash_columns
 
     num_partitions = num_partitions or default_partitions()
 
     def _part(batch: pa.Table) -> pa.Table:
+        batch = ensure_columns(batch, SERIES_KEY)
         h = hash_columns(batch, SERIES_KEY)
         return batch.append_column(
             _PART, pa.array((h % np.uint64(num_partitions)).view(np.int64))
@@ -42,7 +43,7 @@ def incremental_to_absolute(ds, ts_field: str = "ts", num_partitions: int = 0):
             SERIES_KEY + [ts_field], kind="mergesort"
         ).reset_index(drop=True)
         is_abs = (part["kind"] == "absolute").to_numpy()
-        sid = part.groupby(SERIES_KEY, sort=False).ngroup().to_numpy()
+        sid = part.groupby(SERIES_KEY, sort=False, dropna=False).ngroup().to_numpy()
         # segment = run of rows from one absolute row (inclusive) to the
         # next; seg 0 = rows before the series' first absolute row
         seg = pd.Series(is_abs.astype(np.int64)).groupby(sid).cumsum().to_numpy()
