@@ -140,3 +140,31 @@ def default_partitions(floor: int = 32, cap: int = 1024) -> int:
     except Exception:
         cpus = 0
     return max(floor, min(cap, cpus * 2)) if cpus else floor
+
+
+def default_pool(divisor: int = 8, floor: int = 2, cap: int = 512) -> tuple:
+    """Autoscaling actor-pool bounds ``(1, N)`` for stateful
+    ``map_batches`` stages.
+
+    A hardcoded ``(1, 2)`` pool is right on a 4-physical-core sandbox
+    but caps the stage at 2 actors on a 256-node cluster.  N scales
+    with the cluster — ``cluster CPUs // divisor`` clamped to
+    ``[floor, cap]`` — so heavy stages (model-ish actors, verify
+    passes) take a proportional slice while leaving CPUs for the
+    fused read/transform stages (a pool reserving every CPU starves
+    the upstream read).  The autoscaling lower bound of 1 means idle
+    pools release their slots.  ``VECTOR_RAY_POOL_MAX`` overrides N
+    for a deployment."""
+    import os
+
+    env = os.environ.get("VECTOR_RAY_POOL_MAX")
+    if env:
+        return (1, max(1, int(env)))
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    n = max(floor, min(cap, cpus // divisor)) if cpus else floor
+    return (1, max(1, n))

@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..functions.hashes import default_pool
 from ..functions.vectors import list_to_matrix
 
 
@@ -62,7 +63,9 @@ def brute_force_topk(
                 }
             )
 
-    local = emb_ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(1, 2))
+    local = emb_ds.map_batches(
+        LocalTopK, batch_format="pyarrow", concurrency=default_pool(divisor=16)
+    )
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
@@ -150,7 +153,9 @@ def ivf_topk(
                 }
             )
 
-    local = emb_ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(1, 2))
+    local = emb_ds.map_batches(
+        ProbeTopK, batch_format="pyarrow", concurrency=default_pool(divisor=16)
+    )
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)

@@ -28,7 +28,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..functions.hashes import default_partitions, hash_columns, hash_string_column
+from ..functions.hashes import (
+    default_partitions,
+    default_pool,
+    hash_columns,
+    hash_string_column,
+)
 from ..functions.text import fingerprint
 from ..functions.vectors import (
     fixed_binary_to_matrix,
@@ -265,7 +270,7 @@ def minhash_lsh_dedup(
             num_perm=num_perm, shingle_k=shingle_k, text_col=text_col, id_col=id_col
         ),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=default_pool(divisor=16),
     ).materialize()
 
     def _band_keys(batch: pa.Table) -> pa.Table:
@@ -361,7 +366,7 @@ def minhash_lsh_dedup(
                 fn_constructor_args=(ray.put(cand), id_col, True),
                 batch_format="pyarrow",
                 batch_size=None,
-                concurrency=(1, 4),
+                concurrency=default_pool(divisor=8),
             )
             blocks = [t for t in ray.get(filt.to_arrow_refs()) if t.num_rows]
         if not blocks:
@@ -503,7 +508,7 @@ def simhash_dedup(docs, hamming_k: int = 3, text_col: str = "text", id_col: str 
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=default_pool(divisor=16),
     )
 
     def _blocks(batch: pa.Table) -> pa.Table:
@@ -683,7 +688,8 @@ def embedding_dedup(
             return tbl.append_column("bucket", pa.array(out_bucket))
 
     bucketed = emb_ds.map_batches(
-        Bucketer, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)
+        Bucketer, batch_format="pyarrow", batch_size=None,
+        concurrency=default_pool(divisor=16),
     )
 
     def _drops_part(t: pa.Table) -> pa.Table:

@@ -16,6 +16,8 @@ from typing import Callable, Optional
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashes import default_pool
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.string()),
@@ -137,7 +139,8 @@ class FrameSampler:
         )
 
 
-def image_features(media_ds, batch_size: int = 128, concurrency=(1, 4), decoder=None):
+def image_features(media_ds, batch_size: int = 128, concurrency=None, decoder=None):
+    concurrency = concurrency or default_pool(divisor=8)
     ds = media_ds.map_batches(
         lambda b: b.filter(pa.compute.equal(b["kind"], "image")), batch_format="pyarrow"
     )
@@ -150,7 +153,8 @@ def image_features(media_ds, batch_size: int = 128, concurrency=(1, 4), decoder=
     )
 
 
-def sample_frames(media_ds, every_ms: int = 500, batch_size: int = 64, concurrency=(1, 2)):
+def sample_frames(media_ds, every_ms: int = 500, batch_size: int = 64, concurrency=None):
+    concurrency = concurrency or default_pool(divisor=16)
     ds = media_ds.map_batches(
         lambda b: b.filter(pa.compute.equal(b["kind"], "video")), batch_format="pyarrow"
     )
@@ -246,7 +250,8 @@ class ImageResizer:
         )
 
 
-def audio_features(media_ds, batch_size: int = 128, concurrency=(1, 4), decoder=None):
+def audio_features(media_ds, batch_size: int = 128, concurrency=None, decoder=None):
+    concurrency = concurrency or default_pool(divisor=8)
     ds = media_ds.map_batches(
         lambda b: b.filter(pa.compute.equal(b["kind"], "audio")), batch_format="pyarrow"
     )
@@ -260,7 +265,8 @@ def audio_features(media_ds, batch_size: int = 128, concurrency=(1, 4), decoder=
 
 
 def resize_images(media_ds, out_w: int, out_h: int, batch_size: int = 64,
-                  concurrency=(1, 4), decoder=None):
+                  concurrency=None, decoder=None):
+    concurrency = concurrency or default_pool(divisor=8)
     ds = media_ds.map_batches(
         lambda b: b.filter(pa.compute.equal(b["kind"], "image")), batch_format="pyarrow"
     )

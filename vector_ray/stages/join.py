@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..functions.hashes import hash_columns
+from ..functions.hashes import default_pool, hash_columns
 
 BUCKET_COL = "__join_bucket"
 SIDE_COL = "__join_side"
@@ -227,7 +227,7 @@ def _key_filter_join(left, keys_ds, on, keys_on, broadcast_limit, keep_matches):
         fn_constructor_args=(keys_ref, on[0], keep_matches),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=(1, 4),
+        concurrency=default_pool(divisor=8),
     )
 
 

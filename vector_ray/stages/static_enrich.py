@@ -90,8 +90,11 @@ class RefreshingEnrich:
 
 
 def refreshing_enrich(ds, fetch_fn, refresh_every_batches=None,
-                      refresh_interval_s=None, concurrency=(1, 2),
+                      refresh_interval_s=None, concurrency=None,
                       batch_size=None, **kw):
+    from ..functions.hashes import default_pool
+
+    concurrency = concurrency or default_pool(divisor=16)
     return ds.map_batches(
         RefreshingEnrich,
         fn_constructor_kwargs=dict(

@@ -30,6 +30,7 @@ import ray.data as rd
 
 from . import stages
 from .enrich import EnrichTable, enrich
+from .functions.hashes import default_pool as _default_pool
 
 _REGISTRY: Dict[str, Callable] = {}
 
@@ -552,7 +553,7 @@ def _t_python(cfg, inputs):
         return inputs.map_batches(
             _HookedUDF,
             batch_format=cfg.get("batch_format", "pyarrow"),
-            concurrency=1 if timer else cfg.get("concurrency", (1, 2)),
+            concurrency=1 if timer else cfg.get("concurrency") or _default_pool(divisor=16),
         )
     fn = cfg["fn"]
     if cfg.get("per_batch", True):
