@@ -1,0 +1,354 @@
+"""VRL program front-end (vector_ray/vrl.py) — language semantics.
+
+Mirrors the reference remap/VRL behavior documented in
+src/transforms/remap.rs tests and website/cue/reference/remap/
+(assignment, if/else, `??`, fallible `!`, error-capture assignment,
+del, abort, conditions erroring to false)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from vector_ray.vrl import VrlCondition, compile_program
+
+
+def run(src, batch):
+    return compile_program(src).run(batch)
+
+
+@pytest.fixture
+def events():
+    return pa.table(
+        {
+            "message": [
+                '{"level":"info","code":"7"}',
+                '{"level":"err","code":"9"}',
+                "not json",
+            ],
+            "host": ["a", "b", "c"],
+            "n": [1, 2, 3],
+        }
+    )
+
+
+# ----------------------------------------------------------- assignment
+
+
+def test_path_assignment_and_arithmetic(events):
+    t, err, ab, _ = run(".n2 = .n * 2 + 1", events)
+    assert t["n2"].to_pylist() == [3, 5, 7]
+    assert not pc.any(err).as_py() and not pc.any(ab).as_py()
+
+
+def test_variable_assignment(events):
+    t, *_ = run("x = .n * 10\n.out = x - .n", events)
+    assert t["out"].to_pylist() == [9, 18, 27]
+    assert "x" not in t.column_names  # variables are not event fields
+
+
+def test_nested_path_assignment_writes_dotted_column(events):
+    t, *_ = run('.meta.kind = "log"', events)
+    assert t["meta.kind"].to_pylist() == ["log", "log", "log"]
+
+
+def test_string_concat_and_coercion(events):
+    t, *_ = run('.tag = .host + "-" + to_string(.n)', events)
+    assert t["tag"].to_pylist() == ["a-1", "b-2", "c-3"]
+
+
+def test_division_is_true_division(events):
+    t, *_ = run(".half = .n / 2", events)
+    assert t["half"].to_pylist() == [0.5, 1.0, 1.5]
+
+
+def test_modulo(events):
+    t, *_ = run(".m = .n % 2", events)
+    assert t["m"].to_pylist() == [1, 0, 1]
+
+
+def test_statement_separator_semicolon(events):
+    t, *_ = run(".a = 1; .b = 2", events)
+    assert t["a"].to_pylist() == [1, 1, 1]
+    assert t["b"].to_pylist() == [2, 2, 2]
+
+
+def test_comments_and_blank_lines(events):
+    t, *_ = run("# set a\n\n.a = 1  # trailing\n", events)
+    assert t["a"].to_pylist() == [1, 1, 1]
+
+
+# ----------------------------------------------------------- if / else
+
+
+def test_if_else_chain(events):
+    t, *_ = run(
+        """
+        if .n == 1 { .cls = "one" }
+        else if .n == 2 { .cls = "two" }
+        else { .cls = "many" }
+        """,
+        events,
+    )
+    assert t["cls"].to_pylist() == ["one", "two", "many"]
+
+
+def test_if_as_expression_value(events):
+    t, *_ = run('.cls = if .n < 3 { "small" } else { "big" }', events)
+    assert t["cls"].to_pylist() == ["small", "small", "big"]
+
+
+def test_nested_if(events):
+    t, *_ = run(
+        """
+        if .n > 1 {
+          if .host == "b" { .who = "bee" } else { .who = "sea" }
+        } else { .who = "ay" }
+        """,
+        events,
+    )
+    assert t["who"].to_pylist() == ["ay", "bee", "sea"]
+
+
+def test_if_branch_variable_scoping(events):
+    # a variable set in one branch blends with its prior value
+    t, *_ = run(
+        """
+        x = "default"
+        if .n == 2 { x = "two" }
+        .out = x
+        """,
+        events,
+    )
+    assert t["out"].to_pylist() == ["default", "two", "default"]
+
+
+# --------------------------------------------------- fallibility: ?? / !
+
+
+def test_coalesce_on_parse_failure(events):
+    t, err, *_ = run(
+        """
+        parsed, e = parse_json(.message)
+        .level = parsed.level ?? "unknown"
+        """,
+        events,
+    )
+    assert t["level"].to_pylist() == ["info", "err", "unknown"]
+    assert not pc.any(err).as_py()  # handled → no flags
+
+
+def test_coalesce_on_type_failure(events):
+    # string + int type mismatch per-column → err rows, all coalesced
+    t, err, *_ = run('.x = (.host * 2) ?? "nope"', events)
+    assert t["x"].to_pylist() == ["nope", "nope", "nope"]
+    assert not pc.any(err).as_py()
+
+
+def test_bang_flags_failed_rows(events):
+    t, err, ab, msgs = run(". = parse_json!(.message)", events)
+    assert err.to_pylist() == [False, False, True]
+    assert ab.to_pylist() == [False, False, False]
+    assert "parse_json" in msgs.to_pylist()[2]
+    assert t["level"].to_pylist()[:2] == ["info", "err"]
+
+
+def test_unhandled_fallible_flags_rows(events):
+    # without !, ?? or error capture, a failing call still flags (the
+    # reference rejects the program at compile time; we flag at runtime)
+    _, err, *_ = run(".p = parse_json(.message)", events)
+    assert err.to_pylist() == [False, False, True]
+
+
+def test_error_capture_assignment(events):
+    t, err, *_ = run(
+        """
+        parsed, e = parse_json(.message)
+        .bad = e
+        """,
+        events,
+    )
+    assert not pc.any(err).as_py()
+    bad = t["bad"].to_pylist()
+    assert bad[0] is None and bad[1] is None and "parse_json" in bad[2]
+
+
+def test_failed_rows_stop_executing(events):
+    # after a flagged failure, later statements don't touch the row
+    t, err, *_ = run(
+        """
+        . = parse_json!(.message)
+        .level = upcase(.level)
+        """,
+        events,
+    )
+    assert err.to_pylist() == [False, False, True]
+    assert t["level"].to_pylist()[:2] == ["INFO", "ERR"]
+    assert t["level"].to_pylist()[2] is None
+
+
+def test_coalesce_chain(events):
+    t, *_ = run('.x = to_int(.host) ?? to_int(.missing) ?? 0', events)
+    assert t["x"].to_pylist() == [0, 0, 0]
+
+
+# ---------------------------------------------------------- del / abort
+
+
+def test_del_removes_column(events):
+    t, *_ = run("del(.message)", events)
+    assert "message" not in t.column_names
+
+
+def test_del_returns_value(events):
+    t, *_ = run(".moved = del(.host)", events)
+    assert "host" not in t.column_names
+    assert t["moved"].to_pylist() == ["a", "b", "c"]
+
+
+def test_conditional_del_nulls_rows(events):
+    t, *_ = run('if .n == 2 { del(.host) }', events)
+    assert t["host"].to_pylist() == ["a", None, "c"]
+
+
+def test_abort_with_message(events):
+    _, err, ab, msgs = run('if .n > 2 { abort "too big" }', events)
+    assert ab.to_pylist() == [False, False, True]
+    assert err.to_pylist() == [False, False, False]
+    assert msgs.to_pylist()[2] == "too big"
+
+
+def test_abort_bare(events):
+    _, _, ab, msgs = run("if .n == 1 { abort }", events)
+    assert ab.to_pylist() == [True, False, False]
+
+
+# ----------------------------------------------- literals & member access
+
+
+def test_object_and_array_literals(events):
+    t, *_ = run('.obj = {"a": .n, "b": "x"}\n.arr = [.n, .n * 2]', events)
+    assert t["obj"].to_pylist() == [
+        {"a": 1, "b": "x"},
+        {"a": 2, "b": "x"},
+        {"a": 3, "b": "x"},
+    ]
+    assert t["arr"].to_pylist() == [[1, 2], [2, 4], [3, 6]]
+
+
+def test_member_access_struct_and_subscript(events):
+    t, *_ = run(
+        """
+        .obj = {"a": .n}
+        .got = .obj.a
+        """,
+        events,
+    )
+    assert t["got"].to_pylist() == [1, 2, 3]
+
+
+def test_subscript_string_key(events):
+    t, *_ = run(
+        """
+        parsed = parse_json(.message) ?? {"level": "?"}
+        .lv = parsed["level"]
+        """,
+        events,
+    )
+    # parse_json returns map<string,string>; failed row coalesces to struct
+    assert t["lv"].to_pylist()[0] == "info"
+
+
+def test_array_index(events):
+    t, *_ = run(".first = [.n, 9][0]", events)
+    assert t["first"].to_pylist() == [1, 2, 3]
+
+
+def test_raw_string_and_regex_literal(events):
+    t, *_ = run(".hit = match(.message, r'^\\{')", events)
+    assert t["hit"].to_pylist() == [True, True, False]
+
+
+def test_exists(events):
+    t, *_ = run(".has = exists(.host)\n.nope = exists(.ghost)", events)
+    assert t["has"].to_pylist() == [True, True, True]
+    assert t["nope"].to_pylist() == [False, False, False]
+
+
+def test_root_read_as_struct(events):
+    t, *_ = run(".blob = encode_json(.)", events)
+    assert all("host" in s for s in t["blob"].to_pylist())
+
+
+# -------------------------------------------------------- root assignment
+
+
+def test_root_assignment_from_object_literal(events):
+    t, err, *_ = run('. = {"only": .n}', events)
+    assert t.column_names == ["only"]
+    assert t["only"].to_pylist() == [1, 2, 3]
+
+
+def test_conditional_root_assignment(events):
+    t, *_ = run('if .n == 2 { . = {"host": "swapped"} }', events)
+    assert t["host"].to_pylist() == ["a", "swapped", "c"]
+    # columns absent from the new event are nulled on rewritten rows
+    assert t["n"].to_pylist() == [1, None, 3]
+
+
+# -------------------------------------------------------------- assert
+
+
+def test_assert_flags_failing_rows(events):
+    _, err, _, msgs = run('assert(.n < 3, "n too big")', events)
+    assert err.to_pylist() == [False, False, True]
+    assert msgs.to_pylist()[2] == "n too big"
+
+
+def test_assert_eq(events):
+    _, err, *_ = run("assert_eq(.n, 2)", events)
+    assert err.to_pylist() == [True, False, True]
+
+
+# ------------------------------------------------------------ conditions
+
+
+def test_condition_final_expression(events):
+    cond = VrlCondition('.n > 1 && starts_with(.host, "b")')
+    assert cond(events).to_pylist() == [False, True, False]
+
+
+def test_condition_multi_statement(events):
+    cond = VrlCondition(
+        """
+        threshold = 1
+        .n > threshold
+        """
+    )
+    assert cond(events).to_pylist() == [False, True, True]
+
+
+def test_condition_error_rows_false(events):
+    cond = VrlCondition('parsed = parse_json!(.message)\nparsed.level == "err"')
+    assert cond(events).to_pylist() == [False, True, False]
+
+
+def test_compile_condition_falls_back_to_program():
+    from vector_ray.expr import compile_condition
+
+    c = compile_condition('x = 2\n.n == x')
+    batch = pa.table({"n": [1, 2]})
+    assert c(batch).to_pylist() == [False, True]
+
+
+# -------------------------------------------------------- parse failures
+
+
+def test_parse_errors():
+    for bad in [".x = ", ".x = (1", "if .a {", "del(", "1 +", '.x = f!!(1)']:
+        with pytest.raises(ValueError):
+            compile_program(bad)
+
+
+def test_undefined_variable(events):
+    with pytest.raises(ValueError, match="undefined variable"):
+        run(".x = ghost + 1", events)

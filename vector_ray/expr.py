@@ -428,13 +428,25 @@ def compile_condition(cond: Union[str, Condition, Callable]) -> Callable:
     if isinstance(cond, Condition):
         return cond
     if isinstance(cond, str):
-        return Condition(cond)
+        try:
+            return Condition(cond)
+        except ValueError:
+            from .vrl import VrlCondition
+
+            return VrlCondition(cond)
     if isinstance(cond, dict):
         # AnyCondition config shape (src/conditions/mod.rs): a typed
         # {"type": ..., "source": ...} block selects the dialect
         ctype = cond.get("type", "vrl")
         if ctype in ("vrl", "expr"):
-            return Condition(cond["source"])
+            try:
+                return Condition(cond["source"])
+            except ValueError:
+                # full VRL program (multi-statement, ??, function calls
+                # beyond the fast-path grammar) — src/conditions/vrl.rs
+                from .vrl import VrlCondition
+
+                return VrlCondition(cond["source"])
         if ctype == "datadog_search":
             from .datadog_search import compile_datadog_search
 

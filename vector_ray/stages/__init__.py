@@ -6,7 +6,7 @@ from .filter import filter_stage
 from .incremental import incremental_to_absolute
 from .log_to_metric import LogToMetric, log_to_metric, metric_to_log
 from .reduce import reduce_stage
-from .remap import Remap, remap, remap_with_drops
+from .remap import Remap, remap, remap_vrl, remap_with_drops
 from .route import (
     UNMATCHED,
     exclusive_route,
@@ -33,6 +33,7 @@ __all__ = [
     "reduce_stage",
     "Remap",
     "remap",
+    "remap_vrl",
     "remap_with_drops",
     "UNMATCHED",
     "exclusive_route",

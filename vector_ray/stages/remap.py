@@ -82,6 +82,12 @@ class Remap:
                 pair_sep = step[3] if len(step) > 3 else ","
                 kv_sep = step[4] if len(step) > 4 else "="
                 self.steps.append(("kv", field, list(keys), pair_sep, kv_sep))
+            elif op == "vrl":
+                # ("vrl", source) — a full VRL program (remap.rs `source`
+                # config); parsed once, vectorized per batch (vrl.py)
+                from ..vrl import compile_program
+
+                self.steps.append(("vrl", compile_program(step[1])))
             elif op == "filter":
                 self.steps.append(("filter", compile_condition(step[1])))
             elif op == "abort":
@@ -195,6 +201,15 @@ class Remap:
                     )
                 else:
                     batch = unnest_batch(batch, field, out_col)
+            elif op == "vrl":
+                _, prog = step
+                keep = [c for c in (*_INTERNAL, IDX_COL) if c in batch.column_names]
+                internal = batch.select(keep)
+                out, e, a, msgs = prog.run(batch.drop_columns(keep))
+                for name in keep:
+                    out = _set(out, name, internal[name])
+                batch = _flag(out, ERROR_COL, pc.and_(e, pc.invert(a)), msgs)
+                batch = _flag(batch, ABORT_COL, a, msgs)
             elif op == "abort":
                 _, cond, msg = step
                 m = pc.fill_null(_chunkless(cond(batch)), False)
@@ -234,16 +249,21 @@ class Remap:
         return out
 
 
-def _flag(batch: pa.Table, col: str, e, msg: str) -> pa.Table:
+def _flag(batch: pa.Table, col: str, e, msg) -> pa.Table:
     """Flag rows in ``e`` that aren't flagged yet and stamp ``msg`` on
-    them.  First failure wins: execution stops at the first error/abort
-    in the reference, so an already-flagged row can't pick up a second
-    flag from a later step."""
+    them (a single string or a per-row string array).  First failure
+    wins: execution stops at the first error/abort in the reference, so
+    an already-flagged row can't pick up a second flag from a later
+    step."""
     e = pc.fill_null(_chunkless(e), True)
     cur_any = pc.or_(batch[ERROR_COL], batch[ABORT_COL])
     fresh = pc.and_(e, pc.invert(_chunkless(cur_any)))
     batch = _set(batch, col, pc.or_(batch[col], fresh))
-    msgs = pc.if_else(fresh, pa.scalar(msg, type=pa.string()), _chunkless(batch[MSG_COL]))
+    if isinstance(msg, (pa.Array, pa.ChunkedArray)):
+        msg = pc.fill_null(_chunkless(msg), "dropped")
+    else:
+        msg = pa.scalar(msg, type=pa.string())
+    msgs = pc.if_else(fresh, msg, _chunkless(batch[MSG_COL]))
     return _set(batch, MSG_COL, msgs)
 
 
@@ -285,6 +305,14 @@ def remap(ds, steps, drop_on_error: bool = False, drop_on_abort: bool = False, *
         return out.filter(keep).drop_columns(list(_INTERNAL))
 
     return ds.map_batches(_fn, batch_format="pyarrow", **kw)
+
+
+def remap_vrl(ds, source: str, **kw):
+    """remap with a VRL *source program* — the reference's native config
+    shape (remap.rs:52 ``source``).  Equivalent to
+    ``remap(ds, [("vrl", source)], **kw)``; full drop/rollback semantics
+    apply."""
+    return remap(ds, [("vrl", source)], **kw)
 
 
 #: dropped-port metadata layout (remap.rs check_remap_branching)

@@ -95,14 +95,20 @@ def _t_xroute(cfg, inputs):
 
 @register("remap")
 def _t_remap(cfg, inputs):
+    # the reference's native config shape is a VRL `source` string
+    # (remap.rs:52); the structured `steps` list is our columnar form —
+    # either (or both, source first) drive the same kernel pipeline
+    steps = list(cfg.get("steps", []))
+    if cfg.get("source"):
+        steps = [("vrl", cfg["source"])] + steps
     if cfg.get("reroute_dropped"):
         ok, dropped = stages.remap_with_drops(
-            inputs, cfg["steps"], component_id=cfg.get("component_id", "remap")
+            inputs, steps, component_id=cfg.get("component_id", "remap")
         )
         return {"": ok, "dropped": dropped}
     return stages.remap(
         inputs,
-        cfg["steps"],
+        steps,
         drop_on_error=cfg.get("drop_on_error", False),
         drop_on_abort=cfg.get("drop_on_abort", False),
     )

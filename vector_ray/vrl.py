@@ -1,0 +1,1246 @@
+"""VRL *program* front-end — multi-statement remap source, vectorized.
+
+Vector's remap transform compiles an arbitrary VRL source string per
+component (reference src/transforms/remap.rs:52-150 ``source`` config,
+:564-646 exec; the language itself lives in the external ``vrl`` crate
+and is documented under website/cue/reference/remap/).  Round-3 parity
+gap #1 was that our remap took a structured step list only; this module
+closes it: :func:`compile_program` parses a VRL subset — assignment to
+event paths and variables, ``if/else if/else`` blocks, the
+error-coalescing ``??`` operator, fallible-call ``!`` suffix,
+error-capture assignment ``ok, err = f(...)``, ``del()``, ``abort`` —
+into a :class:`Program` executed VECTORIZED per Arrow batch.
+
+Execution model (columnar analog of per-event VRL):
+
+* event fields are Arrow columns; ``.a.b`` reads the flat dotted column
+  ``a.b`` when present, else descends struct/map columns.
+* an expression evaluates to a ``Val(data, err)`` — ``data`` a length-n
+  Arrow array (or a Python scalar for literals), ``err`` an optional
+  per-row boolean mask of *recoverable* errors plus per-row messages.
+* ``expr ?? default`` substitutes ``default`` on errored rows and
+  clears the mask; ``f!(...)`` converts errored rows into program
+  failures (the row is flagged, later statements skip it, and remap's
+  rollback/forward/reroute semantics apply — same contract as the step
+  pipeline in stages/remap.py); ``ok, err = f(...)`` captures the
+  per-row message string into ``err`` (null where the call succeeded),
+  which is how the reference surfaces fallibility without aborting.
+* ``if cond { ... } else { ... }`` runs both branches over the full
+  batch with an *active-row mask*; assignments blend
+  ``if_else(active, new, old)`` so each row sees exactly its branch.
+* function calls dispatch to the 224-function scalar registry
+  (functions/scalar.py).  A call that raises on the whole column is
+  retried by bisection so single bad rows error individually instead
+  of poisoning the batch.
+
+Statically-typed deviation (documented): VRL's compiler rejects
+programs with unhandled fallible expressions; here an unhandled
+fallible call behaves like ``!`` (errors flag the row).  Row-count is
+invariant — the ``. = .events`` unnest form is served by the explicit
+("unnest", ...) remap step instead.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions import scalar as _scalar
+
+__all__ = ["compile_program", "Program", "VrlCondition"]
+
+# ------------------------------------------------------------------ lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>[ \t]+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<nl>\r?\n)
+  | (?P<op>\?\?|&&|\|\||==|!=|<=|>=|[<>]|[-+*/%]|[!=]|[(){}\[\],;:])
+  | (?P<rawstr>s'(?:[^'\\]|\\.)*')
+  | (?P<regex>r'(?:[^'\\]|\\.)*')
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<path>\.(?:[A-Za-z_][\w]*|"(?:[^"\\]|\\.)*")(?:\.(?:[A-Za-z_][\w]*|"(?:[^"\\]|\\.)*"))*)
+  | (?P<dot>\.)
+  | (?P<ident>[A-Za-z_][\w]*)
+    """,
+    re.VERBOSE,
+)
+
+# tokens after which a newline is a continuation, not a separator
+_CONTINUATION = {
+    "??", "&&", "||", "==", "!=", "<=", ">=", "<", ">", "+", "-", "*",
+    "/", "%", "=", ",", "(", "[", "{", ":", ";",
+}
+
+
+def _lex(src: str) -> List[Tuple[str, str]]:
+    toks: List[Tuple[str, str]] = []
+    pos, depth = 0, 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise ValueError(f"VRL parse error at {src[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "nl":
+            if depth > 0:
+                continue
+            if toks and toks[-1][0] == "op" and toks[-1][1] in _CONTINUATION:
+                continue
+            if toks and toks[-1][0] != "nl":
+                toks.append(("nl", "\n"))
+            continue
+        if kind == "op":
+            if text in "([":
+                depth += 1
+            elif text in ")]":
+                depth = max(0, depth - 1)
+        toks.append((kind, text))
+    toks.append(("eof", ""))
+    return toks
+
+
+# -------------------------------------------------------------------- AST
+
+@dataclass(frozen=True)
+class PathE:           # .a.b — event field read
+    path: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class RootE:           # bare `.` — the whole event as a struct
+    pass
+
+
+@dataclass(frozen=True)
+class VarE:
+    name: str
+
+
+@dataclass(frozen=True)
+class LitE:
+    value: Any
+
+
+@dataclass(frozen=True)
+class RegexE:
+    pattern: str
+
+
+@dataclass(frozen=True)
+class ArrayE:
+    items: tuple
+
+
+@dataclass(frozen=True)
+class ObjectE:
+    items: tuple       # ((key, expr), ...)
+
+
+@dataclass(frozen=True)
+class CallE:
+    name: str
+    args: tuple
+    bang: bool         # f!(...)
+
+
+@dataclass(frozen=True)
+class BinE:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class NotE:
+    operand: Any
+
+
+@dataclass(frozen=True)
+class NegE:
+    operand: Any
+
+
+@dataclass(frozen=True)
+class MemberE:         # expr.key / expr["key"] on struct or map values
+    operand: Any
+    key: str
+
+
+@dataclass(frozen=True)
+class CoalesceE:       # a ?? b
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class IfE:             # if cond { stmts } else … — also usable as expr
+    arms: tuple        # ((cond_or_None, stmts), ...)
+
+
+# statements
+@dataclass(frozen=True)
+class Assign:
+    target: Any        # PathE | VarE | RootE
+    err_target: Optional[str]  # `ok, err = …` second binding (variable)
+    expr: Any
+
+
+@dataclass(frozen=True)
+class ExprStmt:
+    expr: Any
+
+
+@dataclass(frozen=True)
+class Abort:
+    message: Optional[Any]
+
+
+# ------------------------------------------------------------------ parser
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str):
+        k, v = self.next()
+        if v != val:
+            raise ValueError(f"VRL: expected {val!r}, got {v!r}")
+
+    def skip_nl(self):
+        while self.peek()[0] == "nl" or self.peek() == ("op", ";"):
+            self.next()
+
+    # ---- statements
+
+    def program(self) -> List[Any]:
+        stmts = []
+        self.skip_nl()
+        while self.peek()[0] != "eof":
+            stmts.append(self.statement())
+            self.skip_nl()
+        return stmts
+
+    def block(self) -> List[Any]:
+        self.expect("{")
+        stmts = []
+        self.skip_nl()
+        while self.peek() != ("op", "}"):
+            stmts.append(self.statement())
+            self.skip_nl()
+        self.expect("}")
+        return stmts
+
+    def statement(self):
+        k, v = self.peek()
+        if (k, v) == ("ident", "if"):
+            return ExprStmt(self.if_expr())
+        if (k, v) == ("ident", "abort"):
+            self.next()
+            if self.peek()[0] in ("str", "rawstr"):
+                return Abort(self.expression())
+            return Abort(None)
+        # assignment lookahead: target [, ident] =  (but not ==)
+        save = self.i
+        target = self._try_target()
+        if target is not None:
+            err_target = None
+            if self.peek() == ("op", ","):
+                self.next()
+                k2, v2 = self.next()
+                if k2 != "ident":
+                    raise ValueError("VRL: error-capture target must be a variable")
+                err_target = v2
+            if self.peek() == ("op", "=") and self.peek(1)[1] != "=":
+                self.next()
+                return Assign(target, err_target, self.expression())
+        self.i = save
+        return ExprStmt(self.expression())
+
+    def _try_target(self):
+        k, v = self.peek()
+        if k == "path":
+            self.next()
+            return PathE(_split_path(v))
+        if k == "dot":
+            self.next()
+            return RootE()
+        if k == "ident" and v not in ("true", "false", "null", "if", "else", "abort"):
+            nxt = self.peek(1)
+            if nxt == ("op", "=") and self.peek(2)[1] != "=":
+                self.next()
+                return VarE(v)
+            if nxt == ("op", ","):
+                self.next()
+                return VarE(v)
+        return None
+
+    # ---- expressions (precedence low→high)
+
+    def expression(self):
+        return self.coalesce()
+
+    def coalesce(self):
+        node = self.or_()
+        while self.peek() == ("op", "??"):
+            self.next()
+            node = CoalesceE(node, self.or_())
+        return node
+
+    def or_(self):
+        node = self.and_()
+        while self.peek() == ("op", "||"):
+            self.next()
+            node = BinE("||", node, self.and_())
+        return node
+
+    def and_(self):
+        node = self.not_()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            node = BinE("&&", node, self.not_())
+        return node
+
+    def not_(self):
+        if self.peek() == ("op", "!"):
+            self.next()
+            return NotE(self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        node = self.add()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return BinE(v, node, self.add())
+        return node
+
+    def add(self):
+        node = self.mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            node = BinE(op, node, self.mul())
+        return node
+
+    def mul(self):
+        node = self.unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
+            _, op = self.next()
+            node = BinE(op, node, self.unary())
+        return node
+
+    def unary(self):
+        if self.peek() == ("op", "-"):
+            self.next()
+            return NegE(self.unary())
+        return self.postfix()
+
+    def postfix(self):
+        node = self.primary()
+        while True:
+            if self.peek() == ("op", "["):
+                self.next()
+                k, v = self.next()
+                if k not in ("str", "num"):
+                    raise ValueError("VRL: subscript must be a string or int literal")
+                self.expect("]")
+                key = _unquote(v) if k == "str" else v
+                node = MemberE(node, key)
+            elif self.peek()[0] == "path" and isinstance(
+                node, (CallE, MemberE, VarE)
+            ):
+                # member access on a non-field value: parsed.a.b
+                _, p = self.next()
+                for seg in _split_path(p):
+                    node = MemberE(node, seg)
+            else:
+                return node
+
+    def if_expr(self):
+        self.expect("if")
+        arms = []
+        cond = self.expression()
+        arms.append((cond, self.block()))
+        while True:
+            save = self.i
+            self.skip_nl()
+            if self.peek() == ("ident", "else"):
+                self.next()
+                if self.peek() == ("ident", "if"):
+                    self.next()
+                    arms.append((self.expression(), self.block()))
+                    continue
+                arms.append((None, self.block()))
+                break
+            self.i = save
+            break
+        return IfE(tuple(arms))
+
+    def primary(self):
+        k, v = self.peek()
+        if (k, v) == ("ident", "if"):
+            return self.if_expr()
+        if (k, v) == ("op", "("):
+            self.next()
+            node = self.expression()
+            self.expect(")")
+            return node
+        if (k, v) == ("op", "["):
+            self.next()
+            items = []
+            self.skip_nl()
+            if self.peek() != ("op", "]"):
+                while True:
+                    items.append(self.expression())
+                    self.skip_nl()
+                    k2, v2 = self.next()
+                    if v2 == "]":
+                        break
+                    if v2 != ",":
+                        raise ValueError(f"VRL: bad array literal near {v2!r}")
+                    self.skip_nl()
+            else:
+                self.next()
+            return ArrayE(tuple(items))
+        if (k, v) == ("op", "{"):
+            self.next()
+            items = []
+            self.skip_nl()
+            if self.peek() != ("op", "}"):
+                while True:
+                    kk, kv = self.next()
+                    if kk not in ("str", "ident"):
+                        raise ValueError("VRL: object key must be a string")
+                    self.expect(":")
+                    items.append((_unquote(kv) if kk == "str" else kv, self.expression()))
+                    self.skip_nl()
+                    k2, v2 = self.next()
+                    if v2 == "}":
+                        break
+                    if v2 != ",":
+                        raise ValueError(f"VRL: bad object literal near {v2!r}")
+                    self.skip_nl()
+            else:
+                self.next()
+            return ObjectE(tuple(items))
+        if k == "path":
+            self.next()
+            return PathE(_split_path(v))
+        if k == "dot":
+            self.next()
+            return RootE()
+        if k == "num":
+            self.next()
+            return LitE(float(v) if "." in v else int(v))
+        if k == "str":
+            self.next()
+            return LitE(_unquote(v))
+        if k == "rawstr":
+            self.next()
+            return LitE(v[2:-1])
+        if k == "regex":
+            self.next()
+            return RegexE(re.sub(r"\\(['\\])", r"\1", v[2:-1]))
+        if k == "ident":
+            self.next()
+            if v == "true":
+                return LitE(True)
+            if v == "false":
+                return LitE(False)
+            if v == "null":
+                return LitE(None)
+            bang = False
+            if self.peek() == ("op", "!"):
+                # only a call suffix: `f!(` — a bare `x !` is invalid anyway
+                self.next()
+                bang = True
+            if self.peek() == ("op", "("):
+                self.next()
+                args = []
+                self.skip_nl()
+                if self.peek() != ("op", ")"):
+                    while True:
+                        # named args `field: value` → positional drop of name
+                        if (
+                            self.peek()[0] == "ident"
+                            and self.peek(1) == ("op", ":")
+                        ):
+                            self.next()
+                            self.next()
+                        args.append(self.expression())
+                        self.skip_nl()
+                        k2, v2 = self.next()
+                        if v2 == ")":
+                            break
+                        if v2 != ",":
+                            raise ValueError(f"VRL: bad call args near {v2!r}")
+                        self.skip_nl()
+                else:
+                    self.next()
+                return CallE(v, tuple(args), bang)
+            if bang:
+                raise ValueError("VRL: `!` is only valid as a call suffix")
+            return VarE(v)
+        raise ValueError(f"VRL: unexpected token {v!r}")
+
+
+def _split_path(p: str) -> Tuple[str, ...]:
+    segs, buf, i = [], [], 1  # skip leading '.'
+    while i < len(p):
+        ch = p[i]
+        if ch == '"':
+            j = i + 1
+            while p[j] != '"' or p[j - 1] == "\\":
+                j += 1
+            buf.append(re.sub(r"\\(.)", r"\1", p[i + 1:j]))
+            i = j + 1
+        elif ch == ".":
+            segs.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(ch)
+            i += 1
+    segs.append("".join(buf))
+    return tuple(segs)
+
+
+def _unquote(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+
+# --------------------------------------------------------------- runtime
+
+class Val:
+    """A vectorized VRL value: Arrow array (or Python scalar) + an
+    optional per-row recoverable-error mask with messages."""
+
+    __slots__ = ("data", "err", "msg")
+
+    def __init__(self, data, err=None, msg: Optional[str] = None):
+        self.data = data
+        self.err = err          # np.ndarray[bool] | None
+        self.msg = msg          # one message for all errored rows
+
+    def is_scalar(self):
+        return not isinstance(self.data, (pa.Array, pa.ChunkedArray))
+
+
+# function names whose null results mean *error* (fallible in VRL);
+# everything else treats nulls as legitimate values
+_FALLIBLE_PREFIXES = ("parse_", "decode_", "to_", "ip_")
+_FALLIBLE = {
+    "int", "float", "bool", "timestamp", "string", "slice",
+    "from_unix_timestamp", "format_timestamp", "get_enrichment_table_record",
+    "find_enrichment_table_records", "assert", "assert_eq",
+}
+_INFALLIBLE_OVERRIDE = {"to_string", "to_syslog_level", "to_syslog_facility",
+                        "to_syslog_severity", "to_unix_timestamp", "get_path",
+                        "get_hostname", "get_env_var", "get_timezone_name"}
+
+
+def _is_fallible(name: str) -> bool:
+    if name in _INFALLIBLE_OVERRIDE:
+        return False
+    return name in _FALLIBLE or name.startswith(_FALLIBLE_PREFIXES)
+
+
+def _arr(v) -> pa.Array:
+    if isinstance(v, pa.ChunkedArray):
+        return v.combine_chunks()
+    return v
+
+
+def _broadcast(val: Val, n: int) -> pa.Array:
+    if val.is_scalar():
+        if val.data is None:
+            return pa.nulls(n)
+        return pa.array([val.data] * n)
+    return _arr(val.data)
+
+
+def _validity(a) -> np.ndarray:
+    return np.asarray(_arr(a).is_valid())
+
+
+class _Env:
+    def __init__(self, batch: pa.Table):
+        self.n = batch.num_rows
+        self.cols: Dict[str, pa.Array] = {
+            name: _arr(batch[name]) for name in batch.column_names
+        }
+        self.vars: Dict[str, Val] = {}
+        self.err = np.zeros(self.n, dtype=bool)
+        self.abort = np.zeros(self.n, dtype=bool)
+        self.msgs = np.full(self.n, None, dtype=object)
+
+    def flag(self, mask: np.ndarray, kind: str, msg) -> None:
+        """First failure wins (reference: execution stops at the first
+        error/abort per event)."""
+        fresh = mask & ~self.err & ~self.abort
+        if not fresh.any():
+            return
+        if kind == "abort":
+            self.abort |= fresh
+        else:
+            self.err |= fresh
+        if isinstance(msg, str) or msg is None:
+            self.msgs[fresh] = msg
+        else:  # per-row messages (np object array)
+            self.msgs[fresh] = np.asarray(msg, dtype=object)[fresh]
+
+    def table(self) -> pa.Table:
+        names = list(self.cols)
+        return pa.table({k: self.cols[k] for k in names})
+
+
+class Program:
+    """Compiled VRL program: ``run(batch)`` → (table, err, abort, msgs).
+
+    The returned table holds the transformed event columns (row count
+    preserved); flag/rollback/drop handling is the caller's job
+    (stages/remap.py reuses its existing machinery).
+    """
+
+    def __init__(self, source: str):
+        self.source = source
+        self.stmts = _Parser(_lex(source)).program()
+
+    # ---- public entry points
+
+    def run(self, batch: pa.Table):
+        env = _Env(batch)
+        active = np.ones(env.n, dtype=bool)
+        self._exec_block(self.stmts, env, active)
+        return (
+            env.table(),
+            pa.array(env.err),
+            pa.array(env.abort),
+            pa.array(list(env.msgs), type=pa.string()),
+        )
+
+    def eval_bool(self, batch: pa.Table) -> pa.Array:
+        """Condition usage: the program's final expression as a boolean
+        mask; rows that error evaluate false (src/conditions/vrl.rs:
+        114-129 — a runtime error fails the condition)."""
+        env = _Env(batch)
+        active = np.ones(env.n, dtype=bool)
+        result = self._exec_block(self.stmts, env, active)
+        if result is None:
+            raise ValueError("VRL condition must end in an expression")
+        data = _broadcast(result, env.n)
+        if not pa.types.is_boolean(data.type):
+            data = pc.cast(data, pa.bool_())
+        mask = pc.fill_null(data, False)
+        bad = env.err | env.abort
+        if result.err is not None:
+            bad = bad | result.err
+        if bad.any():
+            mask = pc.and_(mask, pa.array(~bad))
+        return mask
+
+    # ---- statement execution
+
+    def _exec_block(self, stmts, env: _Env, active: np.ndarray) -> Optional[Val]:
+        last = None
+        for st in stmts:
+            # rows already failed stop executing (reference semantics)
+            live = active & ~env.err & ~env.abort
+            if isinstance(st, Assign):
+                last = self._exec_assign(st, env, live)
+            elif isinstance(st, Abort):
+                msg = "aborted"
+                if st.message is not None:
+                    v = self._eval(st.message, env, live)
+                    msg = v.data if v.is_scalar() else None
+                    if msg is None and not v.is_scalar():
+                        env.flag(live, "abort",
+                                 np.asarray(_broadcast(v, env.n).to_pylist(),
+                                            dtype=object))
+                        last = None
+                        continue
+                env.flag(live, "abort", msg)
+                last = None
+            elif isinstance(st, ExprStmt):
+                last = self._eval(st.expr, env, live)
+                if isinstance(st.expr, CallE) and st.expr.name in ("assert", "assert_eq"):
+                    continue
+                self._raise_unhandled(st.expr, last, env, live)
+            else:
+                raise TypeError(st)
+        return last
+
+    def _exec_assign(self, st: Assign, env: _Env, live: np.ndarray) -> Val:
+        val = self._eval(st.expr, env, live)
+        if st.err_target is not None:
+            # ok, err = expr — error message column, null where ok
+            errmask = val.err if val.err is not None else np.zeros(env.n, bool)
+            msg = val.msg or "function call error"
+            emsgs = pa.array(
+                [msg if e else None for e in errmask], type=pa.string()
+            )
+            env.vars[st.err_target] = Val(emsgs)
+            val = Val(val.data, None)  # consumed
+        else:
+            errmask = val.err
+            self._raise_unhandled(st.expr, val, env, live)
+            if errmask is not None and errmask.any():
+                # failed rows keep a null value (rollback restores the
+                # original on flagged rows anyway)
+                data = _broadcast(val, env.n)
+                val = Val(_blend(errmask, pa.nulls(env.n, data.type), data))
+        if isinstance(st.target, VarE):
+            if live.all():
+                env.vars[st.target.name] = Val(_broadcast(val, env.n) if not val.is_scalar() else val.data)
+            else:
+                new = _broadcast(val, env.n)
+                old_v = env.vars.get(st.target.name)
+                old = _broadcast(old_v, env.n) if old_v is not None else pa.nulls(env.n, new.type if new.type != pa.null() else None)
+                env.vars[st.target.name] = Val(_blend(live, new, old))
+            return val
+        if isinstance(st.target, RootE):
+            self._assign_root(val, env, live)
+            return val
+        # event path target → flat dotted column name
+        name = ".".join(st.target.path)
+        new = _broadcast(val, env.n)
+        if name in env.cols and not live.all():
+            env.cols[name] = _blend(live, new, env.cols[name])
+        elif live.all():
+            env.cols[name] = new
+        else:
+            env.cols[name] = _blend(live, new, pa.nulls(env.n, new.type if new.type != pa.null() else None))
+        return val
+
+    def _assign_root(self, val: Val, env: _Env, live: np.ndarray) -> None:
+        """``. = expr`` — replace the whole event.  A struct/map value
+        expands to one column per key (columnar analog of the reference
+        replacing the event object; remap.rs check_remap_adds uses
+        ``. = parse_json!(...)`` shapes)."""
+        data = _broadcast(val, env.n)
+        t = data.type
+        new_cols: Dict[str, pa.Array] = {}
+        if pa.types.is_struct(t):
+            for f in t:
+                new_cols[f.name] = pc.struct_field(data, f.name)
+        elif pa.types.is_map(t):
+            keys = set()
+            for row in data.to_pylist():
+                if row:
+                    keys.update(k for k, _ in row)
+            for k in sorted(keys):
+                new_cols[k] = pc.map_lookup(data, pa.scalar(k, t.key_type), "first")
+        else:
+            new_cols["message"] = data
+        if live.all():
+            env.cols = new_cols
+        else:
+            merged = dict(env.cols)
+            for k, arr in new_cols.items():
+                old = merged.get(k, pa.nulls(env.n, arr.type))
+                merged[k] = _blend(live, arr, old)
+            # columns absent from the new event become null on live rows
+            for k in env.cols:
+                if k not in new_cols:
+                    merged[k] = _blend(~live, env.cols[k],
+                                       pa.nulls(env.n, env.cols[k].type))
+            env.cols = merged
+
+    def _raise_unhandled(self, expr, val: Val, env: _Env, live: np.ndarray):
+        """Unhandled fallible rows flag the row (``!`` semantics; the
+        reference rejects such programs at compile time — see module
+        docstring deviation note)."""
+        if val.err is not None and val.err.any():
+            env.flag(val.err & live, "error", val.msg or "function call error")
+            val.err = None
+
+    # ---- expression evaluation
+
+    def _eval(self, node, env: _Env, live: np.ndarray) -> Val:
+        if isinstance(node, LitE):
+            return Val(node.value)
+        if isinstance(node, RegexE):
+            return Val(node.pattern)
+        if isinstance(node, PathE):
+            return Val(_read_path(env, node.path))
+        if isinstance(node, RootE):
+            names = [c for c in env.cols]
+            return Val(pa.StructArray.from_arrays(
+                [env.cols[c] for c in names], names=names))
+        if isinstance(node, VarE):
+            v = env.vars.get(node.name)
+            if v is None:
+                raise ValueError(f"VRL: undefined variable {node.name!r}")
+            return Val(v.data, v.err, v.msg)
+        if isinstance(node, ArrayE):
+            return self._eval_array(node, env, live)
+        if isinstance(node, ObjectE):
+            return self._eval_object(node, env, live)
+        if isinstance(node, MemberE):
+            return self._eval_member(node, env, live)
+        if isinstance(node, CoalesceE):
+            return self._eval_coalesce(node, env, live)
+        if isinstance(node, NotE):
+            v = self._eval(node.operand, env, live)
+            if v.is_scalar():
+                return Val(not v.data, v.err, v.msg)
+            b = pc.fill_null(pc.cast(_arr(v.data), pa.bool_()), False)
+            return Val(pc.invert(b), v.err, v.msg)
+        if isinstance(node, NegE):
+            v = self._eval(node.operand, env, live)
+            if v.is_scalar():
+                return Val(-v.data, v.err, v.msg)
+            return Val(pc.negate(_arr(v.data)), v.err, v.msg)
+        if isinstance(node, BinE):
+            return self._eval_bin(node, env, live)
+        if isinstance(node, CallE):
+            return self._eval_call(node, env, live)
+        if isinstance(node, IfE):
+            return self._eval_if(node, env, live)
+        raise TypeError(node)
+
+    def _eval_if(self, node: IfE, env: _Env, active: np.ndarray) -> Val:
+        remaining = active.copy()
+        result: Optional[Val] = None
+        for cond, stmts in node.arms:
+            if cond is None:
+                mask = remaining.copy()
+            else:
+                cv = self._eval(cond, env, remaining)
+                data = _broadcast(cv, env.n)
+                if not pa.types.is_boolean(data.type):
+                    data = pc.cast(data, pa.bool_())
+                mask = remaining & np.asarray(pc.fill_null(data, False))
+                if cv.err is not None:
+                    mask &= ~cv.err
+            branch_val = self._exec_block(stmts, env, mask)
+            if branch_val is not None:
+                bdata = _broadcast(branch_val, env.n)
+                if result is None:
+                    result = Val(_blend(mask, bdata, pa.nulls(env.n, bdata.type)))
+                else:
+                    result = Val(_blend(mask, bdata, _broadcast(result, env.n)))
+            remaining &= ~mask
+            if not remaining.any():
+                break
+        return result if result is not None else Val(None)
+
+    def _eval_coalesce(self, node: CoalesceE, env, live) -> Val:
+        try:
+            left = self._eval(node.left, env, live)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError,
+                TypeError, KeyError):
+            return self._eval(node.right, env, live)
+        if left.err is None or not left.err.any():
+            return Val(left.data, None)
+        right = self._eval(node.right, env, live)
+        ldata = _broadcast(left, env.n)
+        rdata = _broadcast(right, env.n)
+        blended = _blend(left.err, rdata, ldata)
+        rerr = None
+        if right.err is not None:
+            rerr = right.err & left.err
+            if not rerr.any():
+                rerr = None
+        return Val(blended, rerr, right.msg)
+
+    def _eval_array(self, node: ArrayE, env, live) -> Val:
+        vals = [self._eval(it, env, live) for it in node.items]
+        if all(v.is_scalar() for v in vals):
+            return Val([v.data for v in vals])
+        arrs = [_broadcast(v, env.n) for v in vals]
+        t = next((a.type for a in arrs if a.type != pa.null()), pa.string())
+        arrs = [pc.cast(a, t) for a in arrs]
+        n, k = env.n, len(arrs)
+        flat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrs])
+        # interleave: element j of row i sits at j*n + i → take indices
+        idx = (np.arange(n * k).reshape(n, k).T * 0 +
+               np.arange(k)[:, None] * n + np.arange(n)[None, :]).T.ravel()
+        values = flat.take(pa.array(idx, type=pa.int64()))
+        offsets = pa.array(np.arange(0, n * k + 1, k, dtype=np.int32))
+        err = None
+        for v in vals:
+            if v.err is not None:
+                err = v.err if err is None else (err | v.err)
+        return Val(pa.ListArray.from_arrays(offsets, values), err)
+
+    def _eval_object(self, node: ObjectE, env, live) -> Val:
+        names, arrs, err, msg = [], [], None, None
+        for key, it in node.items:
+            v = self._eval(it, env, live)
+            names.append(key)
+            arrs.append(_broadcast(v, env.n))
+            if v.err is not None:
+                err = v.err if err is None else (err | v.err)
+                msg = msg or v.msg
+        return Val(pa.StructArray.from_arrays(arrs, names=names), err, msg)
+
+    def _eval_member(self, node: MemberE, env, live) -> Val:
+        base = self._eval(node.operand, env, live)
+        data = _broadcast(base, env.n)
+        t = data.type
+        # VRL: indexing null is an error ("can't query null"); a present
+        # object with a missing key is a legitimate null.  Rows where
+        # the base itself is null carry a recoverable error so
+        # `parsed.key ?? default` fires after a failed parse.
+        base_null = ~_validity(data)
+        err = _merge_err_masks(base.err, base_null if base_null.any() else None)
+        base = Val(base.data, err, base.msg or "can't query null")
+        if pa.types.is_struct(t):
+            if node.key not in [f.name for f in t]:
+                return Val(pa.nulls(env.n), base.err, base.msg)
+            return Val(pc.struct_field(data, node.key), base.err, base.msg)
+        if pa.types.is_map(t):
+            return Val(
+                pc.map_lookup(data, pa.scalar(str(node.key), t.key_type), "first"),
+                base.err, base.msg,
+            )
+        if (pa.types.is_list(t) or pa.types.is_large_list(t)) and str(node.key).lstrip("-").isdigit():
+            return Val(pc.list_element(data, int(node.key)), base.err, base.msg)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            # JSON-string objects (obj_array fallback form)
+            rows = data.to_pylist()
+            out = []
+            for r in rows:
+                try:
+                    d = json.loads(r) if r is not None else None
+                    out.append(d.get(node.key) if isinstance(d, dict) else None)
+                except (ValueError, TypeError):
+                    out.append(None)
+            return Val(_scalar.obj_array(out), base.err, base.msg)
+        raise ValueError(f"VRL: cannot index type {t} with {node.key!r}")
+
+    def _eval_bin(self, node: BinE, env, live) -> Val:
+        op = node.op
+        left = self._eval(node.left, env, live)
+        if op in ("&&", "||"):
+            right = self._eval(node.right, env, live)
+            lb = _to_bool_arr(left, env.n)
+            rb = _to_bool_arr(right, env.n)
+            out = pc.and_(lb, rb) if op == "&&" else pc.or_(lb, rb)
+            return Val(out, _merge_err(left, right), left.msg or right.msg)
+        right = self._eval(node.right, env, live)
+        err = _merge_err(left, right)
+        msg = left.msg or right.msg
+        if left.is_scalar() and right.is_scalar():
+            return Val(_scalar_bin(op, left.data, right.data), err, msg)
+        l = _broadcast(left, env.n) if not left.is_scalar() else left.data
+        r = _broadcast(right, env.n) if not right.is_scalar() else right.data
+        try:
+            return Val(_arrow_bin(op, l, r, env.n), err, msg)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError) as e:
+            # whole-column type failure → all live valid rows error
+            mask = np.ones(env.n, dtype=bool)
+            for side in (l, r):
+                if isinstance(side, (pa.Array, pa.ChunkedArray)):
+                    mask &= _validity(side)
+            newerr = mask if err is None else (err | mask)
+            return Val(pa.nulls(env.n), newerr, msg or f"operation failed: {e}")
+
+    def _eval_call(self, node: CallE, env, live) -> Val:
+        name = node.name
+        if name == "del":
+            return self._call_del(node, env, live)
+        if name == "exists":
+            (arg,) = node.args
+            if isinstance(arg, PathE):
+                cname = ".".join(arg.path)
+                if cname not in env.cols and arg.path[0] not in env.cols:
+                    return Val(pa.array([False] * env.n))
+            v = self._eval(arg, env, live)
+            return Val(pc.is_valid(_broadcast(v, env.n)))
+        if name in ("assert", "assert_eq"):
+            return self._call_assert(node, env, live)
+        vals = [self._eval(a, env, live) for a in node.args]
+        if not vals:
+            out = _scalar.call(name, pa.nulls(env.n))
+            return Val(_arr(out))
+        first = _broadcast(vals[0], env.n)
+        rest = [v.data if v.is_scalar() else _broadcast(v, env.n) for v in vals[1:]]
+        in_err = _merge_err(*vals)
+        try:
+            out = _arr(_scalar.call(name, first, *rest))
+            callerr = None
+            if _is_fallible(name):
+                # VRL: a fallible call errors on null input too
+                # (to_int(null) / parse_json(null) are errors)
+                callerr = ~_validity(out)
+                if not callerr.any():
+                    callerr = None
+        except Exception as e:  # per-row isolation via bisection
+            out, callerr = _bisect_call(name, first, rest, env.n, e)
+        msg = f'function call error for "{name}"'
+        if node.bang and callerr is not None and callerr.any():
+            env.flag(callerr & live, "error", msg)
+            callerr = None
+        err = _merge_err_masks(in_err, callerr)
+        return Val(out, err, msg if callerr is not None or err is not None else None)
+
+    def _call_del(self, node: CallE, env, live) -> Val:
+        (arg,) = node.args
+        if not isinstance(arg, PathE):
+            raise ValueError("del() takes an event path")
+        name = ".".join(arg.path)
+        if name not in env.cols:
+            return Val(None)
+        old = env.cols[name]
+        if live.all():
+            del env.cols[name]
+        else:
+            env.cols[name] = _blend(live, pa.nulls(env.n, old.type), old)
+        return Val(old)  # del returns the removed value
+
+    def _call_assert(self, node: CallE, env, live) -> Val:
+        if node.name == "assert":
+            cond = self._eval(node.args[0], env, live)
+            msg = None
+            if len(node.args) > 1:
+                m = self._eval(node.args[1], env, live)
+                msg = m.data if m.is_scalar() else None
+            mask = ~np.asarray(_to_bool_arr(cond, env.n))
+        else:
+            l = self._eval(node.args[0], env, live)
+            r = self._eval(node.args[1], env, live)
+            msg = None
+            if len(node.args) > 2:
+                m = self._eval(node.args[2], env, live)
+                msg = m.data if m.is_scalar() else None
+            eq = _arrow_bin("==", _broadcast(l, env.n), _broadcast(r, env.n), env.n)
+            mask = ~np.asarray(pc.fill_null(eq, False))
+        env.flag(mask & live, "error", msg or f"assertion failed: {node.name}")
+        return Val(pa.array(~mask))
+
+
+# ------------------------------------------------------ arrow helpers
+
+def _blend(mask: np.ndarray, new, old):
+    new, old = _arr(new), _arr(old)
+    if new.type != old.type:
+        if old.type == pa.null():
+            old = pa.nulls(len(new), new.type)
+        elif new.type == pa.null():
+            new = pa.nulls(len(old), old.type)
+        else:
+            try:
+                old = pc.cast(old, new.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                try:
+                    new = pc.cast(new, old.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    return _take_blend(mask, new, old)
+    m = np.asarray(mask) if not isinstance(mask, np.ndarray) else mask
+    try:
+        return pc.if_else(pa.array(m), new, old)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid, pa.ArrowTypeError):
+        # if_else lacks kernels for map/nested types → concat + take
+        return _take_blend(m, new, old)
+
+
+def _take_blend(mask, new: pa.Array, old: pa.Array) -> pa.Array:
+    """Row-select without an if_else kernel: stack [new, old] and take
+    per-row; falls back to python objects when even concat can't unify
+    the two types."""
+    m = np.asarray(mask)
+    n = len(m)
+    if new.type == old.type:
+        combined = pa.concat_arrays([new, old])
+        idx = np.where(m, np.arange(n), n + np.arange(n))
+        return combined.take(pa.array(idx, type=pa.int64()))
+    def _pylist(a: pa.Array):
+        if pa.types.is_map(a.type):
+            return [None if r is None else dict(r) for r in a.to_pylist()]
+        return a.to_pylist()
+
+    rows = [nv if take_new else ov
+            for take_new, nv, ov in zip(m, _pylist(new), _pylist(old))]
+    return _scalar.obj_array(rows)
+
+
+def _read_path(env: _Env, path: Tuple[str, ...]):
+    name = ".".join(path)
+    if name in env.cols:
+        return env.cols[name]
+    # longest flat prefix, then struct/map descent
+    for cut in range(len(path) - 1, 0, -1):
+        prefix = ".".join(path[:cut])
+        if prefix in env.cols:
+            col = env.cols[prefix]
+            for seg in path[cut:]:
+                t = col.type
+                if pa.types.is_struct(t):
+                    col = pc.struct_field(col, seg)
+                elif pa.types.is_map(t):
+                    col = pc.map_lookup(col, pa.scalar(seg, t.key_type), "first")
+                else:
+                    return pa.nulls(env.n)
+            return _arr(col)
+    return pa.nulls(env.n)
+
+
+def _to_bool_arr(v: Val, n: int):
+    data = _broadcast(v, n)
+    if not pa.types.is_boolean(data.type):
+        data = pc.cast(data, pa.bool_())
+    return pc.fill_null(data, False)
+
+
+def _merge_err(*vals: Val):
+    out = None
+    for v in vals:
+        if v.err is not None:
+            out = v.err if out is None else (out | v.err)
+    return out
+
+
+def _merge_err_masks(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a | b
+
+
+def _scalar_bin(op: str, l, r):
+    if op == "+":
+        if isinstance(l, str) or isinstance(r, str):
+            return f"{l}{r}"
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        return l / r
+    if op == "%":
+        return l % r
+    return {"==": l == r, "!=": l != r, "<": l < r,
+            "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+
+
+def _is_str_type(t):
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _arrow_bin(op: str, l, r, n: int):
+    la = isinstance(l, (pa.Array, pa.ChunkedArray))
+    ra = isinstance(r, (pa.Array, pa.ChunkedArray))
+    lt = _arr(l).type if la else None
+    rt = _arr(r).type if ra else None
+    if op == "+" and ((la and _is_str_type(lt)) or (ra and _is_str_type(rt))
+                      or (not la and isinstance(l, str))
+                      or (not ra and isinstance(r, str))):
+        ls = _arr(l) if la else pa.array([str(l)] * n)
+        rs = _arr(r) if ra else pa.array([str(r)] * n)
+        if not _is_str_type(ls.type):
+            ls = pc.cast(ls, pa.string())
+        if not _is_str_type(rs.type):
+            rs = pc.cast(rs, pa.string())
+        return pc.binary_join_element_wise(ls, rs, "")
+    if op in ("==", "!=", "<", "<=", ">", ">="):
+        fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+              "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+        return fn(l, r)
+    if op == "/":
+        if la and pa.types.is_integer(lt):
+            l = pc.cast(l, pa.float64())
+        elif ra and pa.types.is_integer(rt):
+            r = pc.cast(r, pa.float64())
+        elif not la and isinstance(l, int):
+            l = float(l)
+        elif not ra and isinstance(r, int):
+            r = float(r)
+        return pc.divide(l, r)
+    if op == "%":
+        q = pc.floor(pc.divide(pc.cast(l, pa.float64()) if la else float(l), r))
+        out = pc.subtract(l, pc.multiply(q, r))
+        if la and pa.types.is_integer(lt) and (not ra or pa.types.is_integer(rt)) \
+                and (ra or isinstance(r, int)):
+            out = pc.cast(out, pa.int64())
+        return out
+    fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[op]
+    return fn(l, r)
+
+
+def _bisect_call(name: str, first: pa.Array, rest: list, n: int, exc: Exception):
+    """A whole-column registry call raised: isolate the offending rows
+    by bisection so good rows still evaluate vectorized — O(k log n)
+    extra calls for k bad rows instead of a Python loop over all n."""
+    if n == 0:
+        raise exc
+    out_chunks: List[pa.Array] = []
+    err = np.zeros(n, dtype=bool)
+
+    def _rest_slice(off, ln):
+        return [rr.slice(off, ln) if isinstance(rr, (pa.Array, pa.ChunkedArray)) else rr
+                for rr in rest]
+
+    def _go(off: int, ln: int):
+        seg = first.slice(off, ln)
+        try:
+            out_chunks.append(_arr(_scalar.call(name, seg, *_rest_slice(off, ln))))
+            return
+        except Exception:
+            if ln == 1:
+                out_chunks.append(pa.nulls(1))
+                err[off] = True
+                return
+            half = ln // 2
+            _go(off, half)
+            _go(off + half, ln - half)
+
+    _go(0, n)
+    types = {c.type for c in out_chunks if c.type != pa.null()}
+    if len(types) == 1:
+        t = types.pop()
+        out_chunks = [pc.cast(c, t) if c.type != t else c for c in out_chunks]
+    elif len(types) > 1:
+        out_chunks = [pc.cast(c, pa.string()) for c in out_chunks]
+    out = pa.concat_arrays(out_chunks)
+    if _is_fallible(name):
+        err = err | (~_validity(out))
+    return out, (err if err.any() else None)
+
+
+def compile_program(source: str) -> Program:
+    return Program(source)
+
+
+class VrlCondition:
+    """Full-program VRL condition: compiled once, final expression is
+    the verdict, errored rows are false (src/conditions/vrl.rs)."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self.program = Program(source)
+
+    def __call__(self, batch: pa.Table):
+        return self.program.eval_bool(batch)
+
+    def mask(self, batch: pa.Table):
+        m = self(batch)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return m
+
+    def __repr__(self):
+        return f"VrlCondition({self.source!r})"
