@@ -469,6 +469,179 @@ def _t_limit(cfg, inputs):
     return inputs.limit(cfg["n"])
 
 
+# ------------------------------------------------- LLM-data pipelines
+# The training-data operators (pipelines/dedup.py, ann.py, multimodal.py,
+# functions/text.py) exposed as first-class config types, same status as
+# every §2 transform — a config-driven user reaches them without Python.
+
+
+@register("exact_dedup")
+def _t_exact_dedup(cfg, inputs):
+    from .pipelines.dedup import exact_dedup
+
+    return exact_dedup(
+        inputs, text_col=cfg.get("text_col", "text"), id_col=cfg.get("id_col", "doc_id")
+    )
+
+
+@register("minhash_dedup")
+def _t_minhash_dedup(cfg, inputs):
+    from .pipelines.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        inputs,
+        num_perm=cfg.get("num_perm", 64),
+        bands=cfg.get("bands", 16),
+        shingle_k=cfg.get("shingle_k", 5),
+        jaccard_threshold=cfg.get("jaccard_threshold", 0.7),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )
+
+
+@register("simhash_dedup")
+def _t_simhash_dedup(cfg, inputs):
+    from .pipelines.dedup import simhash_dedup
+
+    return simhash_dedup(
+        inputs,
+        hamming_k=cfg.get("hamming_k", 3),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )
+
+
+@register("ngram_jaccard_dedup")
+def _t_ngram_dedup(cfg, inputs):
+    from .pipelines.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(
+        inputs,
+        n=cfg.get("n", 3),
+        threshold=cfg.get("threshold", 0.8),
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )
+
+
+@register("embedding_dedup")
+def _t_embedding_dedup(cfg, inputs):
+    from .pipelines.dedup import embedding_dedup
+
+    return embedding_dedup(
+        inputs,
+        threshold=cfg.get("threshold", 0.95),
+        vec_col=cfg.get("vec_col", "embedding"),
+        id_col=cfg.get("id_col", "vec_id"),
+        n_planes=cfg.get("n_planes", 12),
+    )
+
+
+def _config_queries(cfg):
+    """ANN query vectors from config: inline `queries: [[...], ...]` or
+    a single-column parquet at `queries_path`."""
+    import numpy as np
+
+    if cfg.get("queries") is not None:
+        return np.asarray(cfg["queries"], dtype="float32")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(cfg["queries_path"])
+    col = cfg.get("queries_col", t.column_names[0])
+    return np.asarray(t[col].to_pylist(), dtype="float32")
+
+
+@register("ann_topk")
+def _t_ann_topk(cfg, inputs):
+    from .pipelines.ann import brute_force_topk
+
+    return brute_force_topk(
+        inputs,
+        _config_queries(cfg),
+        k=cfg.get("k", 10),
+        vec_col=cfg.get("vec_col", "embedding"),
+        id_col=cfg.get("id_col", "vec_id"),
+    )
+
+
+@register("ivf_topk")
+def _t_ivf_topk(cfg, inputs):
+    from .pipelines.ann import ivf_topk
+
+    return ivf_topk(
+        inputs,
+        _config_queries(cfg),
+        k=cfg.get("k", 10),
+        n_lists=cfg.get("n_lists", 16),
+        nprobe=cfg.get("nprobe", 4),
+        vec_col=cfg.get("vec_col", "embedding"),
+        id_col=cfg.get("id_col", "vec_id"),
+    )
+
+
+@register("text_analysis")
+def _t_text_analysis(cfg, inputs):
+    """token counting / quality scoring / language-ID / fingerprinting —
+    pick stages with `analyses: [tokens, quality, lang, fingerprint]`
+    (default: all)."""
+    from .functions.text import LangId, QualityScorer, fingerprint, token_counts
+
+    which = set(cfg.get("analyses", ["tokens", "quality", "lang", "fingerprint"]))
+    text_col = cfg.get("text_col", "text")
+    pool = _default_pool(divisor=16)
+    ds = inputs
+    if "tokens" in which:
+        ds = ds.map_batches(
+            lambda b: token_counts(b, text_col=text_col), batch_format="pyarrow"
+        )
+    if "quality" in which:
+        ds = ds.map_batches(
+            QualityScorer, batch_format="pyarrow", concurrency=pool,
+            fn_constructor_kwargs=(
+                {"text_col": text_col} if text_col != "text" else {}
+            ),
+        )
+    if "lang" in which:
+        ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=pool)
+    if "fingerprint" in which:
+        ds = ds.map_batches(
+            lambda b: fingerprint(b, text_col=text_col), batch_format="pyarrow"
+        )
+    return ds
+
+
+@register("image_features")
+def _t_image_features(cfg, inputs):
+    from .pipelines.multimodal import image_features
+
+    return image_features(inputs, batch_size=cfg.get("batch_size", 128))
+
+
+@register("audio_features")
+def _t_audio_features(cfg, inputs):
+    from .pipelines.multimodal import audio_features
+
+    return audio_features(inputs, batch_size=cfg.get("batch_size", 128))
+
+
+@register("resize_images")
+def _t_resize_images(cfg, inputs):
+    from .pipelines.multimodal import resize_images
+
+    return resize_images(
+        inputs, cfg["width"], cfg["height"], batch_size=cfg.get("batch_size", 64)
+    )
+
+
+@register("sample_frames")
+def _t_sample_frames(cfg, inputs):
+    from .pipelines.multimodal import sample_frames
+
+    return sample_frames(
+        inputs, every_ms=cfg.get("every_ms", 500), batch_size=cfg.get("batch_size", 64)
+    )
+
+
 @register("python")
 def _t_python(cfg, inputs):
     """User-extension hook (lua-transform analog): a callable operating
