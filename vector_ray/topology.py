@@ -566,17 +566,30 @@ def _t_ann_topk(cfg, inputs):
 
 @register("ivf_topk")
 def _t_ivf_topk(cfg, inputs):
-    from .pipelines.ann import ivf_topk
+    """With `index_dir`, searches a MATERIALIZED list-partitioned index
+    (building it on first use) so only the probed partitions are read;
+    without it, the one-shot full-scan prototype."""
+    import os
 
-    return ivf_topk(
-        inputs,
-        _config_queries(cfg),
+    from .pipelines.ann import build_ivf_index, ivf_search, ivf_topk
+
+    queries = _config_queries(cfg)
+    common = dict(
         k=cfg.get("k", 10),
-        n_lists=cfg.get("n_lists", 16),
         nprobe=cfg.get("nprobe", 4),
         vec_col=cfg.get("vec_col", "embedding"),
         id_col=cfg.get("id_col", "vec_id"),
     )
+    index_dir = cfg.get("index_dir")
+    if index_dir:
+        if not os.path.exists(os.path.join(index_dir, "centroids.parquet")):
+            build_ivf_index(
+                inputs, index_dir,
+                n_lists=cfg.get("n_lists", 16),
+                vec_col=common["vec_col"], id_col=common["id_col"],
+            )
+        return ivf_search(index_dir, queries, **common)
+    return ivf_topk(inputs, queries, n_lists=cfg.get("n_lists", 16), **common)
 
 
 @register("text_analysis")
