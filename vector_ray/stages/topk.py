@@ -22,15 +22,21 @@ def topk_per_group(ds, group_by: Sequence[str], value_col: str, k: int,
     group_by = list(group_by)
 
     def _local(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        # rank on a PROJECTED frame (keys + value only) and take row
+        # indices on the Arrow table — wide payload columns never cross
+        # into pandas (same projection the aggregate path does)
+        need = list(dict.fromkeys(group_by + [value_col] + ([tie_col] if tie_col else [])))
+        df = batch.select(need).to_pandas()
         by = [value_col] + ([tie_col] if tie_col else [])
         asc = [ascending] + ([True] if tie_col else [])
+        df["__i"] = np.arange(len(df))
         out = (
             df.sort_values(by, ascending=asc, kind="mergesort")
             .groupby(group_by, sort=False, dropna=False)
             .head(k)
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        idx = np.sort(out["__i"].to_numpy())
+        return batch.take(pa.array(idx))
 
     local = ds.map_batches(_local, batch_format="pyarrow", batch_size=None)
 
