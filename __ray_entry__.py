@@ -250,6 +250,27 @@ def q_remap_dropped(sf_dir):
     return dropped
 
 
+def q_vrl_program(sf_dir):
+    """remap driven by a VRL *source program* (vector_ray/vrl.py — the
+    reference's native remap config shape, remap.rs:52): error-capture
+    parse, ?? coalescing, if/else-if/else, string concat, del."""
+    from vector_ray.stages import remap_vrl
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value", "props"])
+    src = """
+parsed, e = parse_json(.props)
+.k = to_int(parsed.k) ?? -1
+if .event_type == "error" { .sev = 3 }
+else if .event_type == "signup" { .sev = 6 }
+else { .sev = 1 }
+.tag = .event_type + ":" + to_string(.sev)
+.vk = round(.value * 2 + .k, 3)
+del(.props)
+"""
+    out = remap_vrl(ds, src)
+    return out.select_columns(["event_id", "k", "sev", "tag", "vk"])
+
+
 def q_dedupe_events(sf_dir):
     from vector_ray.stages import dedupe_exact
 
@@ -690,6 +711,29 @@ def q_ivf_topk_full(sf_dir):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def q_ivf_index_topk(sf_dir):
+    """Materialized IVF index (build once into a list-partitioned
+    parquet layout, then search reading only probed partitions).  Full
+    probe ⇒ exact, so the brute-force SQL oracle applies."""
+    import ray.data as rd
+
+    from vector_ray.pipelines.ann import build_ivf_index, ivf_search
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    idx_dir = os.path.join(
+        "/tmp/vector_ray_ivf",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{os.path.getsize(path)}",
+    )
+    if not os.path.exists(os.path.join(idx_dir, "centroids.parquet")):
+        build_ivf_index(rd.read_parquet(path), idx_dir, n_lists=8)
+    first = (
+        rd.read_parquet(path).filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_search(idx_dir, queries, k=10, nprobe=8).to_pandas()
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def q_ann_topk(sf_dir):
     """Brute-force cosine top-10 for the first 3 vectors as queries."""
     import ray.data as rd
@@ -868,7 +912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # route_counts/exclusive_route_counts (derivable from *_rows),
     # metric_to_log (subsumed by metric_to_log_typed),
     # doc_fingerprint_groups (fingerprint path inside dedup_docs_exact),
-    # ivf_topk partial-probe (sibling ivf_topk_full is oracle-checked).
+    # ivf_topk partial-probe (sibling ivf_topk_full is oracle-checked),
+    # doc_token_count (projection of text_analysis's n_ws_tokens).
     return {
         # --- oracle-checked (rows+schema+hash vs DuckDB) ---
         "token_pipeline": q_token_pipeline,
@@ -877,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exclusive_route_rows": q_exclusive_route_rows,
         "remap_parse_json": q_remap_parse_json,
         "remap_dropped": q_remap_dropped,
+        "vrl_program": q_vrl_program,
         "incremental_to_absolute": q_incremental_to_absolute,
         "incremental_reset": q_incremental_reset,
         "metric_to_log_typed": q_metric_to_log_typed,
@@ -911,7 +957,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_pricing": q_salted_pricing,
         "quality_scores": q_quality_scores,
         "text_analysis": q_text_analysis,
-        "doc_token_count": q_doc_token_count,
         "dedup_docs_exact": q_dedup_docs_exact,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -919,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "ann_topk": q_ann_topk,
         "ivf_topk_full": q_ivf_topk_full,
+        "ivf_index_topk": q_ivf_index_topk,
         "dd_search_filter": q_dd_search_filter,
         # --- rows-only tail (non-SQL-expressible; oracle-checked
         # siblings: sample_mod/ratio, dedupe_windowed_exact,
@@ -1045,6 +1091,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "remap_parse_json": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+        "vrl_program": (
+            "WITH base AS (SELECT event_id, event_type, value, "
+            "COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k, "
+            "CASE WHEN event_type = 'error' THEN 3 "
+            "WHEN event_type = 'signup' THEN 6 ELSE 1 END AS sev FROM events) "
+            "SELECT event_id, k, sev, "
+            "event_type || ':' || CAST(sev AS VARCHAR) AS tag, "
+            "round(value * 2 + k, 3) AS vk FROM base"
         ),
         "static_enrich": (
             "SELECT event_id, user_id, 'us-east-1a' AS az, 'm5.large' AS instance_type FROM events"
@@ -1262,9 +1317,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM q CROSS JOIN embeddings e "
             "QUALIFY rank <= 10"
         ),
-        "doc_token_count": (
-            "SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
-            "AS n_ws_tokens FROM documents"
+        "ivf_index_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3) "
+            "SELECT CAST(q.qid AS BIGINT) AS query_id, e.vec_id, "
+            "CAST(row_number() OVER (PARTITION BY q.qid "
+            "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS BIGINT) AS rank "
+            "FROM q CROSS JOIN embeddings e "
+            "QUALIFY rank <= 10"
         ),
         "dedup_docs_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents "
