@@ -345,6 +345,20 @@ def test_cli_vrl_one_shot(capsys):
     assert main(["vrl", "nope", "x"]) == 1
 
 
+def test_cli_vrl_program(capsys):
+    import json
+
+    from vector_ray.__main__ import main
+
+    assert main(["vrl", "--program", '.b = .a * 2\nif .b > 5 { .big = true } else { .big = false }', '{"a": 4}']) == 0
+    assert json.loads(capsys.readouterr().out) == {"a": 4, "b": 8, "big": True}
+    # a failing fallible call reports the error and exits nonzero
+    assert main(["vrl", "--program", ". = parse_json!(.m)", '{"m": "oops"}']) == 1
+    assert "error" in json.loads(capsys.readouterr().out)
+    assert main(["vrl", "--program", 'abort "no"', '{"a": 1}']) == 1
+    assert json.loads(capsys.readouterr().out) == {"aborted": "no"}
+
+
 def test_cli_json_config(tmp_path, capsys, ray_session):
     """validate accepts JSON configs (config/format.rs multi-format)."""
     import json

@@ -182,19 +182,47 @@ def cmd_convert(args) -> int:
 
 
 def cmd_vrl(args) -> int:
-    """Evaluate one stdlib function on a JSON-literal input (the batch
-    engine's stand-in for the reference's interactive VRL REPL)."""
+    """`vector vrl` analog, two shapes:
+
+    * ``vrl --program '<source>' '<json event>'`` — compile and run a
+      full VRL program (vrl.py) against one JSON event; prints the
+      transformed event (or the error/abort verdict).
+    * ``vrl <fn> <value> [args...]`` — one-shot stdlib-function
+      evaluation on JSON literals."""
     import json as _json
 
     import pyarrow as pa
-
-    from .functions import scalar
 
     def lit(s):
         try:
             return _json.loads(s)
         except Exception:
             return s  # bare string convenience
+
+    if args.program:
+        from .vrl import compile_program
+
+        event = lit(args.value if args.function is None else args.function)
+        if not isinstance(event, dict):
+            print("error: --program needs a JSON-object event")
+            return 1
+        try:
+            prog = compile_program(args.program)
+            batch = pa.Table.from_pylist([event])
+            out, err, abort, msgs = prog.run(batch)
+        except Exception as e:
+            print(f"error: {e}")
+            return 1
+        if err[0].as_py():
+            print(_json.dumps({"error": msgs[0].as_py()}))
+            return 1
+        if abort[0].as_py():
+            print(_json.dumps({"aborted": msgs[0].as_py()}))
+            return 1
+        print(_json.dumps(out.to_pylist()[0], default=str))
+        return 0
+
+    from .functions import scalar
 
     col = pa.array([lit(args.value)])
     extra = [lit(a) for a in args.args]
@@ -237,11 +265,13 @@ def main(argv=None) -> int:
     gen.set_defaults(fn=cmd_generate)
     vrl = sub.add_parser(
         "vrl",
-        help="one-shot scalar-function evaluation over JSON literals "
-             "(`vector vrl` REPL analog): vrl <fn> <value> [args...]",
+        help="`vector vrl` analog: vrl <fn> <value> [args...] for one "
+             "stdlib call, or vrl --program '<source>' '<json event>' "
+             "to run a full VRL program against one event",
     )
-    vrl.add_argument("function")
-    vrl.add_argument("value")
+    vrl.add_argument("--program", help="VRL source program to run")
+    vrl.add_argument("function", nargs="?")
+    vrl.add_argument("value", nargs="?")
     vrl.add_argument("args", nargs="*")
     vrl.set_defaults(fn=cmd_vrl)
     cc = sub.add_parser(
