@@ -295,6 +295,22 @@ def test_conditional_root_assignment(events):
     assert t["n"].to_pylist() == [1, None, 3]
 
 
+def test_merge_root_with_parsed_object(events):
+    """`. = merge(., parse_json(.x) ?? {})` — the standard enrich idiom:
+    parsed keys overlay the event, failed rows keep it unchanged."""
+    t, err, *_ = run('. = merge(., parse_json(.message) ?? {})', events)
+    assert not pc.any(err).as_py()
+    assert t["host"].to_pylist() == ["a", "b", "c"]  # originals kept
+    assert t["level"].to_pylist() == ["info", "err", None]
+
+
+def test_merge_root_with_literal(events):
+    t, *_ = run('. = merge(., {"x": 1, "host": "zz"})', events)
+    assert t["x"].to_pylist() == [1, 1, 1]
+    assert t["host"].to_pylist() == ["zz", "zz", "zz"]
+    assert t["n"].to_pylist() == [1, 2, 3]
+
+
 # -------------------------------------------------------------- assert
 
 

@@ -885,6 +885,8 @@ class Program:
         return Val(pa.ListArray.from_arrays(offsets, values), err)
 
     def _eval_object(self, node: ObjectE, env, live) -> Val:
+        if not node.items:
+            return Val(pa.array([{}] * env.n, type=pa.struct([])))
         names, arrs, err, msg = [], [], None, None
         for key, it in node.items:
             v = self._eval(it, env, live)
@@ -971,6 +973,43 @@ class Program:
             return Val(pc.is_valid(_broadcast(v, env.n)))
         if name in ("assert", "assert_eq"):
             return self._call_assert(node, env, live)
+        if name == "merge" and node.args and isinstance(node.args[0], RootE):
+            # `. = merge(., parsed)` — the standard enrich idiom: overlay
+            # the object's keys onto the event (reference merge.cue on
+            # the root path).  Evaluated natively so the event stays
+            # columnar instead of crossing through a map array.
+            right = self._eval(node.args[1], env, live)
+            data = _broadcast(right, env.n)
+            t = data.type
+            names = [c for c in env.cols]
+            arrs = [env.cols[c] for c in names]
+            if pa.types.is_struct(t):
+                for f in t:
+                    col = pc.struct_field(data, f.name)
+                    if f.name in names:
+                        arrs[names.index(f.name)] = col
+                    else:
+                        names.append(f.name)
+                        arrs.append(col)
+            elif pa.types.is_map(t):
+                keys = set()
+                for row in data.to_pylist():
+                    if row:
+                        keys.update(k for k, _ in row)
+                for kk in sorted(keys):
+                    col = pc.map_lookup(data, pa.scalar(kk, t.key_type), "first")
+                    if kk in names:
+                        # only overwrite where the object HAS the key
+                        arrs[names.index(kk)] = pc.coalesce(col, arrs[names.index(kk)].cast(col.type) if arrs[names.index(kk)].type != col.type else arrs[names.index(kk)])
+                    else:
+                        names.append(kk)
+                        arrs.append(col)
+            else:
+                raise ValueError("merge(., x): x must be an object")
+            return Val(
+                pa.StructArray.from_arrays([_arr(a) for a in arrs], names=names),
+                right.err, right.msg,
+            )
         vals = [self._eval(a, env, live) for a in node.args]
         if not vals:
             out = _scalar.call(name, pa.nulls(env.n))
