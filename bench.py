@@ -120,6 +120,8 @@ def run_bench() -> dict:
         "histogram_buckets",
         "quality_scores",
         "ann_topk",
+        "vrl_program",
+        "ivf_index_topk",
     ):
         ray.shutdown()
         ray.init(

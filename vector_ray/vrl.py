@@ -750,7 +750,16 @@ class Program:
                     keys.update(k for k, _ in row)
             for k in sorted(keys):
                 new_cols[k] = pc.map_lookup(data, pa.scalar(k, t.key_type), "first")
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            raise ValueError(
+                "`. = <array>` (emit-multiple, remap.rs "
+                "check_remap_emits_multiple) can't change the row count "
+                "inside the vectorized VRL step — use the remap "
+                "('unnest', field) step for that"
+            )
         else:
+            # non-object root (`. = "root string"`, remap.rs:826) — the
+            # event collapses to its message field (legacy namespace)
             new_cols["message"] = data
         if live.all():
             env.cols = new_cols
@@ -935,12 +944,31 @@ class Program:
     def _eval_bin(self, node: BinE, env, live) -> Val:
         op = node.op
         left = self._eval(node.left, env, live)
-        if op in ("&&", "||"):
+        if op == "&&":
             right = self._eval(node.right, env, live)
             lb = _to_bool_arr(left, env.n)
             rb = _to_bool_arr(right, env.n)
-            out = pc.and_(lb, rb) if op == "&&" else pc.or_(lb, rb)
-            return Val(out, _merge_err(left, right), left.msg or right.msg)
+            return Val(pc.and_(lb, rb), _merge_err(left, right),
+                       left.msg or right.msg)
+        if op == "||":
+            # VRL ||: VALUE-returning short circuit — lhs unless falsy
+            # (null or false), else rhs (`.thing.cabbage || "beetroot"`
+            # in remap.rs:1741).  For boolean operands this reduces to
+            # boolean or with null→rhs.  Errored lhs rows count falsy.
+            right = self._eval(node.right, env, live)
+            ldata = _broadcast(left, env.n)
+            falsy = ~_validity(ldata)
+            if pa.types.is_boolean(ldata.type):
+                falsy |= ~np.asarray(pc.fill_null(ldata, True))
+            if left.err is not None:
+                falsy |= left.err
+            if not falsy.any():
+                return Val(ldata)
+            rdata = _broadcast(right, env.n)
+            rerr = right.err & falsy if right.err is not None else None
+            if rerr is not None and not rerr.any():
+                rerr = None
+            return Val(_blend(falsy, rdata, ldata), rerr, right.msg)
         right = self._eval(node.right, env, live)
         err = _merge_err(left, right)
         msg = left.msg or right.msg
