@@ -695,6 +695,19 @@ def q_quality_scores(sf_dir):
     return df
 
 
+def _query_vectors(path, n=3):
+    """The n query vectors (vec_id < n) — a tiny driver-side side input
+    fetched with a filtered parquet read, not a Ray job (a full
+    read→filter→to_pandas pipeline costs ~2.5 s of plan/launch overhead
+    to fetch 3 rows)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n)]
+    ).to_pandas().sort_values("vec_id")
+    return np.stack(t["embedding"].to_numpy()).astype(np.float64)
+
+
 def q_ivf_topk_full(sf_dir):
     """IVF ANN probing EVERY list (nprobe = n_lists): exercises the
     full quantize→bucket→probe→merge machinery with exact recall, so
@@ -705,8 +718,7 @@ def q_ivf_topk_full(sf_dir):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     emb = rd.read_parquet(path)
-    first = rd.read_parquet(path).filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
-    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    queries = _query_vectors(path)
     out = ivf_topk(emb, queries, k=10, n_lists=8, nprobe=8).to_pandas()
     return out[["query_id", "vec_id", "rank"]]
 
@@ -726,10 +738,7 @@ def q_ivf_index_topk(sf_dir):
     )
     if not os.path.exists(os.path.join(idx_dir, "centroids.parquet")):
         build_ivf_index(rd.read_parquet(path), idx_dir, n_lists=8)
-    first = (
-        rd.read_parquet(path).filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
-    )
-    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    queries = _query_vectors(path)
     out = ivf_search(idx_dir, queries, k=10, nprobe=8).to_pandas()
     return out[["query_id", "vec_id", "rank"]]
 
@@ -742,13 +751,7 @@ def q_ann_topk(sf_dir):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     emb = rd.read_parquet(path)
-    first = (
-        rd.read_parquet(path)
-        .filter(expr="vec_id < 3")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    queries = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    queries = _query_vectors(path)
     out = brute_force_topk(emb, queries, k=10).to_pandas()
     out = out[["query_id", "vec_id", "rank"]]
     return out

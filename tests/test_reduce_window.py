@@ -3,6 +3,7 @@ buffer) — semantics from reduce/merge_strategy.rs:17-55,
 reduce/transform.rs:223-254, window/transform.rs:50-96."""
 
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from vector_ray.stages import reduce_stage, window_stage
@@ -370,3 +371,44 @@ def test_reduce_missing_key_unifies_with_typed_blocks(ray_session):
     got = {(None if r.get("user") is None or (isinstance(r["user"], float)
             and math.isnan(r["user"])) else int(r["user"])): r["v"] for r in out}
     assert got == {7: 1.0, None: 2.0}
+
+
+def test_merge_strategy_type_matrix():
+    """Port of reduce/merge_strategy.rs merging_values (:786-900) +
+    the type-mismatch halves of initial_values (:675-784): a value a
+    strategy's merger can't accept is warn-SKIPPED per
+    transform.rs:68-118, never an event error."""
+    import pandas as pd
+
+    from vector_ray.stages.reduce import _merge_series as m
+
+    S = pd.Series
+    # merging_values Ok rows
+    assert m(S(["foo", "bar"]), "concat") == "foo bar"
+    assert m(S(["foo", "bar"]), "concat_newline") == "foo\nbar"
+    assert m(S(["foo", "bar"]), "concat_raw") == "foobar"
+    assert m(S(["foo", "bar"]), "array") == ["foo", "bar"]
+    assert m(S([[4], [2]]), "concat") == [4, 2]
+    assert m(S([[], 42], dtype=object), "concat") == [42]
+    assert m(S([[34], [42, 43]]), "shortest_array") == [34]
+    assert m(S([[34], [42, 43]]), "longest_array") == [42, 43]
+    assert sorted(m(S([34, 43, 43]), "flat_unique")) == [34, 43]
+    assert m(S([21, 21]), "sum") == 42
+    assert m(S([41, 42]), "max") == 42
+    assert m(S([43, 42]), "min") == 42
+    assert m(S([2.1, 2.1]), "sum") == pytest.approx(4.2)
+    # type-mismatch rows: merge("foo", 42/4.2/true/{}/null, Concat).is_err()
+    # → the mismatched value is skipped, the string accumulator stays
+    assert m(S(["foo", 42], dtype=object), "concat") == "foo"
+    assert m(S(["foo", 4.2], dtype=object), "concat") == "foo"
+    assert m(S(["foo", True], dtype=object), "concat") == "foo"
+    assert m(S(["foo", {}], dtype=object), "concat") == "foo"
+    assert m(S(["foo", 42], dtype=object), "concat_newline") == "foo"
+    assert m(S(["foo", 42], dtype=object), "concat_raw") == "foo"
+    # Sum/Max/Min reject strings and bools (initial_values)
+    assert m(S(["foo", 21, 21], dtype=object), "sum") == 42
+    assert m(S([True, 41, 42], dtype=object), "max") == 42
+    assert m(S(["foo"], dtype=object), "sum") is None
+    # LongestArray/ShortestArray reject scalars (initial_values)
+    assert m(S(["foo", [1, 2]], dtype=object), "longest_array") == [1, 2]
+    assert m(S([42, [7]], dtype=object), "shortest_array") == [7]

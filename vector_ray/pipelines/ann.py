@@ -110,17 +110,25 @@ class IVFIndex:
 
 def _merge_topk(local, k: int, id_col: str):
     """Tiny final merge of per-batch local top-ks: at most
-    (#batches × k) rows per query reach the groupby."""
+    (#batches × k) rows per query survive the local stage, so the merge
+    input is bounded and small by construction — coalesce to one block
+    and merge in a single task instead of paying a groupby shuffle
+    (ray 2.49's sort-based groupby costs seconds of fixed overhead for
+    a result this size)."""
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["score", id_col], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def _merge(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(
+            ["query_id", "score", id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        b = b.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        b["rank"] = b.groupby("query_id", sort=True).cumcount() + 1
+        return b
 
-    return local.groupby("query_id").map_groups(_merge, batch_format="pandas")
+    return local.repartition(1).map_batches(
+        _merge, batch_format="pandas", batch_size=None
+    )
 
 
 def build_ivf_index(
@@ -204,24 +212,37 @@ def probed_lists_dataset(
     """Read ONLY the probed inverted-list partitions — the I/O-pruning
     half of :func:`ivf_search`.  Each probed list is one hive directory;
     unprobed directories never appear in the read plan (test asserts
-    via ``input_files()``).  Returns None when no probed list exists."""
+    via ``input_files()``).  Returns None when no probed list exists.
+
+    All probed partitions go through ONE ``read_parquet`` call
+    (``include_paths`` recovers ``list_id`` from the hive path) — a
+    per-partition read chained with ``union`` pays ~1 s of plan/launch
+    overhead per operand, which at nprobe=8 dwarfed the actual scan."""
+    import glob
+    import os
+    import re
+
     import ray.data as rd
 
-    parts = []
-    for lid, path in probed_list_paths(index_dir, probe_set):
-        part = rd.read_parquet(path, columns=[id_col, vec_col])
-        parts.append(part.map_batches(
-            lambda b, _lid=lid: b.append_column(
-                "list_id", pa.array(np.full(b.num_rows, _lid, dtype=np.int32))
-            ),
-            batch_format="pyarrow", batch_size=None,
-        ))
-    if not parts:
+    files = []
+    for _lid, path in probed_list_paths(index_dir, probe_set):
+        files.extend(sorted(glob.glob(os.path.join(path, "*.parquet"))))
+    if not files:
         return None
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds
+    ds = rd.read_parquet(files, columns=[id_col, vec_col], include_paths=True)
+
+    def _lid_from_path(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(paths, return_inverse=True)
+        lids = np.array(
+            [int(re.search(r"list_id=(\d+)", p).group(1)) for p in uniq],
+            dtype=np.int32,
+        )[inv]
+        return batch.drop_columns(["path"]).append_column(
+            "list_id", pa.array(lids)
+        )
+
+    return ds.map_batches(_lid_from_path, batch_format="pyarrow", batch_size=None)
 
 
 def ivf_search(

@@ -36,15 +36,29 @@ from ..expr import compile_condition
 _PART = "__reduce_part"
 
 
+def _is_number(v) -> bool:
+    return isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(
+        v, (bool, np.bool_)
+    )
+
+
 def _merge_series(s: pd.Series, strategy: str):
     """Python-path strategies (the vectorizable ones are dispatched to
-    pandas groupby aggregations in reduce_stage)."""
+    pandas groupby aggregations in reduce_stage).
+
+    Type mismatches follow reduce/transform.rs:68-118: a value the
+    strategy's merger can't accept is warn-skipped, never an event
+    error — merge_strategy.rs's test matrix (initial_values /
+    merging_values:675-900) pins which types each strategy takes.
+    """
     if strategy == "array":
         return list(s)
     if strategy == "concat":
         # reference Concat (reduce/merge_strategy.rs ConcatMerger):
         # array values EXTEND the accumulator, scalars append; a pure
-        # string stream falls back to the space-joined message form
+        # string stream is the space-joined message form.  A non-string
+        # scalar in string mode errs in the reference
+        # (merging_values: merge("foo", 42, Concat).is_err()) → skip.
         vals = [v for v in s if v is not None]
         if any(isinstance(v, (list, np.ndarray)) for v in vals):
             out = []
@@ -56,11 +70,18 @@ def _merge_series(s: pd.Series, strategy: str):
                 else:
                     out.append(v)
             return out
-        return " ".join(str(v) for v in vals)
+        return " ".join(v for v in vals if isinstance(v, str))
     if strategy == "concat_newline":
-        return "\n".join(str(v) for v in s if v is not None)
+        return "\n".join(v for v in s if isinstance(v, str))
     if strategy == "concat_raw":
-        return "".join(str(v) for v in s if v is not None)
+        return "".join(v for v in s if isinstance(v, str))
+    if strategy in ("sum", "max", "min"):
+        # object-dtype fallback: numbers only, like AddNumbersMerger &
+        # friends rejecting strings/bools/timestamps
+        nums = [v for v in s if _is_number(v)]
+        if not nums:
+            return None
+        return {"sum": sum, "max": max, "min": min}[strategy](nums)
     if strategy == "shortest_array":
         arrays = [v for v in s if isinstance(v, (list, np.ndarray))]
         return min(arrays, key=len) if arrays else None
