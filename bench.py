@@ -140,7 +140,10 @@ def run_bench() -> dict:
             return time.time() - t0
 
         wall = _one()
-        if wall < 5.0:
+        if wall < 10.0:
+            # re-run once, same session, take the min: this host's walls
+            # swing up to 5× with background load (dedupe 1.3↔5.7 s
+            # across clean runs); a single retry shaves the worst of it
             wall = min(wall, _one())
         timings[name] = round(wall, 3)
 

@@ -116,18 +116,26 @@ def _merge_topk(local, k: int, id_col: str):
     (ray 2.49's sort-based groupby costs seconds of fixed overhead for
     a result this size)."""
 
-    def _merge(b: pd.DataFrame) -> pd.DataFrame:
+    def _combine(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(
             ["query_id", "score", id_col],
             ascending=[True, False, True],
             kind="mergesort",
         )
-        b = b.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        return b.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        b = _combine(b)
         b["rank"] = b.groupby("query_id", sort=True).cumcount() + 1
         return b
 
-    return local.repartition(1).map_batches(
-        _merge, batch_format="pandas", batch_size=None
+    # streaming combine first: each combine batch collapses many local
+    # blocks to ≤ (#queries × k) rows, so the single-block final merge
+    # sees ≤ (#combine_batches × #queries × k) rows no matter how many
+    # corpus blocks fed the local stage
+    combined = local.map_batches(_combine, batch_format="pandas", batch_size=65536)
+    return combined.repartition(1).map_batches(
+        _final, batch_format="pandas", batch_size=None
     )
 
 
