@@ -246,3 +246,40 @@ def test_open_ended_date_bounds(ray_session):
     })
     out = table.probe(probe, on=["k"], select=["zip"], date_field="ts")
     assert out["zip"].to_pylist() == ["early", "late"]
+
+
+def test_probe_key_order_insensitive():
+    """file.rs duplicate_indexes (:916): an index on (field2, field3)
+    IS the index on (field3, field2) — columnar analog: probe results
+    don't depend on the order of the `on` keys."""
+    t2 = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array(["1", "2", "1"]),
+            "v": pa.array([10, 20, 30]),
+        }
+    )
+    ev = pa.table({"a": pa.array(["x", "y"]), "b": pa.array(["2", "1"])})
+    t_ab = EnrichTable(t2, ["a", "b"]).probe(ev, on=["a", "b"])
+    t_ba = EnrichTable(t2, ["b", "a"]).probe(ev, on=["b", "a"])
+    assert t_ab["v"].to_pylist() == t_ba["v"].to_pylist() == [20, 30]
+
+
+def test_probe_no_rows_found_is_null():
+    """file.rs doesnt_find_row / doesnt_find_row_with_index (:1450):
+    a miss enriches with nulls (the batch analog of the reference's
+    'no rows found' per-event error), including when a wildcard row
+    exists but the wildcard key itself misses."""
+    lut = pa.table({"source": pa.array(["zip", "zirp"]),
+                    "field2": pa.array(["zup", "zurp"])})
+    t = EnrichTable(lut, ["source"])
+    out = t.probe(pa.table({"source": pa.array(["zorp"])}), on=["source"])
+    assert out["field2"].to_pylist() == [None]
+    # with a wildcard row present, a miss falls back to it; without a
+    # matching wildcard value the miss stays null
+    lut_w = pa.table({"source": pa.array(["zip", "*"]),
+                      "field2": pa.array(["zup", "wild"])})
+    tw = EnrichTable(lut_w, ["source"])
+    out = tw.probe(pa.table({"source": pa.array(["zorp"])}),
+                   on=["source"], wildcard="*")
+    assert out["field2"].to_pylist() == ["wild"]
