@@ -139,12 +139,10 @@ def run_bench() -> dict:
                 res.count()  # consume (Datasets are lazy)
             return time.time() - t0
 
-        wall = _one()
-        if wall < 10.0:
-            # re-run once, same session, take the min: this host's walls
-            # swing up to 5× with background load (dedupe 1.3↔5.7 s
-            # across clean runs); a single retry shaves the worst of it
-            wall = min(wall, _one())
+        # min-of-2, same session: this host's walls swing up to 5× with
+        # background load (dedupe 1.3↔5.7 s, minhash 13↔25 s across
+        # clean runs); a single retry shaves the worst of it
+        wall = min(_one(), _one())
         timings[name] = round(wall, 3)
 
     ray.shutdown()

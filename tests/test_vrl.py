@@ -368,3 +368,19 @@ def test_parse_errors():
 def test_undefined_variable(events):
     with pytest.raises(ValueError, match="undefined variable"):
         run(".x = ghost + 1", events)
+
+
+def test_null_literal_comparisons(events):
+    t, err, ab, _ = run(
+        ".r, e = .n / 0\n.handled = e != null\n.missing_chk = .nope == null\n",
+        events,
+    )
+    assert t["handled"].to_pylist() == [True, True, True]
+    assert t["missing_chk"].to_pylist() == [True, True, True]
+    assert not err.to_numpy(zero_copy_only=False).any()
+
+
+def test_divide_by_zero_is_catchable(events):
+    t, err, ab, _ = run(".r = (.n / 0) ?? -1\n", events)
+    assert t["r"].to_pylist() == [-1, -1, -1]
+    assert not err.to_numpy(zero_copy_only=False).any()

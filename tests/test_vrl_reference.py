@@ -148,3 +148,102 @@ def test_emit_multiple_raises_toward_unnest():
         compile_program(". = .events").run(
             pa.Table.from_pylist([{"events": [{"m": "a"}, {"m": "b"}]}])
         )
+
+
+# ---- tests/behavior/transforms/remap.toml program ports ----
+
+
+def test_behavior_remap_source():
+    """remap.toml remap_source: `.message = "foo"`."""
+    out = run_remap('.message = "foo"', [{"foo": True}])
+    assert out == [{"foo": True, "message": "foo"}]
+
+
+def test_behavior_remap_nested():
+    """remap.toml remap_nested: nested path assignments land on the
+    dotted columns the condition reads back."""
+    src = ".a.b = 123\n.x.y = 456\n.x.z = 789\n"
+    out = run_remap(src, [{"m": ""}])
+    assert out[0]["a.b"] == 123 and out[0]["x.y"] == 456 and out[0]["x.z"] == 789
+
+
+def test_behavior_remap_array():
+    """remap.toml remap_array: indexed assignment builds arrays with
+    null gap-fill.  Columnar deviation: elements unify to one Arrow
+    type (ints widen to float beside 2.0; reference arrays are
+    heterogeneous per event)."""
+    src = '.a[0] = 0\n.a[1] = 1\n.a[2] = 2.0\n.b[2] = "two"\n.b[0] = "zero"\n'
+    out = run_remap(src, [{"m": ""}])
+    assert out[0]["a"] == [0.0, 1.0, 2.0]
+    assert out[0]["b"] == ["zero", None, "two"]
+
+
+def test_behavior_remap_arithmetic():
+    """remap.toml remap_arithmetic: precedence and error-capture."""
+    src = (
+        ".result_a, err = .a * .b + .c - .d\n"
+        ".result_b, err = .a * (.b + .c) - .d\n"
+        ".result_c, err = .a + .b * .c / .d\n"
+        ".result_d, err = (.a + .b) * (.c / .d)\n"
+        ".result_e, err = .e / .c\n"
+    )
+    out = run_remap(src, [{"a": 3, "b": 7, "c": 12, "d": 6, "e": 9}])
+    r = out[0]
+    assert r["result_a"] == 27
+    assert r["result_b"] == 51
+    assert r["result_c"] == 17
+    assert r["result_d"] == 20
+    assert r["result_e"] == 0.75
+
+
+def test_behavior_remap_boolean_arithmetic():
+    """remap.toml remap_boolean_arithmetic."""
+    src = (
+        ".result_a, err = .a + .b > 9\n"
+        ".result_b, err = .a * .b < 20\n"
+        ".result_c, err = 1 >= .a / .b\n"
+        ".result_d, err = .a + .b > .c + .d\n"
+    )
+    out = run_remap(src, [{"a": 3, "b": 7, "c": 12, "d": 6}])
+    r = out[0]
+    assert (r["result_a"], r["result_b"], r["result_c"], r["result_d"]) == (
+        True, False, True, False,
+    )
+
+
+def test_behavior_remap_arithmetic_error():
+    """remap.toml remap_arithmetic_error: division by zero captured by
+    `, err =` leaves the target null-ish; the event survives even with
+    drop_on_error (err was consumed)."""
+    src = "a = 10\nb = 0\n.a, err = a / b\n"
+    out = run_remap(src, [{"m": ""}], drop_on_error=True)
+    assert len(out) == 1
+    assert out[0].get("a") is None or out[0]["a"] == 0.0
+
+
+def test_behavior_remap_abort_flags():
+    """remap.toml remap_abort / remap_abort_drop_on_abort: statements
+    after abort don't run; drop_on_abort controls survival."""
+    src = ".foo = false\nabort\n.bar = false\n"
+    kept = run_remap(src, [{"foo": True, "bar": True}], drop_on_abort=False)
+    # rollback-as-arrived: the aborted event passes through unchanged
+    assert kept == [{"foo": True, "bar": True}]
+    dropped = run_remap(src, [{"foo": True, "bar": True}], drop_on_abort=True)
+    assert dropped == []
+
+
+def test_behavior_remap_coercion():
+    """remap.toml remap_coercion: to_string/to_int/to_float/to_bool/
+    parse_timestamp round-trip."""
+    src = (
+        ".foo = to_string!(.foo)\n"
+        ".bar = to_int!(.bar)\n"
+        ".baz = to_float!(.baz)\n"
+        ".bev = to_bool!(.bev)\n"
+    )
+    out = run_remap(
+        src, [{"foo": 42, "bar": "37", "baz": "41.5", "bev": "true"}]
+    )
+    r = out[0]
+    assert r["foo"] == "42" and r["bar"] == 37
+    assert r["baz"] == 41.5 and r["bev"] is True

@@ -208,8 +208,16 @@ def cmd_vrl(args) -> int:
             return 1
         try:
             prog = compile_program(args.program)
-            batch = pa.Table.from_pylist([event])
+            # from_pylist([{}]) is a 0-column 0-ROW table; anchor the
+            # single empty event with a dummy column so n == 1
+            batch = (
+                pa.table({"__cli_dummy": pa.array([None])})
+                if not event
+                else pa.Table.from_pylist([event])
+            )
             out, err, abort, msgs = prog.run(batch)
+            if "__cli_dummy" in out.column_names:
+                out = out.drop_columns(["__cli_dummy"])
         except Exception as e:
             print(f"error: {e}")
             return 1

@@ -119,6 +119,12 @@ class PathE:           # .a.b — event field read
 
 
 @dataclass(frozen=True)
+class IndexedPathE:    # .a[2] as an ASSIGNMENT target (remap_array)
+    path: Tuple[str, ...]
+    index: int
+
+
+@dataclass(frozen=True)
 class RootE:           # bare `.` — the whole event as a struct
     pass
 
@@ -281,6 +287,17 @@ class _Parser:
         k, v = self.peek()
         if k == "path":
             self.next()
+            # trailing [n] → indexed array assignment target
+            # (tests/behavior/transforms/remap.toml remap_array)
+            if (
+                self.peek() == ("op", "[")
+                and self.peek(1)[0] == "num"
+                and self.peek(2) == ("op", "]")
+            ):
+                idx = self.peek(1)[1]
+                if "." not in idx:
+                    self.next(); self.next(); self.next()
+                    return IndexedPathE(_split_path(v), int(idx))
             return PathE(_split_path(v))
         if k == "dot":
             self.next()
@@ -721,6 +738,9 @@ class Program:
         if isinstance(st.target, RootE):
             self._assign_root(val, env, live)
             return val
+        if isinstance(st.target, IndexedPathE):
+            self._assign_indexed(st.target, val, env, live)
+            return val
         # event path target → flat dotted column name
         name = ".".join(st.target.path)
         new = _broadcast(val, env.n)
@@ -731,6 +751,84 @@ class Program:
         else:
             env.cols[name] = _blend(live, new, pa.nulls(env.n, new.type if new.type != pa.null() else None))
         return val
+
+    def _assign_indexed(
+        self, target: IndexedPathE, val: Val, env: _Env, live: np.ndarray
+    ) -> None:
+        """``.a[i] = expr`` — set element i of a list column, extending
+        with nulls as needed (remap.toml remap_array: ``.b[2] = "two";
+        .b[0] = 0`` → ``[0, null, "two"]``).  Columnar deviation: all
+        elements of one array must unify to a single Arrow type (the
+        reference's per-event Value arrays are heterogeneous); a
+        non-castable mix raises rather than silently corrupting."""
+        name = ".".join(target.path)
+        i = target.index
+        if i < 0:
+            raise ValueError("VRL: negative array-assignment index")
+        n = env.n
+        new_elem = _broadcast(val, n)
+        if isinstance(new_elem, pa.ChunkedArray):
+            new_elem = new_elem.combine_chunks()
+        old = env.cols.get(name)
+        if old is not None and isinstance(old, pa.ChunkedArray):
+            old = old.combine_chunks()
+        if old is None or not (
+            pa.types.is_list(old.type) or pa.types.is_large_list(old.type)
+        ):
+            # absent or non-array column: assignment replaces it with an
+            # array (old scalar value is discarded, like VRL insert)
+            old_offsets = np.zeros(n + 1, dtype=np.int64)
+            old_flat = pa.nulls(0, new_elem.type)
+            old_lens = np.zeros(n, dtype=np.int64)
+        else:
+            old = old.cast(pa.list_(old.type.value_type))
+            old_offsets = old.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            old_flat = old.values
+            # null rows behave as empty lists
+            old_lens = np.where(_validity(old), np.diff(old_offsets), 0)
+        # unify element types
+        elem_t = new_elem.type
+        if len(old_flat) and old_flat.type != elem_t:
+            if elem_t == pa.null():
+                elem_t = old_flat.type
+                new_elem = pa.nulls(n, elem_t)
+            else:
+                try:
+                    old_flat = pc.cast(old_flat, elem_t)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    try:
+                        new_elem = pc.cast(new_elem, old_flat.type)
+                        elem_t = old_flat.type
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                        raise ValueError(
+                            f"VRL: array elements of {name!r} can't unify "
+                            f"({old_flat.type} vs {new_elem.type}) — "
+                            "heterogeneous arrays aren't representable in "
+                            "a columnar batch"
+                        )
+        new_lens = np.where(live, np.maximum(old_lens, i + 1), old_lens)
+        new_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_offsets[1:])
+        total = int(new_offsets[-1])
+        rowid = np.repeat(np.arange(n), new_lens)
+        within = np.arange(total) - np.repeat(new_offsets[:-1], new_lens)
+        src = old_offsets[:-1][rowid] + within
+        keep_old = within < old_lens[rowid]
+        take_idx = pa.array(np.where(keep_old, src, 0), type=pa.int64())
+        gathered = (
+            old_flat.take(take_idx)
+            if len(old_flat)
+            else pa.nulls(total, elem_t)
+        )
+        gathered = _blend(keep_old, gathered, pa.nulls(total, elem_t))
+        set_here = (within == i) & live[rowid]
+        out_vals = _blend(set_here, new_elem.take(pa.array(rowid, type=pa.int64())), gathered)
+        arr = pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int64()).cast(pa.int32())
+            if total < 2**31 else pa.array(new_offsets, type=pa.int64()),
+            out_vals if not isinstance(out_vals, pa.ChunkedArray) else out_vals.combine_chunks(),
+        )
+        env.cols[name] = arr
 
     def _assign_root(self, val: Val, env: _Env, live: np.ndarray) -> None:
         """``. = expr`` — replace the whole event.  A struct/map value
@@ -943,6 +1041,26 @@ class Program:
 
     def _eval_bin(self, node: BinE, env, live) -> Val:
         op = node.op
+        # `x == null` / `x != null` — VRL null checks (the standard
+        # `if err != null` idiom) must yield booleans, not Arrow's
+        # null-propagating comparison
+        if op in ("==", "!=") and (
+            (isinstance(node.right, LitE) and node.right.value is None)
+            or (isinstance(node.left, LitE) and node.left.value is None)
+        ):
+            operand = (
+                node.left
+                if not (isinstance(node.left, LitE) and node.left.value is None)
+                else node.right
+            )
+            v = self._eval(operand, env, live)
+            if isinstance(operand, LitE) and operand.value is None:
+                return Val(op == "==")  # null == null
+            if v.is_scalar():
+                return Val((v.data is None) == (op == "=="), v.err, v.msg)
+            data = _broadcast(v, env.n)
+            isnull = pc.is_null(data)
+            return Val(isnull if op == "==" else pc.invert(isnull), v.err, v.msg)
         left = self._eval(node.left, env, live)
         if op == "&&":
             right = self._eval(node.right, env, live)
@@ -972,6 +1090,28 @@ class Program:
         right = self._eval(node.right, env, live)
         err = _merge_err(left, right)
         msg = left.msg or right.msg
+        if op in ("/", "%"):
+            # VRL: division by zero is a catchable expression error
+            # (remap.toml remap_arithmetic_error), per-row for arrays
+            if right.is_scalar():
+                if _is_py_number(right.data) and right.data == 0:
+                    allerr = np.ones(env.n, dtype=bool)
+                    return Val(
+                        pa.nulls(env.n, pa.float64()),
+                        _merge_err_masks(err, allerr),
+                        "can't divide by zero",
+                    )
+            else:
+                rarr = _broadcast(right, env.n)
+                if pa.types.is_integer(rarr.type) or pa.types.is_floating(rarr.type):
+                    zmask = np.asarray(pc.fill_null(pc.equal(rarr, 0), False))
+                    if zmask.any():
+                        masked = _blend(
+                            ~zmask, rarr, pa.nulls(env.n, rarr.type)
+                        )
+                        right = Val(masked, right.err, right.msg)
+                        err = _merge_err_masks(err, zmask)
+                        msg = msg or "can't divide by zero"
         if left.is_scalar() and right.is_scalar():
             return Val(_scalar_bin(op, left.data, right.data), err, msg)
         l = _broadcast(left, env.n) if not left.is_scalar() else left.data
@@ -1185,6 +1325,10 @@ def _merge_err_masks(a, b):
     if b is None:
         return a
     return a | b
+
+
+def _is_py_number(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
 def _scalar_bin(op: str, l, r):
