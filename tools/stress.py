@@ -295,6 +295,90 @@ def framing1g():
             "mb_per_sec": round(size_mb / wall, 1)}
 
 
+def ivf200k():
+    """200 k vectors through the materialized IVF index: build the
+    list-partitioned layout once, then search at rising nprobe and
+    assert (a) the probe's read plan shrinks proportionally — the scan
+    I/O criterion — and (b) every query's own vector is its top hit at
+    every nprobe (primary-list containment)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.pipelines.ann import (
+        build_ivf_index, ivf_search, load_ivf_index, probed_list_paths,
+        _normalize,
+    )
+
+    n, dim, n_lists = 200_000, 64, 64
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((n_lists, dim)) * 5
+    assign = rng.integers(0, n_lists, n)
+    vecs = (centers[assign] + rng.standard_normal((n, dim)) * 0.3).astype(np.float32)
+
+    idx_dir = "/tmp/vector_ray_stress_ivf"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    import pyarrow.parquet as pq
+    src_dir = "/tmp/vector_ray_stress_ivf_src"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    shard = 50_000
+    for s in range(0, n, shard):
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(np.arange(s, s + shard, dtype=np.int64)),
+                "embedding": pa.array(vecs[s:s + shard].tolist(),
+                                      type=pa.list_(pa.float32())),
+            }),
+            os.path.join(src_dir, f"part-{s:07d}.parquet"),
+        )
+
+    t0 = time.time()
+    build_ivf_index(rd.read_parquet(src_dir), idx_dir,
+                    n_lists=n_lists, sample_size=8192)
+    build_wall = time.time() - t0
+
+    index = load_ivf_index(idx_dir)
+    # queries concentrated in 4 of the 64 clusters — the realistic
+    # probe-pruning shape (a scattered query batch legitimately probes
+    # most lists; pruning pays off per concentrated batch)
+    qidx = np.concatenate(
+        [np.nonzero(assign == c)[0][:12] for c in range(4)]
+    )
+    queries = vecs[qidx]
+    qn = _normalize(queries.astype(np.float32))
+
+    out = {"vectors": n, "n_lists": n_lists,
+           "build_wall": round(build_wall, 1)}
+    prev_files = None
+    for nprobe in (2, 8, 32):
+        probes = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]
+        probe_set = sorted({int(l) for row in probes for l in row})
+        n_files = sum(
+            len(os.listdir(p)) for _, p in probed_list_paths(idx_dir, probe_set)
+        )
+        t0 = time.time()
+        res = ivf_search(idx_dir, queries, k=5, nprobe=nprobe).to_pandas()
+        wall = time.time() - t0
+        top = res[res["rank"] == 1].sort_values("query_id")
+        assert (top["vec_id"].to_numpy() == qidx).all(), "self-hit failed"
+        if prev_files is not None:
+            assert n_files >= prev_files, "probe set should grow with nprobe"
+        prev_files = n_files
+        out[f"nprobe{nprobe}_files"] = n_files
+        out[f"nprobe{nprobe}_wall"] = round(wall, 2)
+    total_files = sum(
+        len(os.listdir(os.path.join(idx_dir, d)))
+        for d in os.listdir(idx_dir) if d.startswith("list_id=")
+    )
+    out["total_index_files"] = total_files
+    assert out["nprobe2_files"] < total_files // 4, "nprobe=2 must prune most files"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     _init()

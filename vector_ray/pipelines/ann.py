@@ -176,10 +176,14 @@ def build_ivf_index(
                 "list_id", pa.array(lists)
             )
 
+    # sort by list_id before the partitioned write: without it every
+    # (input block × list) pair lands as its own tiny file (measured
+    # 3960 files for 64 lists at 200 k vectors); sorted, each list is a
+    # handful of contiguous files.  The shuffle is a one-time build cost.
     emb_ds.map_batches(
         Assign, batch_format="pyarrow", batch_size=None,
         concurrency=default_pool(divisor=16),
-    ).write_parquet(index_dir, partition_cols=["list_id"])
+    ).sort("list_id").write_parquet(index_dir, partition_cols=["list_id"])
     os.makedirs(index_dir, exist_ok=True)
     pq.write_table(
         pa.table({"centroid": [row.tolist() for row in index.centroids]}),
