@@ -203,3 +203,15 @@ def test_encode_decode_batch():
     assert lat["cnt"].to_pylist()[0] == 3
     assert sum(lat["n"].to_pylist()) == 3
     assert lat["sum"].to_pylist()[0] == pytest.approx(7.0)
+
+
+def test_merge_with_empty_sketch_keeps_stats():
+    """An empty sketch's placeholder min=max=0.0 / ts=0 must not poison
+    the merged stats (quantile() clamps into [min, max])."""
+    from vector_ray.ddsketch_wire import merge_sketches, sketch_from_values
+
+    full = sketch_from_values([5.0, 10.0, 20.0], ts=1700000000)
+    empty = sketch_from_values([], ts=0)
+    for m in (merge_sketches(empty, full), merge_sketches(full, empty)):
+        assert m.min == 5.0 and m.max == 20.0
+        assert m.ts == 1700000000 and m.cnt == 3

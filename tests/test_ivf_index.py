@@ -118,3 +118,21 @@ def test_empty_probe_set(ray_session, index_dir, tmp_path):
             shutil.rmtree(os.path.join(lone, p))
     out = ivf_search(lone, np.ones((1, 16), dtype="float32"), k=3, nprobe=2)
     assert out.count() == 0
+
+
+def test_rebuild_clears_stale_partitions(ray_session, corpus, tmp_path):
+    """A rebuild over an existing (possibly partial) index must not
+    append duplicates — build_ivf_index clears index_dir first."""
+    import ray.data as rd
+
+    vecs, ids = corpus
+    ds = rd.from_items(
+        [{"vec_id": int(i), "embedding": v.tolist()} for i, v in zip(ids, vecs)]
+    )
+    d = str(tmp_path / "idx")
+    build_ivf_index(ds, d, n_lists=4, sample_size=256)
+    n1 = ivf_search(d, vecs[[3]], k=5, nprobe=4).count()
+    build_ivf_index(ds, d, n_lists=4, sample_size=256)  # rebuild
+    res = ivf_search(d, vecs[[3]], k=5, nprobe=4).to_pandas()
+    assert len(res) == n1 == 5
+    assert res["vec_id"].is_unique

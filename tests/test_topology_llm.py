@@ -144,3 +144,28 @@ def test_multimodal_config(ray_session):
     n_images = sum(1 for k in media["kind"].to_pylist() if k == "image")
     assert len(rows) == n_images > 0
     assert "luma_entropy" in rows[0] and "mean_rgb" in rows[0]
+
+
+def test_text_analysis_config_custom_text_col(ray_session):
+    """text_col must reach EVERY stage — LangId previously kept its
+    default 'text' and crashed on a renamed column."""
+    rows = [dict(r) for r in _doc_rows()[:5]]
+    for r in rows:
+        r["body"] = r.pop("text")
+    out = topology.build(
+        {
+            "sources": {"docs": {"type": "inline", "rows": rows}},
+            "transforms": {
+                "ta": {
+                    "type": "text_analysis",
+                    "inputs": ["docs"],
+                    "text_col": "body",
+                    "analyses": ["tokens", "quality", "lang", "fingerprint"],
+                }
+            },
+            "sinks": {"out": {"type": "sink_blackhole", "inputs": ["ta"]}},
+        }
+    )["out"]
+    got = out.take_all()
+    assert {"n_ws_tokens", "quality_score", "lang_pred"} <= set(got[0])
+    assert all(r["lang_pred"] == "en" for r in got)

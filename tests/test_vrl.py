@@ -384,3 +384,84 @@ def test_divide_by_zero_is_catchable(events):
     t, err, ab, _ = run(".r = (.n / 0) ?? -1\n", events)
     assert t["r"].to_pylist() == [-1, -1, -1]
     assert not err.to_numpy(zero_copy_only=False).any()
+
+
+# ---- round-4 review-pass regressions ----
+
+
+def test_and_short_circuits_per_row(events):
+    # guard idiom: rhs errors must not flag rows the lhs excluded
+    t, err, ab, _ = run(
+        'if .host == "a" && to_int!(.message) > 0 { .big = true }', events
+    )
+    # every row has non-numeric message; only host=="a" rows may flag
+    assert err.to_pylist() == [True, False, False]
+
+
+def test_nonboolean_condition_is_false_not_crash(events):
+    from vector_ray.vrl import compile_program
+
+    mask = compile_program("upcase(.host)").eval_bool(events)
+    assert mask.to_pylist() == [False, False, False]
+
+
+def test_nonboolean_if_condition_no_crash(events):
+    t, err, ab, _ = run('if upcase(.host) { .x = 1 }\n.done = true', events)
+    assert t["done"].to_pylist() == [True, True, True]
+
+
+def test_exists_descends_dotted_prefix_columns():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({
+        "user.geo": pa.array([{"city": "x"}, {"city": "y"}],
+                             type=pa.struct([("city", pa.string())])),
+    })
+    out, *_ = compile_program(
+        ".has = exists(.user.geo.city)\n.read = .user.geo.city"
+    ).run(t)
+    assert out["has"].to_pylist() == [True, True]
+    assert out["read"].to_pylist() == ["x", "y"]
+
+
+def test_named_call_arguments_bind_as_keywords():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"url": ["https://example.com/a"]})
+    out, err, *_ = compile_program(
+        ".u = parse_url!(.url, default_known_ports: true)\n.port = .u.port"
+    ).run(t)
+    assert out["port"].to_pylist() == [443]
+    assert not err.to_pylist()[0]
+
+
+def test_mixed_array_literal_raises_descriptive():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"i": [1], "s": ["b"]})
+    with pytest.raises(ValueError, match="heterogeneous"):
+        compile_program(".arr = [.i, .s]").run(t)
+
+
+def test_coalesce_does_not_swallow_undefined_variable(events):
+    from vector_ray.vrl import VrlNameError
+
+    with pytest.raises(VrlNameError, match="undefined variable"):
+        run(".k = parsd ?? -1", events)
+
+
+def test_modulo_is_truncated_not_floored():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"v": [-7, 7]})
+    out, *_ = compile_program(".m = .v % 2\n.s = -7 % 2").run(t)
+    assert out["m"].to_pylist() == [-1, 1]
+    assert out["s"].to_pylist() == [-1, -1]

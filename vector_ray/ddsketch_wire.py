@@ -129,7 +129,13 @@ def sketch_from_values(
 
 def merge_sketches(a: AgentSketch, b: AgentSketch) -> AgentSketch:
     """Merging = summing bin counts on the union of keys (the property
-    the whole format exists for)."""
+    the whole format exists for).  An empty side contributes no stats —
+    its placeholder min=max=0.0 / ts=0 must not drag the merged min
+    toward 0 (quantile() clamps into [min, max]) or the ts to epoch."""
+    if a.cnt == 0:
+        return b
+    if b.cnt == 0:
+        return a
     keys = np.concatenate([a.k.astype(np.int64), b.k.astype(np.int64)])
     counts = np.concatenate([a.n.astype(np.int64), b.n.astype(np.int64)])
     uk, inv = np.unique(keys, return_inverse=True)

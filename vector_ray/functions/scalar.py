@@ -1388,13 +1388,42 @@ from . import binary_formats  # noqa: E402,F401  (parse_cbor/parse_dnstap/...)
 # their VRL names so remap "apply" steps reach them
 from .. import parse as _parse_mod  # noqa: E402
 
+def _wrap_table_parser(fn):
+    """parse.py named-log parsers return ``(cols, err_mask)``; the VRL
+    registry convention is one Arrow array per call — fold the columns
+    into a struct array with failed rows null (a fallible call then
+    errors exactly those rows)."""
+    def wrapped(c, *a, **kw):
+        cols, err = fn(c, *a, **kw)
+        if isinstance(cols, pa.Table):
+            names = cols.column_names
+            arrs = [cols[n].combine_chunks() for n in names]
+        else:
+            names = list(cols)
+            arrs = [
+                v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                for v in cols.values()
+            ]
+        mask = None
+        if err is not None:
+            import pyarrow.compute as _pc
+
+            mask = _pc.fill_null(err, False)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+        return pa.StructArray.from_arrays(arrs, names=names, mask=mask)
+
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 for _name in (
     "parse_apache_log", "parse_nginx_log", "parse_glog", "parse_klog",
     "parse_aws_vpc_flow_log", "parse_aws_alb_log",
     "parse_linux_authorization", "parse_common_log", "parse_url",
 ):
     if _name not in FUNCTIONS:
-        FUNCTIONS[_name] = getattr(_parse_mod, _name)
+        FUNCTIONS[_name] = _wrap_table_parser(getattr(_parse_mod, _name))
 
 from .. import codecs as _codecs_mod  # noqa: E402
 

@@ -153,10 +153,16 @@ def build_ivf_index(
     corpus as parquet PARTITIONED BY ``list_id`` (hive directories,
     one per inverted list — a failed build can resume per partition).
     Centroids land in ``<index_dir>/centroids.parquet``.  Returns the
-    trained :class:`IVFIndex`."""
+    trained :class:`IVFIndex`.  Any existing index at ``index_dir`` is
+    cleared first — Ray's write appends uniquely-named files, so a
+    rebuild over a partial/failed build would otherwise duplicate every
+    vector and corrupt top-k results."""
     import os
+    import shutil
 
     import pyarrow.parquet as pq
+
+    shutil.rmtree(index_dir, ignore_errors=True)
 
     sample = list_to_matrix(
         emb_ds.limit(sample_size).take_batch(sample_size, batch_format="pyarrow")[vec_col],

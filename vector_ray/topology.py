@@ -615,7 +615,12 @@ def _t_text_analysis(cfg, inputs):
             ),
         )
     if "lang" in which:
-        ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=pool)
+        ds = ds.map_batches(
+            LangId, batch_format="pyarrow", concurrency=pool,
+            fn_constructor_kwargs=(
+                {"text_col": text_col} if text_col != "text" else {}
+            ),
+        )
     if "fingerprint" in which:
         ds = ds.map_batches(
             lambda b: fingerprint(b, text_col=text_col), batch_format="pyarrow"

@@ -55,6 +55,13 @@ from .functions import scalar as _scalar
 
 __all__ = ["compile_program", "Program", "VrlCondition"]
 
+
+class VrlNameError(ValueError):
+    """An undefined variable — a program bug, not a per-row failure.
+    Deliberately NOT caught by ``??`` (the reference rejects undefined
+    variables at compile time; swallowing the typo into the coalesce
+    default would silently corrupt every row)."""
+
 # ------------------------------------------------------------------ lexer
 
 _TOKEN_RE = re.compile(
@@ -159,6 +166,7 @@ class CallE:
     name: str
     args: tuple
     bang: bool         # f!(...)
+    kwargs: tuple = () # named args: ((name, expr), ...)
 
 
 @dataclass(frozen=True)
@@ -493,18 +501,22 @@ class _Parser:
                 bang = True
             if self.peek() == ("op", "("):
                 self.next()
-                args = []
+                args, kwargs = [], []
                 self.skip_nl()
                 if self.peek() != ("op", ")"):
                     while True:
-                        # named args `field: value` → positional drop of name
+                        # named args `field: value` keep their name and
+                        # bind as Python keywords (the registry fns use
+                        # the reference's parameter names)
                         if (
                             self.peek()[0] == "ident"
                             and self.peek(1) == ("op", ":")
                         ):
+                            kname = self.next()[1]
                             self.next()
-                            self.next()
-                        args.append(self.expression())
+                            kwargs.append((kname, self.expression()))
+                        else:
+                            args.append(self.expression())
                         self.skip_nl()
                         k2, v2 = self.next()
                         if v2 == ")":
@@ -514,7 +526,7 @@ class _Parser:
                         self.skip_nl()
                 else:
                     self.next()
-                return CallE(v, tuple(args), bang)
+                return CallE(v, tuple(args), bang, tuple(kwargs))
             if bang:
                 raise ValueError("VRL: `!` is only valid as a call suffix")
             return VarE(v)
@@ -667,7 +679,12 @@ class Program:
             raise ValueError("VRL condition must end in an expression")
         data = _broadcast(result, env.n)
         if not pa.types.is_boolean(data.type):
-            data = pc.cast(data, pa.bool_())
+            try:
+                data = pc.cast(data, pa.bool_())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                # non-boolean condition result is a runtime error →
+                # every row fails the condition, not the whole batch
+                data = pa.array(np.zeros(env.n, dtype=bool))
         mask = pc.fill_null(data, False)
         bad = env.err | env.abort
         if result.err is not None:
@@ -897,7 +914,7 @@ class Program:
         if isinstance(node, VarE):
             v = env.vars.get(node.name)
             if v is None:
-                raise ValueError(f"VRL: undefined variable {node.name!r}")
+                raise VrlNameError(f"VRL: undefined variable {node.name!r}")
             return Val(v.data, v.err, v.msg)
         if isinstance(node, ArrayE):
             return self._eval_array(node, env, live)
@@ -936,7 +953,13 @@ class Program:
                 cv = self._eval(cond, env, remaining)
                 data = _broadcast(cv, env.n)
                 if not pa.types.is_boolean(data.type):
-                    data = pc.cast(data, pa.bool_())
+                    try:
+                        data = pc.cast(data, pa.bool_())
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                            pa.ArrowTypeError):
+                        # non-boolean branch condition → no row matches
+                        # (runtime condition error, not a batch crash)
+                        data = pa.array(np.zeros(env.n, dtype=bool))
                 mask = remaining & np.asarray(pc.fill_null(data, False))
                 if cv.err is not None:
                     mask &= ~cv.err
@@ -955,6 +978,8 @@ class Program:
     def _eval_coalesce(self, node: CoalesceE, env, live) -> Val:
         try:
             left = self._eval(node.left, env, live)
+        except VrlNameError:
+            raise  # a typo'd variable is a program error, not fallibility
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError,
                 TypeError, KeyError):
             return self._eval(node.right, env, live)
@@ -977,7 +1002,14 @@ class Program:
             return Val([v.data for v in vals])
         arrs = [_broadcast(v, env.n) for v in vals]
         t = next((a.type for a in arrs if a.type != pa.null()), pa.string())
-        arrs = [pc.cast(a, t) for a in arrs]
+        try:
+            arrs = [pc.cast(a, t) for a in arrs]
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            raise ValueError(
+                "VRL: array literal elements can't unify to one Arrow "
+                f"type ({[str(a.type) for a in arrs]}) — heterogeneous "
+                "arrays aren't representable in a columnar batch"
+            )
         n, k = env.n, len(arrs)
         flat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrs])
         # interleave: element j of row i sits at j*n + i → take indices
@@ -1063,10 +1095,18 @@ class Program:
             return Val(isnull if op == "==" else pc.invert(isnull), v.err, v.msg)
         left = self._eval(node.left, env, live)
         if op == "&&":
-            right = self._eval(node.right, env, live)
+            # short-circuit per row: the rhs only runs (and can only
+            # flag errors) on rows where the lhs is truthy — the
+            # standard `exists(.x) && f!(.x)` guard must not drop rows
+            # its lhs already excluded
             lb = _to_bool_arr(left, env.n)
+            lmask = np.asarray(lb)
+            right = self._eval(node.right, env, live & lmask)
             rb = _to_bool_arr(right, env.n)
-            return Val(pc.and_(lb, rb), _merge_err(left, right),
+            rerr = right.err & lmask if right.err is not None else None
+            if rerr is not None and not rerr.any():
+                rerr = None
+            return Val(pc.and_(lb, rb), _merge_err_masks(left.err, rerr),
                        left.msg or right.msg)
         if op == "||":
             # VRL ||: VALUE-returning short circuit — lhs unless falsy
@@ -1134,8 +1174,15 @@ class Program:
         if name == "exists":
             (arg,) = node.args
             if isinstance(arg, PathE):
-                cname = ".".join(arg.path)
-                if cname not in env.cols and arg.path[0] not in env.cols:
+                # agree with path reads: a path can also descend through
+                # an intermediate dotted-prefix column ("user.geo"), so
+                # only short-circuit false when NO prefix of the path is
+                # a column (_read_path tries every cut)
+                prefixes = {
+                    ".".join(arg.path[:cut])
+                    for cut in range(1, len(arg.path) + 1)
+                }
+                if not (prefixes & set(env.cols)):
                     return Val(pa.array([False] * env.n))
             v = self._eval(arg, env, live)
             return Val(pc.is_valid(_broadcast(v, env.n)))
@@ -1179,14 +1226,17 @@ class Program:
                 right.err, right.msg,
             )
         vals = [self._eval(a, env, live) for a in node.args]
+        kwvals = {k: self._eval(a, env, live) for k, a in getattr(node, "kwargs", ())}
+        kw = {k: (v.data if v.is_scalar() else _broadcast(v, env.n))
+              for k, v in kwvals.items()}
         if not vals:
-            out = _scalar.call(name, pa.nulls(env.n))
+            out = _scalar.call(name, pa.nulls(env.n), **kw)
             return Val(_arr(out))
         first = _broadcast(vals[0], env.n)
         rest = [v.data if v.is_scalar() else _broadcast(v, env.n) for v in vals[1:]]
-        in_err = _merge_err(*vals)
+        in_err = _merge_err(*vals, *kwvals.values())
         try:
-            out = _arr(_scalar.call(name, first, *rest))
+            out = _arr(_scalar.call(name, first, *rest, **kw))
             callerr = None
             if _is_fallible(name):
                 # VRL: a fallible call errors on null input too
@@ -1195,7 +1245,7 @@ class Program:
                 if not callerr.any():
                     callerr = None
         except Exception as e:  # per-row isolation via bisection
-            out, callerr = _bisect_call(name, first, rest, env.n, e)
+            out, callerr = _bisect_call(name, first, rest, env.n, e, kw)
         msg = f'function call error for "{name}"'
         if node.bang and callerr is not None and callerr.any():
             env.flag(callerr & live, "error", msg)
@@ -1307,7 +1357,12 @@ def _read_path(env: _Env, path: Tuple[str, ...]):
 def _to_bool_arr(v: Val, n: int):
     data = _broadcast(v, n)
     if not pa.types.is_boolean(data.type):
-        data = pc.cast(data, pa.bool_())
+        try:
+            data = pc.cast(data, pa.bool_())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            # non-boolean operand of a boolean op → falsy rows
+            # (runtime error semantics, not a batch crash)
+            return pa.array(np.zeros(n, dtype=bool))
     return pc.fill_null(data, False)
 
 
@@ -1343,7 +1398,14 @@ def _scalar_bin(op: str, l, r):
     if op == "/":
         return l / r
     if op == "%":
-        return l % r
+        # truncated remainder (Rust/VRL/SQL %), not Python's floored:
+        # -7 % 2 == -1
+        import math
+
+        out = math.fmod(l, r)
+        if isinstance(l, int) and isinstance(r, int):
+            return int(out)
+        return out
     return {"==": l == r, "!=": l != r, "<": l < r,
             "<=": l <= r, ">": l > r, ">=": l >= r}[op]
 
@@ -1382,7 +1444,8 @@ def _arrow_bin(op: str, l, r, n: int):
             r = float(r)
         return pc.divide(l, r)
     if op == "%":
-        q = pc.floor(pc.divide(pc.cast(l, pa.float64()) if la else float(l), r))
+        # truncated remainder (Rust/VRL/SQL %): q = trunc(l / r)
+        q = pc.trunc(pc.divide(pc.cast(l, pa.float64()) if la else float(l), r))
         out = pc.subtract(l, pc.multiply(q, r))
         if la and pa.types.is_integer(lt) and (not ra or pa.types.is_integer(rt)) \
                 and (ra or isinstance(r, int)):
@@ -1392,7 +1455,8 @@ def _arrow_bin(op: str, l, r, n: int):
     return fn(l, r)
 
 
-def _bisect_call(name: str, first: pa.Array, rest: list, n: int, exc: Exception):
+def _bisect_call(name: str, first: pa.Array, rest: list, n: int,
+                 exc: Exception, kwargs: dict = None):
     """A whole-column registry call raised: isolate the offending rows
     by bisection so good rows still evaluate vectorized — O(k log n)
     extra calls for k bad rows instead of a Python loop over all n."""
@@ -1401,14 +1465,21 @@ def _bisect_call(name: str, first: pa.Array, rest: list, n: int, exc: Exception)
     out_chunks: List[pa.Array] = []
     err = np.zeros(n, dtype=bool)
 
+    kwargs = kwargs or {}
+
     def _rest_slice(off, ln):
         return [rr.slice(off, ln) if isinstance(rr, (pa.Array, pa.ChunkedArray)) else rr
                 for rr in rest]
 
+    def _kw_slice(off, ln):
+        return {k: (vv.slice(off, ln) if isinstance(vv, (pa.Array, pa.ChunkedArray)) else vv)
+                for k, vv in kwargs.items()}
+
     def _go(off: int, ln: int):
         seg = first.slice(off, ln)
         try:
-            out_chunks.append(_arr(_scalar.call(name, seg, *_rest_slice(off, ln))))
+            out_chunks.append(_arr(_scalar.call(
+                name, seg, *_rest_slice(off, ln), **_kw_slice(off, ln))))
             return
         except Exception:
             if ln == 1:
