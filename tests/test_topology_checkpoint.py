@@ -374,3 +374,34 @@ def test_cli_json_config(tmp_path, capsys, ray_session):
     p = tmp_path / "cfg.json"
     p.write_text(json.dumps(cfg))
     assert main(["validate", str(p)]) == 0
+
+
+def test_remap_file_config(ray_session, tmp_path):
+    """remap.rs:55 `file` — VRL program loaded from a .vrl file
+    (tests/behavior/transforms/remap.toml remap_file)."""
+    from vector_ray import topology
+
+    prog = tmp_path / "program.vrl"
+    prog.write_text('.message = "foo"\n')
+    out = topology.build(
+        {
+            "sources": {"in": {"type": "inline", "rows": [{"foo": True}]}},
+            "transforms": {
+                "r": {"type": "remap", "inputs": ["in"], "file": str(prog)}
+            },
+            "sinks": {"out": {"type": "sink_blackhole", "inputs": ["r"]}},
+        }
+    )["out"]
+    rows = out.take_all()
+    assert rows[0]["message"] == "foo" and rows[0]["foo"] is True
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        topology.build(
+            {
+                "sources": {"in": {"type": "inline", "rows": [{"foo": True}]}},
+                "transforms": {
+                    "r": {"type": "remap", "inputs": ["in"],
+                          "file": str(prog), "source": ".x = 1"}
+                },
+                "sinks": {"out": {"type": "sink_blackhole", "inputs": ["r"]}},
+            }
+        )

@@ -465,3 +465,20 @@ def test_modulo_is_truncated_not_floored():
     out, *_ = compile_program(".m = .v % 2\n.s = -7 % 2").run(t)
     assert out["m"].to_pylist() == [-1, 1]
     assert out["s"].to_pylist() == [-1, -1]
+
+
+def test_or_and_coalesce_rhs_short_circuit_per_row():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    # rhs f! must not flag rows whose lhs already succeeded
+    t = pa.table({"a": ["x", None], "n": ["1", "nope"]})
+    out, err, ab, _ = compile_program(".v = .a || to_int!(.n)").run(t)
+    assert out["v"].to_pylist()[0] == "x"
+    assert err.to_pylist() == [False, True]  # only the falsy-lhs row ran rhs
+    out, err, ab, _ = compile_program(
+        ".v = to_int(.n) ?? to_int!(.a)"
+    ).run(pa.table({"a": ["9", "zz"], "n": ["1", "2"]}))
+    assert out["v"].to_pylist() == [1, 2]
+    assert err.to_pylist() == [False, False]  # lhs ok → rhs never flagged

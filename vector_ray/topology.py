@@ -99,6 +99,13 @@ def _t_remap(cfg, inputs):
     # (remap.rs:52); the structured `steps` list is our columnar form —
     # either (or both, source first) drive the same kernel pipeline
     steps = list(cfg.get("steps", []))
+    if cfg.get("file"):
+        # remap.rs:55 `file` — VRL program read from a .vrl file,
+        # mutually exclusive with `source` like the reference
+        if cfg.get("source"):
+            raise ValueError("remap: `source` and `file` are mutually exclusive")
+        with open(cfg["file"]) as f:
+            steps = [("vrl", f.read())] + steps
     if cfg.get("source"):
         steps = [("vrl", cfg["source"])] + steps
     if cfg.get("reroute_dropped"):

@@ -985,7 +985,8 @@ class Program:
             return self._eval(node.right, env, live)
         if left.err is None or not left.err.any():
             return Val(left.data, None)
-        right = self._eval(node.right, env, live)
+        # the default only runs (and can only flag) on errored-lhs rows
+        right = self._eval(node.right, env, live & left.err)
         ldata = _broadcast(left, env.n)
         rdata = _broadcast(right, env.n)
         blended = _blend(left.err, rdata, ldata)
@@ -1113,7 +1114,8 @@ class Program:
             # (null or false), else rhs (`.thing.cabbage || "beetroot"`
             # in remap.rs:1741).  For boolean operands this reduces to
             # boolean or with null→rhs.  Errored lhs rows count falsy.
-            right = self._eval(node.right, env, live)
+            # The rhs only runs (and can only flag) on falsy-lhs rows —
+            # same per-row short circuit as &&.
             ldata = _broadcast(left, env.n)
             falsy = ~_validity(ldata)
             if pa.types.is_boolean(ldata.type):
@@ -1122,6 +1124,7 @@ class Program:
                 falsy |= left.err
             if not falsy.any():
                 return Val(ldata)
+            right = self._eval(node.right, env, live & falsy)
             rdata = _broadcast(right, env.n)
             rerr = right.err & falsy if right.err is not None else None
             if rerr is not None and not rerr.any():
