@@ -247,3 +247,13 @@ def test_behavior_remap_coercion():
     r = out[0]
     assert r["foo"] == "42" and r["bar"] == 37
     assert r["baz"] == 41.5 and r["bev"] is True
+
+
+def test_behavior_remap_coercion_timestamp():
+    """remap.toml remap_coercion timestamp leg:
+    to_string(parse_timestamp!(.a, "%+")) renders RFC3339."""
+    out = run_remap(
+        '.a = to_string(parse_timestamp!(.a, \'%+\'))',
+        [{"a": "2020-10-01T02:22:11.223212Z"}],
+    )
+    assert out[0]["a"] == "2020-10-01T02:22:11.223212Z"

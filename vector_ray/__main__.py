@@ -72,7 +72,11 @@ def cmd_run(args) -> int:
             name: cfg.get("type", "parquet").removeprefix("sink_")
             for name, cfg in config.get("sinks", {}).items()
         }
-        paths = write_sinks(sinks, args.out, formats=formats)
+        options = {
+            name: {k: cfg[k] for k in ("partition_cols", "compression") if k in cfg}
+            for name, cfg in config.get("sinks", {}).items()
+        }
+        paths = write_sinks(sinks, args.out, formats=formats, options=options)
         for name in sinks:
             out[name] = {"path": paths[name]}
     else:

@@ -291,7 +291,20 @@ def _to_float(c):
         us = c.cast(pa.timestamp("us")).cast(pa.int64())
         return pc.divide(us.cast(pa.float64()), 1_000_000.0)
     return c.cast(pa.float64())
-register("to_string")(lambda c: c.cast(pa.string()))
+@register("to_string")
+def _to_string(c):
+    """to_string.cue: timestamps render RFC3339 (`2020-10-21T16:00:00Z`),
+    everything else is the plain string cast."""
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if pa.types.is_timestamp(c.type):
+        # arrow %S includes fractional seconds when present
+        s = pc.strftime(c, format="%Y-%m-%dT%H:%M:%S")
+        # trim trailing fractional zeros like the reference's RFC3339
+        s = pc.replace_substring_regex(s, r"(\.\d*?)0+$", r"\1")
+        s = pc.replace_substring_regex(s, r"\.$", "")
+        return pc.binary_join_element_wise(s, pa.array(["Z"] * len(s)), "")
+    return c.cast(pa.string())
 @register("to_bool")
 def _to_bool(c):
     """Lenient boolean coercion (to_bool.cue): strings

@@ -22,6 +22,7 @@ def write_sinks(
     sinks: Dict[str, "ray.data.Dataset"],
     base_dir: str,
     formats: Optional[Dict[str, str]] = None,
+    options: Optional[Dict[str, dict]] = None,
     **kw,
 ) -> Dict[str, str]:
     """Write each routed dataset to base_dir/<sink-name>/ in its sink's
@@ -36,6 +37,7 @@ def write_sinks(
     # token payloads at identical size; callers can override
     kw.setdefault("compression", "lz4")
     formats = formats or {}
+    options = options or {}
     out = {}
     for name, ds in sinks.items():
         path = os.path.join(base_dir, name.lstrip("_"))
@@ -55,7 +57,13 @@ def write_sinks(
                 blackhole_sink(ds)
                 out[name] = ""
                 continue
-            ds.write_parquet(path, **kw)
+            skw = dict(kw)
+            opts = options.get(name, {})
+            if opts.get("partition_cols"):
+                skw["partition_cols"] = list(opts["partition_cols"])
+            if opts.get("compression"):
+                skw["compression"] = opts["compression"]
+            ds.write_parquet(path, **skw)
         else:
             raise ValueError(f"unknown sink format {fmt!r} for sink {name!r}")
         out[name] = path
