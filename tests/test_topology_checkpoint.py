@@ -405,3 +405,43 @@ def test_remap_file_config(ray_session, tmp_path):
                 "sinks": {"out": {"type": "sink_blackhole", "inputs": ["r"]}},
             }
         )
+
+
+def test_multi_input_dedupe_into_reduce(ray_session):
+    """tests/behavior/transforms/task_transform.toml
+    dedupe_into_reduce_with_multiple_inputs: two remap streams union
+    into one dedupe (duplicate id collapses across inputs), whose
+    output unions with a third stream into a reduce that merges both
+    events (counter sums to 2, field3 survives)."""
+    from vector_ray import topology
+
+    row = {"message": "some message", "counter": 1}
+    out = topology.build(
+        {
+            "sources": {
+                "in1": {"type": "inline", "rows": [dict(row, id=1)]},
+                "in2": {"type": "inline", "rows": [dict(row, id=1)]},
+                "in3": {"type": "inline", "rows": [dict(row)]},
+            },
+            "transforms": {
+                "field1": {"type": "remap", "inputs": ["in1"],
+                           "source": '.field1 = "value1"'},
+                "field2": {"type": "remap", "inputs": ["in2"],
+                           "source": '.field2 = "value2"'},
+                "field3": {"type": "remap", "inputs": ["in3"],
+                           "source": '.field3 = "value3"'},
+                "dedupe2": {"type": "dedupe", "inputs": ["field1", "field2"],
+                            "fields": ["id"]},
+                "reduce2": {"type": "reduce",
+                            "inputs": ["field3", "dedupe2"],
+                            "group_by": ["message"]},
+            },
+            "sinks": {"out": {"type": "sink_blackhole", "inputs": ["reduce2"]}},
+        }
+    )["out"]
+    rows = out.take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["message"] == "some message"
+    assert r["field3"] == "value3"
+    assert r["counter"] == 2  # one deduped event + the field3 event
