@@ -222,7 +222,7 @@ def test_gzip_hmac_object_fns():
     import hmac as hm
 
     got = call("hmac", pa.array(["m"]), "k", "sha1").to_pylist()[0]
-    assert got == hm.new(b"k", b"m", hashlib.sha1).hexdigest()
+    assert got == hm.new(b"k", b"m", hashlib.sha1).digest()  # raw bytes (hmac.cue)
     merged = call("merge_objects", pa.array(['{"a":1}']), '{"b":2}').to_pylist()[0]
     assert merged == '{"a": 1, "b": 2}'
     flat = call("flatten_object", pa.array(['{"a":{"b":1}}'])).to_pylist()[0]

@@ -482,3 +482,85 @@ def test_or_and_coalesce_rhs_short_circuit_per_row():
     ).run(pa.table({"a": ["9", "zz"], "n": ["1", "2"]}))
     assert out["v"].to_pylist() == [1, 2]
     assert err.to_pylist() == [False, False]  # lhs ok → rhs never flagged
+
+
+# ---- closures (map_values / map_keys / filter -> |params| { body }) ----
+
+
+def test_closure_map_values_object_doc_example():
+    """map_values.cue: upcase every value of the event."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"foo": ["foo"], "bar": ["bar"]})
+    out, *_ = compile_program(
+        ". = map_values(.) -> |value| { upcase!(value) }"
+    ).run(t)
+    assert out.to_pylist() == [{"foo": "FOO", "bar": "BAR"}]
+
+
+def test_closure_map_keys_object_doc_example():
+    """map_keys.cue: upcase every key."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"foo": ["foo"], "bar": ["bar"]})
+    out, *_ = compile_program(". = map_keys(.) -> |key| { upcase(key) }").run(t)
+    assert out.column_names == ["FOO", "BAR"]
+
+
+def test_closure_filter_array_doc_example():
+    """filter.cue: drop elements equal to 'foo'."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"tags": [["foo", "bar", "foo", "baz"]]})
+    out, *_ = compile_program(
+        '.tags = filter(.tags) -> |_index, value| { value != "foo" }'
+    ).run(t)
+    assert out["tags"].to_pylist() == [["bar", "baz"]]
+
+
+def test_closure_array_vectorized_with_event_refs():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"tags": [["a", "b"], ["b", "c", "d"], None],
+                  "pre": ["x", "y", "z"]})
+    out, *_ = compile_program(
+        '.tagged = map_values(.tags) -> |v| { .pre + ":" + v }\n'
+        'limit = 1\n'
+        '.first = filter(.tags) -> |i, v| { i <= limit }'
+    ).run(t)
+    assert out["tagged"].to_pylist() == [["x:a", "x:b"],
+                                         ["y:b", "y:c", "y:d"], None]
+    assert out["first"].to_pylist() == [["a", "b"], ["b", "c"], None]
+
+
+def test_closure_fallible_flags_parent_row_only():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"xs": [["1", "2"], ["3", "oops"]]})
+    out, err, ab, _ = compile_program(
+        ".n = map_values(.xs) -> |v| { to_int!(v) }"
+    ).run(t)
+    assert err.to_pylist() == [False, True]
+    assert out["n"].to_pylist()[0] == [1, 2]
+
+
+def test_closure_for_each_raises_descriptive():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"tags": [["a"]]})
+    with pytest.raises(ValueError, match="for_each"):
+        compile_program(
+            "for_each(.tags) -> |_i, v| { v }"
+        ).run(t)

@@ -69,7 +69,30 @@ register("slice")(lambda c, start, end=None: pc.utf8_slice_codeunits(c, start, e
 @register("replace")
 def _replace(c, pat, rep, count=-1):
     """replace(value, pattern, with, count) — count<0 = all
-    (replace.cue); patterns are regexes in our registry convention."""
+    (replace.cue); patterns are regexes in our registry convention
+    (the VRL front-end escapes plain-string patterns to the reference's
+    literal semantics before dispatch).  ``$name`` / ``$1`` capture
+    references in the replacement translate to RE2's ``\\N`` form;
+    ``$$`` is a literal dollar."""
+    if isinstance(rep, str) and "$" in rep:
+        import re as _re
+
+        gidx = {}
+        try:
+            gidx = _re.compile(pat).groupindex
+        except _re.error:
+            pass
+
+        def _ref(m):
+            name = m.group(1) or m.group(2)
+            if name.isdigit():
+                return "\\" + name
+            if name in gidx:
+                return "\\" + str(gidx[name])
+            return m.group(0)
+
+        rep = _re.sub(r"\$(?:(\w+)|\{(\w+)\})", _ref, rep.replace("$$", "\x00"))
+        rep = rep.replace("\x00", "$")
     return pc.replace_substring_regex(
         c, pattern=pat, replacement=rep,
         max_replacements=None if count is None or count < 0 else int(count),
@@ -492,9 +515,16 @@ def _b64d(c, charset="standard"):
 
     def _one(v):
         v = v + "=" * (-len(v) % 4)  # tolerate unpadded input
-        return dec(v).decode()
+        return dec(v)
 
-    return pa.array([None if v is None else _one(v) for v in c.to_pylist()])
+    raw = [None if v is None else _one(v) for v in c.to_pylist()]
+    # VRL bytes are one type; Arrow splits string/binary — decode to
+    # utf-8 when the whole column round-trips (the common case), else
+    # keep binary (gzip/zstd/crypto payloads feed decode_gzip! etc.)
+    try:
+        return pa.array([None if v is None else v.decode() for v in raw])
+    except UnicodeDecodeError:
+        return pa.array(raw, type=pa.binary())
 
 
 def _hashlib_fn(algo):
@@ -596,14 +626,25 @@ def _cidr(c, cidr):
 # ------------------------------------------------- compression / mac
 
 @register("encode_gzip")
-def _gzip_e(c):
+def _gzip_e(c, compression_level=6):
     """VRL encode_gzip: bytes/string → gzip bytes (per-row codec; gzip
-    has no vectorized kernel — codec functions are cold-path)."""
-    import gzip
+    has no vectorized kernel — codec functions are cold-path).  Header
+    matches the reference's flate2 output byte-for-byte: mtime=0,
+    XFL=0, OS=0xff (python's gzip module stamps mtime/OS, breaking
+    encode_gzip.cue's byte-exact example)."""
+    import struct
+    import zlib
+
+    def _one(v):
+        data = v.encode() if isinstance(v, str) else v
+        co = zlib.compressobj(compression_level, zlib.DEFLATED, -15)
+        body = co.compress(data) + co.flush()
+        return (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff" + body
+                + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                              len(data) & 0xFFFFFFFF))
 
     return pa.array(
-        [None if v is None else gzip.compress(v.encode() if isinstance(v, str) else v)
-         for v in c.to_pylist()],
+        [None if v is None else _one(v) for v in c.to_pylist()],
         type=pa.binary(),
     )
 
@@ -638,17 +679,32 @@ def _zlib_d(c):
 
 
 @register("hmac")
-def _hmac(c, key, algorithm="sha256"):
-    """VRL hmac(value, key, algorithm) → hex digest."""
+def _hmac(c, key, algorithm="SHA-256"):
+    """VRL hmac(value, key, algorithm) → RAW digest bytes (hmac.cue:
+    callers wrap with encode_base64/encode_base16).  ``algorithm``
+    accepts "SHA-224/256/384/512" (any case, dash optional) and may be
+    a column (the variable-hash-algorithm doc example)."""
     import hashlib
     import hmac as _hm
 
     k = key.encode() if isinstance(key, str) else key
+
+    def _algo(a):
+        name = str(a).lower().replace("-", "")
+        if name not in ("sha1", "sha224", "sha256", "sha384", "sha512"):
+            raise ValueError(f"invalid hmac algorithm {a!r}")
+        return getattr(hashlib, name)
+
+    algos = (
+        [None if a is None else _algo(a) for a in algorithm.to_pylist()]
+        if isinstance(algorithm, (pa.Array, pa.ChunkedArray))
+        else [_algo(algorithm)] * len(c)
+    )
     return pa.array(
-        [None if v is None else _hm.new(
-            k, (v if isinstance(v, bytes) else str(v).encode()),
-            getattr(hashlib, algorithm)).hexdigest()
-         for v in c.to_pylist()]
+        [None if v is None or a is None else _hm.new(
+            k, (v if isinstance(v, bytes) else str(v).encode()), a).digest()
+         for v, a in zip(c.to_pylist(), algos)],
+        type=pa.binary(),
     )
 
 
@@ -1333,9 +1389,9 @@ def _encode_json(c):
             continue
         try:
             out.append(_json.dumps(_json.loads(v) if isinstance(v, str) else v,
-                                   sort_keys=True))
+                                   sort_keys=True, separators=(",", ":")))
         except Exception:
-            out.append(_json.dumps(v))
+            out.append(_json.dumps(v, separators=(",", ":")))
     return pa.array(out, type=pa.string())
 
 

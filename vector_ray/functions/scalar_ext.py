@@ -273,14 +273,43 @@ def _decode_punycode(c, validate=True):
 
 
 @register("shannon_entropy")
-def _shannon_entropy(c):
+def _shannon_entropy(c, segmentation="byte"):
+    """shannon_entropy.cue: entropy over bytes (default), codepoints,
+    or graphemes (approximated as codepoints with combining marks
+    merged into the preceding cluster — full UAX#29 needs a
+    segmentation library the container doesn't ship)."""
+    import collections
+    import math
+    import unicodedata
+
+    def _segments(s):
+        if segmentation == "byte":
+            return s.encode() if isinstance(s, str) else s
+        if isinstance(s, bytes):
+            s = s.decode("utf-8", "replace")
+        if segmentation == "codepoint":
+            return list(s)
+        clusters, cur = [], ""
+        for ch in s:
+            if cur and unicodedata.combining(ch):
+                cur += ch
+            else:
+                if cur:
+                    clusters.append(cur)
+                cur = ch
+        if cur:
+            clusters.append(cur)
+        return clusters
+
     def _one(s):
-        b = s.encode() if isinstance(s, str) else s
-        if not b:
+        segs = _segments(s)
+        n = len(segs)
+        if not n:
             return 0.0
-        counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
-        p = counts[counts > 0] / len(b)
-        return float(-(p * np.log2(p)).sum())
+        counts = collections.Counter(
+            segs if not isinstance(segs, bytes) else segs)
+        return float(-sum((k / n) * math.log2(k / n)
+                          for k in counts.values()))
 
     return _rowmap(c, _one, pa.float64())
 
@@ -744,11 +773,85 @@ def _stream_decode(codec_name):
 
 register("encode_zstd")(_codec_encode("zstd"))
 register("decode_zstd")(_stream_decode("zstd"))
-# LZ4 FRAME format (pyarrow's lz4 codec) — the reference's lz4_flex
-# block format is size-prefixed raw blocks; frame is the interoperable
-# container
-register("encode_lz4")(_codec_encode("lz4"))
-register("decode_lz4")(_stream_decode("lz4"))
+@register("encode_lz4")
+def _encode_lz4(c, prepend_size=True):
+    """encode_lz4.cue: the reference's lz4_flex BLOCK format — raw lz4
+    block, optionally (default) prefixed with the uncompressed size as
+    4 LE bytes.  (pyarrow's "lz4_raw" codec is the block format; "lz4"
+    is the frame container — decode_lz4 accepts both.)"""
+    import struct
+
+    codec = pa.Codec("lz4_raw")
+
+    def _one(b):
+        data = b.encode() if isinstance(b, str) else b
+        block = codec.compress(data, asbytes=True)
+        return (struct.pack("<I", len(data)) + block) if prepend_size else block
+
+    return _rowmap(c, _one, pa.binary())
+
+
+def _lz4_block_size(b: bytes) -> int:
+    """Decompressed size of a bare LZ4 block, by walking its sequences
+    (token nibbles + LSIC length extensions — the public block spec).
+    Needed because Arrow's lz4_raw decompress wants the exact size."""
+    pos, out = 0, 0
+    n = len(b)
+    while pos < n:
+        token = b[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                x = b[pos]
+                pos += 1
+                lit += x
+                if x != 255:
+                    break
+        out += lit
+        pos += lit
+        if pos >= n:
+            break  # last sequence: literals only
+        pos += 2  # match offset
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                x = b[pos]
+                pos += 1
+                mlen += x
+                if x != 255:
+                    break
+        out += mlen + 4
+    return out
+
+
+@register("decode_lz4")
+def _decode_lz4(c, buf_size=None, prepended_size=True, use_prepended_size=None):
+    """decode_lz4.cue: size-prepended block (default), bare block (size
+    recovered by walking the block; ``buf_size`` overrides), or an lz4
+    FRAME (auto-detected by magic)."""
+    import struct
+
+    if use_prepended_size is not None:  # decode_lz4.cue argument name
+        prepended_size = use_prepended_size
+    raw = pa.Codec("lz4_raw")
+
+    def _one(b):
+        if isinstance(b, str):
+            b = b.encode()
+        if b[:4] == b"\x04\x22\x4d\x18":  # frame magic
+            st = pa.CompressedInputStream(pa.BufferReader(b), "lz4")
+            return bytes(st.read())
+        if prepended_size and len(b) >= 4:
+            (size,) = struct.unpack("<I", b[:4])
+            try:
+                return raw.decompress(b[4:], size, asbytes=True)
+            except Exception:
+                pass  # fall through to the bare-block path
+        size = buf_size if buf_size is not None else _lz4_block_size(b)
+        return raw.decompress(b, size, asbytes=True)
+
+    return _rowmap(c, _one, pa.binary())
 register("encode_snappy")(_codec_encode("snappy"))
 
 

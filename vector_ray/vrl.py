@@ -69,7 +69,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>[ \t]+)
   | (?P<comment>\#[^\n]*)
   | (?P<nl>\r?\n)
-  | (?P<op>\?\?|&&|\|\||==|!=|<=|>=|[<>]|[-+*/%]|[!=]|[(){}\[\],;:])
+  | (?P<op>\?\?|&&|\|\||==|!=|<=|>=|[<>]|[-+*/%]|[!=]|[(){}\[\],;:]|\|)
   | (?P<rawstr>s'(?:[^'\\]|\\.)*')
   | (?P<regex>r'(?:[^'\\]|\\.)*')
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
@@ -167,6 +167,7 @@ class CallE:
     args: tuple
     bang: bool         # f!(...)
     kwargs: tuple = () # named args: ((name, expr), ...)
+    closure: Optional[tuple] = None  # -> |p1, p2| { body }: (params, stmts)
 
 
 @dataclass(frozen=True)
@@ -383,7 +384,29 @@ class _Parser:
     def postfix(self):
         node = self.primary()
         while True:
-            if self.peek() == ("op", "["):
+            if (
+                isinstance(node, CallE)
+                and self.peek() == ("op", "-")
+                and self.peek(1) == ("op", ">")
+            ):
+                # closure: f(args) -> |p1, p2| { stmts }
+                self.next(); self.next()
+                self.skip_nl()
+                self.expect("|")
+                params = []
+                while self.peek() != ("op", "|"):
+                    k2, v2 = self.next()
+                    if k2 != "ident":
+                        raise ValueError("VRL: closure params must be identifiers")
+                    params.append(v2)
+                    if self.peek() == ("op", ","):
+                        self.next()
+                self.expect("|")
+                self.skip_nl()
+                body = self.block()
+                node = CallE(node.name, node.args, node.bang, node.kwargs,
+                             (tuple(params), tuple(body)))
+            elif self.peek() == ("op", "["):
                 self.next()
                 k, v = self.next()
                 if k not in ("str", "num"):
@@ -612,6 +635,67 @@ def _validity(a) -> np.ndarray:
     return np.asarray(_arr(a).is_valid())
 
 
+def _preserve_list_nulls(out: pa.ListArray, source: pa.ListArray, n: int):
+    """A null input list stays null through a closure (it rebuilt as []
+    because null rows contribute zero elements)."""
+    valid = _validity(source)
+    if valid.all():
+        return out
+    return _blend(valid, out, pa.nulls(n, out.type))
+
+
+class _LazyTake(dict):
+    """Child-env columns for list closures: outer columns expand by row
+    id only when the closure body actually reads them."""
+
+    def __init__(self, base, idx):
+        super().__init__()
+        self._base = base
+        self._idx = idx
+
+    def __missing__(self, k):
+        v = _arr(self._base[k]).take(self._idx)
+        self[k] = v
+        return v
+
+    def __contains__(self, k):
+        return dict.__contains__(self, k) or k in self._base
+
+    def get(self, k, d=None):
+        return self[k] if k in self else d
+
+    def __iter__(self):
+        for k in self._base:
+            _ = self[k]
+        return dict.__iter__(self)
+
+
+class _LazyTakeVars(dict):
+    def __init__(self, base, idx, n):
+        super().__init__()
+        self._base = base
+        self._idx = idx
+        self._n = n
+
+    def __missing__(self, k):
+        if k not in self._base:
+            raise KeyError(k)
+        v = self._base[k]
+        if v is not None and not v.is_scalar():
+            v = Val(_arr(v.data).take(self._idx), None, v.msg)
+        self[k] = v
+        return v
+
+    def __contains__(self, k):
+        return dict.__contains__(self, k) or k in self._base
+
+    def get(self, k, d=None):
+        try:
+            return self[k]
+        except KeyError:
+            return d
+
+
 class _Env:
     def __init__(self, batch: pa.Table):
         self.n = batch.num_rows
@@ -667,6 +751,21 @@ class Program:
             pa.array(env.abort),
             pa.array(list(env.msgs), type=pa.string()),
         )
+
+    def eval_value(self, batch: pa.Table):
+        """The program's final-expression value per row plus the error
+        mask — the semantic of a VRL doc example's ``return:`` (an
+        assignment evaluates to the assigned value)."""
+        env = _Env(batch)
+        active = np.ones(env.n, dtype=bool)
+        result = self._exec_block(self.stmts, env, active)
+        if result is None:
+            raise ValueError("VRL program has no final expression value")
+        data = _broadcast(result, env.n)
+        err = env.err | env.abort
+        if result.err is not None:
+            err = err | result.err
+        return data, pa.array(err)
 
     def eval_bool(self, batch: pa.Table) -> pa.Array:
         """Condition usage: the program's final expression as a boolean
@@ -902,6 +1001,8 @@ class Program:
 
     def _eval(self, node, env: _Env, live: np.ndarray) -> Val:
         if isinstance(node, LitE):
+            if isinstance(node.value, str) and "{{" in node.value:
+                return self._eval_template(node.value, env, live)
             return Val(node.value)
         if isinstance(node, RegexE):
             return Val(node.pattern)
@@ -1172,6 +1273,8 @@ class Program:
 
     def _eval_call(self, node: CallE, env, live) -> Val:
         name = node.name
+        if getattr(node, "closure", None) is not None:
+            return self._eval_closure_call(node, env, live)
         if name == "del":
             return self._call_del(node, env, live)
         if name == "exists":
@@ -1229,6 +1332,18 @@ class Program:
                 right.err, right.msg,
             )
         vals = [self._eval(a, env, live) for a in node.args]
+        # reference semantics: replace/split/find take a string OR a
+        # regex — a plain string matches LITERALLY (r'…' is the regex
+        # form).  The registry convention is regex-always, so escape
+        # non-regex pattern args here (replace.cue "De-dot" etc.).
+        if (
+            name in ("replace", "split", "find")
+            and len(vals) >= 2
+            and not isinstance(node.args[1], RegexE)
+            and vals[1].is_scalar()
+            and isinstance(vals[1].data, str)
+        ):
+            vals[1] = Val(re.escape(vals[1].data), vals[1].err, vals[1].msg)
         kwvals = {k: self._eval(a, env, live) for k, a in getattr(node, "kwargs", ())}
         kw = {k: (v.data if v.is_scalar() else _broadcast(v, env.n))
               for k, v in kwvals.items()}
@@ -1255,6 +1370,257 @@ class Program:
             callerr = None
         err = _merge_err_masks(in_err, callerr)
         return Val(out, err, msg if callerr is not None or err is not None else None)
+
+
+    # ---- closures: f(x) -> |p1, p2| { body }
+
+    def _run_closure(self, body, env, live, bindings):
+        """Run a closure body in a child variable scope.  Closures read
+        the outer scope but their assignments are local (VRL closure
+        scoping); event columns are restored afterwards too."""
+        saved_vars = dict(env.vars)
+        saved_cols = dict(env.cols)
+        env.vars.update(bindings)
+        try:
+            result = self._exec_block(list(body), env, live)
+        finally:
+            env.vars = saved_vars
+            env.cols = saved_cols
+        if result is None:
+            raise ValueError("VRL: closure body must end in an expression")
+        return result
+
+    def _eval_closure_call(self, node: CallE, env, live) -> Val:
+        """map_values / map_keys / filter with a closure, columnar:
+
+        * object (struct column) subjects stay length-n — the closure
+          body runs vectorized once per FIELD (the per-event key set is
+          one schema here), so ``map_values(.) -> |v| {upcase!(v)}``
+          costs one kernel per field, not one call per event.
+        * array (list column) subjects run the closure over the
+          FLATTENED values (one kernel over sum-of-lengths elements);
+          event columns and outer variables referenced inside the body
+          are expanded per element by row id, and the list is rebuilt
+          from offsets afterwards.  (website/cue/reference/remap/
+          functions/{map_values,map_keys,filter}.cue)
+        """
+        params, body = node.closure
+        name = node.name
+        if name == "for_each":
+            raise ValueError(
+                "VRL: for_each's sequential accumulation isn't expressible "
+                "vectorized - restate with map_values/filter or a keyed "
+                "aggregate stage"
+            )
+        if name == "replace_with":
+            return self._eval_replace_with(node, env, live)
+        if name not in ("map_values", "map_keys", "filter"):
+            raise ValueError(f"VRL: {name!r} doesn't take a closure")
+        subject = self._eval(node.args[0], env, live)
+        data = _broadcast(subject, env.n)
+        t = data.type
+        if pa.types.is_struct(t):
+            if name == "filter":
+                raise ValueError("VRL: filter over objects isn't supported here")
+            if name == "map_values":
+                vparam = params[-1]
+                arrs, names = [], []
+                for f in t:
+                    child = pc.struct_field(data, f.name)
+                    binds = {vparam: Val(child)}
+                    if len(params) == 2:  # |key, value| variant
+                        binds[params[0]] = Val(f.name)
+                    res = self._run_closure(body, env, live, binds)
+                    arrs.append(_broadcast(res, env.n))
+                    names.append(f.name)
+                return Val(
+                    pa.StructArray.from_arrays(arrs, names=names),
+                    subject.err, subject.msg,
+                )
+            # map_keys: |key| - keys are schema-level, one eval per field
+            recursive = any(
+                k == "recursive" and isinstance(a, LitE) and a.value is True
+                for k, a in getattr(node, "kwargs", ())
+            )
+
+            def _map_keys(struct_arr):
+                arrs, names = [], []
+                for f2 in struct_arr.type:
+                    res = self._run_closure(
+                        body, env, live, {params[0]: Val(f2.name)})
+                    nk = res.data if res.is_scalar() else _arr(
+                        _broadcast(res, env.n))[0].as_py()
+                    kid = pc.struct_field(struct_arr, f2.name)
+                    if recursive and pa.types.is_struct(kid.type):
+                        kid = _map_keys(kid)
+                    arrs.append(kid)
+                    names.append(str(nk))
+                return pa.StructArray.from_arrays(arrs, names=names)
+
+            return Val(_map_keys(data), subject.err, subject.msg)
+        if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+            raise ValueError(
+                f"VRL: {name} needs an object or array subject, got {t}"
+            )
+        lst = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+        lst = lst.cast(pa.list_(t.value_type))
+        offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.where(_validity(lst), np.diff(offsets), 0)
+        starts = np.zeros(env.n + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        total = int(starts[-1])
+        rowid = np.repeat(np.arange(env.n), lens)
+        within = np.arange(total) - np.repeat(starts[:-1], lens)
+        take_idx = pa.array(offsets[:-1][rowid] + within, type=pa.int64())
+        flat = lst.values.take(take_idx) if total else pa.nulls(0, t.value_type)
+        # child env of length `total`: event cols / outer vars expand by
+        # row id on demand (the closure usually touches only its params)
+        cenv = _Env.__new__(_Env)
+        cenv.n = total
+        ridx = pa.array(rowid, type=pa.int64())
+        cenv.cols = _LazyTake(env.cols, ridx)
+        cenv.vars = _LazyTakeVars(env.vars, ridx, total)
+        cenv.err = np.zeros(total, dtype=bool)
+        cenv.abort = np.zeros(total, dtype=bool)
+        cenv.msgs = np.full(total, None, dtype=object)
+        binds = {params[-1]: Val(flat)}
+        if len(params) == 2:  # |index, value|
+            binds[params[0]] = Val(pa.array(within, type=pa.int64()))
+        res = self._run_closure(body, cenv, np.ones(total, dtype=bool), binds)
+        # fold element-level failures back to their parent rows
+        elem_err = cenv.err | cenv.abort
+        if res.err is not None:
+            elem_err = elem_err | res.err
+        row_err = None
+        if elem_err.any():
+            row_err = np.zeros(env.n, dtype=bool)
+            np.logical_or.at(row_err, rowid, elem_err)
+        err = _merge_err_masks(subject.err, row_err)
+        if name == "filter":
+            keepb = _to_bool_arr(res, total)
+            keep = np.asarray(keepb) & ~elem_err
+            new_lens = np.zeros(env.n, dtype=np.int64)
+            np.add.at(new_lens, rowid, keep.astype(np.int64))
+            new_offsets = np.zeros(env.n + 1, dtype=np.int64)
+            np.cumsum(new_lens, out=new_offsets[1:])
+            vals = flat.filter(pa.array(keep))
+            out = pa.ListArray.from_arrays(
+                pa.array(new_offsets).cast(pa.int32()), vals)
+            out = _preserve_list_nulls(out, lst, env.n)
+            return Val(out, err, res.msg or subject.msg)
+        # map_values over an array: same offsets, transformed values
+        new_vals = _broadcast(res, total) if not res.is_scalar() else _arr(
+            pa.array([res.data] * total))
+        out = pa.ListArray.from_arrays(pa.array(starts).cast(pa.int32()), new_vals)
+        out = _preserve_list_nulls(out, lst, env.n)
+        return Val(out, err, res.msg or subject.msg)
+
+    def _eval_template(self, text: str, env, live) -> Val:
+        """VRL string templates: ``"[{{ var }}]"`` concatenates literal
+        parts with variable values."""
+        parts = re.split(r"\{\{\s*(\w+)\s*\}\}", text)
+        out: Optional[Val] = None
+        for i, part in enumerate(parts):
+            if i % 2 == 0:
+                if not part:
+                    continue
+                piece = Val(part)
+            else:
+                piece = self._eval(VarE(part), env, live)
+            if out is None:
+                out = piece
+            elif out.is_scalar() and piece.is_scalar():
+                out = Val(f"{out.data}{piece.data}")
+            else:
+                l = _broadcast(out, env.n)
+                r = _broadcast(piece, env.n)
+                if not _is_str_type(l.type):
+                    l = pc.cast(l, pa.string())
+                if not _is_str_type(r.type):
+                    r = pc.cast(r, pa.string())
+                out = Val(pc.binary_join_element_wise(l, r, ""),
+                          _merge_err(out, piece))
+        return out if out is not None else Val("")
+
+    def _eval_replace_with(self, node: CallE, env, live) -> Val:
+        """replace_with(value, pattern, count) -> |match| { … } — the
+        closure runs VECTORIZED over every match in the batch (one
+        kernel pass over all matches of all rows); the per-row string
+        splice is the only python loop (replace_with.cue).  The match
+        object exposes ``string``, ``captures`` (list, null for
+        non-participating groups) and named groups as fields."""
+        params, body = node.closure
+        subject = self._eval(node.args[0], env, live)
+        pat = self._eval(node.args[1], env, live)
+        if not (pat.is_scalar() and isinstance(pat.data, str)):
+            raise ValueError("replace_with: pattern must be a regex literal")
+        count = -1
+        for k, a in getattr(node, "kwargs", ()):
+            if k == "count" and isinstance(a, LitE):
+                count = int(a.value)
+        if len(node.args) > 2 and isinstance(node.args[2], LitE):
+            count = int(node.args[2].value)
+        rx = re.compile(pat.data)
+        rows = _broadcast(subject, env.n).to_pylist()
+        matches, rowid, spans = [], [], []
+        for ri, s in enumerate(rows):
+            if s is None or not (live[ri]):
+                continue
+            for mi, m in enumerate(rx.finditer(s)):
+                if count >= 0 and mi >= count:
+                    break
+                matches.append(m)
+                rowid.append(ri)
+                spans.append(m.span())
+        if not matches:
+            return Val(pa.array(rows, type=pa.string()), subject.err, subject.msg)
+        total = len(matches)
+        names = sorted(rx.groupindex)
+        fields = [
+            pa.array([m.group(0) for m in matches], type=pa.string()),
+            pa.array([[g for g in m.groups()] for m in matches],
+                     type=pa.list_(pa.string())),
+        ]
+        fnames = ["string", "captures"]
+        for nm in names:
+            fields.append(pa.array([m.group(nm) for m in matches],
+                                   type=pa.string()))
+            fnames.append(nm)
+        match_obj = pa.StructArray.from_arrays(fields, names=fnames)
+        ridx = pa.array(np.asarray(rowid, dtype=np.int64))
+        cenv = _Env.__new__(_Env)
+        cenv.n = total
+        cenv.cols = _LazyTake(env.cols, ridx)
+        cenv.vars = _LazyTakeVars(env.vars, ridx, total)
+        cenv.err = np.zeros(total, dtype=bool)
+        cenv.abort = np.zeros(total, dtype=bool)
+        cenv.msgs = np.full(total, None, dtype=object)
+        res = self._run_closure(body, cenv, np.ones(total, dtype=bool),
+                                {params[0]: Val(match_obj)})
+        reps = _broadcast(res, total)
+        if not _is_str_type(reps.type):
+            reps = pc.cast(reps, pa.string())
+        reps = reps.to_pylist()
+        elem_err = cenv.err | cenv.abort
+        if res.err is not None:
+            elem_err = elem_err | res.err
+        # splice per row, right-to-left so spans stay valid
+        out = list(rows)
+        by_row: Dict[int, list] = {}
+        for (ri, (a, b), rep, bad) in zip(rowid, spans, reps, elem_err):
+            by_row.setdefault(ri, []).append((a, b, rep, bad))
+        row_err = np.zeros(env.n, dtype=bool)
+        for ri, pieces in by_row.items():
+            s = rows[ri]
+            for a, b, rep, bad in sorted(pieces, reverse=True):
+                if bad or rep is None:
+                    row_err[ri] = True
+                    continue
+                s = s[:a] + rep + s[b:]
+            out[ri] = s
+        err = _merge_err_masks(subject.err,
+                               row_err if row_err.any() else None)
+        return Val(pa.array(out, type=pa.string()), err, res.msg or subject.msg)
 
     def _call_del(self, node: CallE, env, live) -> Val:
         (arg,) = node.args
