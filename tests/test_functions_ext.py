@@ -176,7 +176,9 @@ def test_parsers():
     rb = call("parse_ruby_hash", s('{"a" => 1, "b" => nil}')).to_pylist()
     assert rb[0] == {"a": 1, "b": None}
     x = call("parse_xml", s('<row id="7"><name>zed</name><age>30</age></row>')).to_pylist()
-    assert dict(x[0]) == {"row@id": "7", "name": "zed", "age": "30"}
+    # parse_xml.cue conventions: @-prefixed attrs, numbers coerced,
+    # text-only children collapse to their value
+    assert x[0] == {"row": {"@id": 7, "name": "zed", "age": 30}}
     g = call("parse_grok", s("2020 alpha"), "%{NUMBER:year} %{WORD:w}").to_pylist()
     assert dict(g[0]) == {"year": "2020", "w": "alpha"}
     toks = call("parse_tokens",

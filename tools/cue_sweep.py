@@ -376,9 +376,6 @@ SKIP_FNS = {
     "decrypt", "encrypt", "decrypt_ip", "encrypt_ip",
     # proto examples need .desc resource files from the reference tree
     "encode_proto", "parse_proto",
-    # parse_xml's example needs an XML->object mapping mirroring
-    # the reference's xml-rs attribute conventions (documented gap)
-    "parse_xml",
     # nondeterministic / environment / runtime-type introspection
     "now", "uuid_v4", "uuid_v7", "random_bytes", "random_int", "random_float",
     "is_regex", "get_hostname", "get_env_var", "get_timezone_name",

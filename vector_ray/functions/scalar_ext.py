@@ -1457,22 +1457,63 @@ def _parse_ruby_hash(c):
 
 
 @register("parse_xml")
-def _parse_xml(c):
-    """Flat XML → map of child-tag → text (single level; attributes
-    join as tag@attr)."""
+def _parse_xml(c, include_attr=True, attr_prefix="@", text_key="text",
+               always_use_text_key=False, parse_bool=True, parse_null=True,
+               parse_number=True):
+    """parse_xml.cue conventions: attributes as ``@attr`` keys, text
+    nodes under ``text_key`` (collapsed to the bare value for
+    text-only elements unless ``always_use_text_key``), repeated
+    sibling tags as arrays, and true/null/number coercion flags."""
     import xml.etree.ElementTree as ET
+
+    from .scalar import obj_array
+
+    def _coerce(s):
+        if s is None:
+            return None
+        if parse_bool and s in ("true", "false"):
+            return s == "true"
+        if parse_null and s == "null":
+            return None
+        if parse_number:
+            try:
+                return int(s)
+            except ValueError:
+                try:
+                    return float(s)
+                except ValueError:
+                    pass
+        return s
+
+    def _elem(e):
+        out = {}
+        if include_attr:
+            for k, v in e.attrib.items():
+                out[f"{attr_prefix}{k}"] = _coerce(v)
+        for child in e:
+            v = _elem(child)
+            if child.tag in out:
+                prev = out[child.tag]
+                if isinstance(prev, list):
+                    prev.append(v)
+                else:
+                    out[child.tag] = [prev, v]
+            else:
+                out[child.tag] = v
+        text = (e.text or "").strip()
+        if text:
+            if out or always_use_text_key:
+                out[text_key] = _coerce(text)
+            else:
+                return _coerce(text)
+        return out
 
     def _one(s):
         root = ET.fromstring(s)
-        out = {}
-        for k, v in root.attrib.items():
-            out[f"{root.tag}@{k}"] = v
-        for child in root:
-            out[child.tag] = (child.text or "").strip()
-        return out
+        return {root.tag: _elem(root)}
 
-    return _to_map_array([None if s is None else _one(s)
-                          for s in _arr(c).to_pylist()])
+    return obj_array([None if s is None else _one(s)
+                      for s in _arr(c).to_pylist()])
 
 
 @register("parse_influxdb")
