@@ -265,10 +265,12 @@ else if .event_type == "signup" { .sev = 6 }
 else { .sev = 1 }
 .tag = .event_type + ":" + to_string(.sev)
 .vk = round(.value * 2 + .k, 3)
+.m = (.k - 50) % 7
+.up = map_values(filter(split(.event_type, "u")) -> |_i, v| { v != "" }) -> |v| { upcase!(v) }
 del(.props)
 """
     out = remap_vrl(ds, src)
-    return out.select_columns(["event_id", "k", "sev", "tag", "vk"])
+    return out.select_columns(["event_id", "k", "sev", "tag", "vk", "m", "up"])
 
 
 def q_dedupe_events(sf_dir):
@@ -1102,7 +1104,10 @@ def oracle_sql() -> dict[str, str]:
             "WHEN event_type = 'signup' THEN 6 ELSE 1 END AS sev FROM events) "
             "SELECT event_id, k, sev, "
             "event_type || ':' || CAST(sev AS VARCHAR) AS tag, "
-            "round(value * 2 + k, 3) AS vk FROM base"
+            "round(value * 2 + k, 3) AS vk, "
+            "(k - 50) % 7 AS m, "
+            "list_transform(list_filter(string_split(event_type, 'u'), "
+            "x -> x != ''), x -> upper(x)) AS up FROM base"
         ),
         "static_enrich": (
             "SELECT event_id, user_id, 'us-east-1a' AS az, 'm5.large' AS instance_type FROM events"
