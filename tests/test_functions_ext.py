@@ -254,10 +254,10 @@ def test_crypto_roundtrip():
     iv = "i" * 16
     enc = call("encrypt", s("secret message"), "AES-256-CFB", key, iv)
     dec = call("decrypt", enc, "AES-256-CFB", key, iv).to_pylist()
-    assert dec[0].decode() == "secret message"
+    assert dec[0] == "secret message"  # utf-8 plaintext renders as string
     enc2 = call("encrypt", s("padded!"), "AES-128-CBC-PKCS7", "k" * 16, iv)
     dec2 = call("decrypt", enc2, "AES-128-CBC-PKCS7", "k" * 16, iv).to_pylist()
-    assert dec2[0].decode() == "padded!"
+    assert dec2[0] == "padded!"
 
 
 def test_encrypt_ip_roundtrip():

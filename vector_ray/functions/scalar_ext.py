@@ -1975,9 +1975,24 @@ def _aes_ctx(algorithm, key, iv):
     return Cipher(algorithms.AES(kb), mode(ivb)), m.group(2) == "CBC"
 
 
+def _const_arg(x, what="argument"):
+    """Scalar call args may arrive as broadcast Arrow arrays from the
+    VRL program path (a variable assigned from a literal) — accept a
+    constant column as its value; truly per-row values are rejected
+    with a clear error rather than silently using row 0."""
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        vals = {v for v in x.to_pylist() if v is not None}
+        if len(vals) != 1:
+            raise ValueError(f"per-row {what} values aren't supported here")
+        return next(iter(vals))
+    return x
+
+
 @register("encrypt")
 def _encrypt(c, algorithm, key, iv):
-    cipher, pad = _aes_ctx(algorithm, key, iv)
+    cipher, pad = _aes_ctx(
+        _const_arg(algorithm, "algorithm"), _const_arg(key, "key"),
+        _const_arg(iv, "iv"))
 
     def _one(v):
         b = v.encode() if isinstance(v, str) else v
@@ -1994,7 +2009,9 @@ def _encrypt(c, algorithm, key, iv):
 
 @register("decrypt")
 def _decrypt(c, algorithm, key, iv):
-    cipher, pad = _aes_ctx(algorithm, key, iv)
+    cipher, pad = _aes_ctx(
+        _const_arg(algorithm, "algorithm"), _const_arg(key, "key"),
+        _const_arg(iv, "iv"))
 
     def _one(b):
         if isinstance(b, str):
@@ -2008,17 +2025,30 @@ def _decrypt(c, algorithm, key, iv):
             out = u.update(out) + u.finalize()
         return out
 
-    return _rowmap(c, _one, pa.binary())
+    raw = [None if v is None else _one(v if not isinstance(v, str) else v.encode())
+           for v in _arr(c).to_pylist()]
+    # VRL bytes: render as string when the plaintext round-trips utf-8
+    try:
+        return pa.array([None if v is None else v.decode() for v in raw])
+    except UnicodeDecodeError:
+        return pa.array(raw, type=pa.binary())
 
 
 @register("encrypt_ip")
-def _encrypt_ip(c, key):
+def _encrypt_ip(c, key, mode="aes128"):
     """ipcrypt-deterministic (public spec draft-denis-ipcrypt): AES-128
-    single-block over the 16-byte (v4-mapped) address."""
+    single-block over the 16-byte (v4-mapped) address.  mode="pfx"
+    (prefix-preserving, 32-byte key) needs the ipcrypt-pfx bit-walk
+    spec, which isn't available in this container — honest error."""
     import ipaddress
 
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
 
+    key = _const_arg(key, "key")
+    if _const_arg(mode, "mode") != "aes128":
+        raise NotImplementedError(
+            "encrypt_ip mode 'pfx' (ipcrypt prefix-preserving) isn't "
+            "implemented — spec not available in this container")
     kb = key.encode() if isinstance(key, str) else key
     if len(kb) != 16:
         raise ValueError("encrypt_ip needs a 16-byte key")
@@ -2035,11 +2065,16 @@ def _encrypt_ip(c, key):
 
 
 @register("decrypt_ip")
-def _decrypt_ip(c, key):
+def _decrypt_ip(c, key, mode="aes128"):
     import ipaddress
 
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
 
+    key = _const_arg(key, "key")
+    if _const_arg(mode, "mode") != "aes128":
+        raise NotImplementedError(
+            "decrypt_ip mode 'pfx' (ipcrypt prefix-preserving) isn't "
+            "implemented — spec not available in this container")
     kb = key.encode() if isinstance(key, str) else key
     if len(kb) != 16:
         raise ValueError("decrypt_ip needs a 16-byte key")
