@@ -349,7 +349,16 @@ def run_program(text: str, src_start: int, src: str):
         try:
             event = P(head, im.end()).value()
         except Exception as e:
-            raise _SkipProgram(f"input parse: {e}")
+            # cue shorthand: `input: log: field: 1` (single-field path)
+            m2 = re.match(r"\s*(\w+):", head[im.end():])
+            if m2:
+                try:
+                    v = P(head, im.end() + m2.end()).value()
+                    event = {m2.group(1): v}
+                except Exception:
+                    raise _SkipProgram(f"input parse: {e}")
+            else:
+                raise _SkipProgram(f"input parse: {e}")
     if not isinstance(event, dict):
         raise _SkipProgram("non-object input")
     if any(isinstance(v, list) and v and isinstance(v[0], dict) for v in event.values()):

@@ -1915,19 +1915,37 @@ def _validate_json_schema(c, schema_json, ignore_unknown_formats=False):
 
 @register("parse_aws_cloudwatch_log_subscription_message")
 def _parse_cw_sub(c):
+    """parse_aws_cloudwatch_log_subscription_message.cue: typed nested
+    output — subscription_filters as a string array, log_events as
+    objects with ms-epoch timestamps rendered RFC3339."""
+    import datetime as _dt
+
+    from .scalar import obj_array
+
+    def _ts(ms):
+        d = _dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
+        return d.strftime("%Y-%m-%dT%H:%M:%S.") + f"{d.microsecond // 1000:03d}Z"
+
     def _one(s):
         v = json.loads(s)
         return {
             "owner": str(v.get("owner", "")),
+            "message_type": str(v.get("messageType", "")),
             "log_group": str(v.get("logGroup", "")),
             "log_stream": str(v.get("logStream", "")),
-            "message_type": str(v.get("messageType", "")),
-            "subscription_filters": json.dumps(v.get("subscriptionFilters", [])),
-            "log_events": json.dumps(v.get("logEvents", [])),
+            "subscription_filters": [str(f) for f in v.get("subscriptionFilters", [])],
+            "log_events": [
+                {
+                    "id": str(e.get("id", "")),
+                    "message": e.get("message"),
+                    "timestamp": _ts(int(e["timestamp"])) if "timestamp" in e else None,
+                }
+                for e in v.get("logEvents", [])
+            ],
         }
 
-    return _to_map_array([None if s is None else _one(s)
-                          for s in _arr(c).to_pylist()])
+    return obj_array([None if s is None else _one(s)
+                      for s in _arr(c).to_pylist()])
 
 
 # ------------------------------------------------------------- secrets
