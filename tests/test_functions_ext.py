@@ -324,3 +324,27 @@ def test_decode_influxdb_malformed_field_value_contextual():
 
     with pytest.raises(ValueError, match="invalid influxdb line"):
         decode_influxdb(s("m v=abc"))
+
+
+def test_parse_xml_numeric_guard():
+    # python int() underscores must not corrupt id-like strings
+    v = call("parse_xml", s("<r><a>1_0</a><b>7</b></r>")).to_pylist()[0]
+    assert v == {"r": {"a": "1_0", "b": 7}}
+
+
+def test_shannon_entropy_validates_segmentation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="segmentation"):
+        call("shannon_entropy", s("x"), "bytes")
+
+
+def test_to_string_tz_aware_renders_utc():
+    import datetime as dt
+
+    import pyarrow as pa
+
+    arr = pa.array(
+        [dt.datetime(2020, 1, 1, 12)], type=pa.timestamp("us", "UTC")
+    ).cast(pa.timestamp("us", "America/New_York"))
+    assert call("to_string", arr).to_pylist() == ["2020-01-01T12:00:00Z"]

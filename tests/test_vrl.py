@@ -564,3 +564,55 @@ def test_closure_for_each_raises_descriptive():
         compile_program(
             "for_each(.tags) -> |_i, v| { v }"
         ).run(t)
+
+
+# ---- second review-pass regressions ----
+
+
+def test_regex_identity_flows_through_variables():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"a": ["a1b2c"]})
+    out, *_ = compile_program("pat = r'\\d'\n.parts = split(.a, pat)").run(t)
+    assert out["parts"].to_pylist() == [["a", "b", "c"]]
+    out, *_ = compile_program('.parts = split("x.y.z", ".")').run(t)
+    assert out["parts"].to_pylist() == [["x", "y", "z"]]
+    # a column pattern is always literal (columns can't hold regexes)
+    t2 = pa.table({"a": ["x.y", "p.q"], "sep": [".", "."]})
+    out, *_ = compile_program(".parts = split(.a, .sep)").run(t2)
+    assert out["parts"].to_pylist() == [["x", "y"], ["p", "q"]]
+
+
+def test_replace_dollar_literal_with_literal_pattern():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"a": ["pay x now"]})
+    out, err, *_ = compile_program('.v = replace(.a, "x", "$10 fee")').run(t)
+    assert out["v"].to_pylist() == ["pay $10 fee now"]
+    assert err.to_pylist() == [False]
+
+
+def test_map_keys_per_row_result_raises():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"foo": ["a", "b"], "sfx": ["1", "2"]})
+    with pytest.raises(ValueError, match="per-row"):
+        compile_program(". = map_keys(.) -> |key| { key + .sfx }").run(t)
+
+
+def test_replace_with_count_from_variable():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"a": ["foo foo foo"]})
+    out, *_ = compile_program(
+        'n = 1\n.v = replace_with(.a, r\'foo\', count: n) -> |m| { "X" }'
+    ).run(t)
+    assert out["v"].to_pylist() == ["X foo foo"]

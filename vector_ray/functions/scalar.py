@@ -77,22 +77,30 @@ def _replace(c, pat, rep, count=-1):
     if isinstance(rep, str) and "$" in rep:
         import re as _re
 
-        gidx = {}
         try:
-            gidx = _re.compile(pat).groupindex
+            compiled = _re.compile(pat)
         except _re.error:
-            pass
+            compiled = None
+        # capture references only exist when the pattern HAS groups —
+        # a literal pattern's replacement keeps its $ text verbatim
+        # ("$10 fee" stays "$10 fee"; replace.cue uses $$ to escape)
+        if compiled is not None and compiled.groups > 0:
+            gidx = compiled.groupindex
+            ngroups = compiled.groups
 
-        def _ref(m):
-            name = m.group(1) or m.group(2)
-            if name.isdigit():
-                return "\\" + name
-            if name in gidx:
-                return "\\" + str(gidx[name])
-            return m.group(0)
+            def _ref(m):
+                name = m.group(1) or m.group(2)
+                if name.isdigit():
+                    return ("\\" + name) if int(name) <= ngroups else m.group(0)
+                if name in gidx:
+                    return "\\" + str(gidx[name])
+                return m.group(0)
 
-        rep = _re.sub(r"\$(?:(\w+)|\{(\w+)\})", _ref, rep.replace("$$", "\x00"))
-        rep = rep.replace("\x00", "$")
+            rep = _re.sub(r"\$(?:(\w+)|\{(\w+)\})", _ref,
+                          rep.replace("$$", "\x00"))
+            rep = rep.replace("\x00", "$")
+        else:
+            rep = rep.replace("$$", "$")
     return pc.replace_substring_regex(
         c, pattern=pat, replacement=rep,
         max_replacements=None if count is None or count < 0 else int(count),
@@ -145,10 +153,23 @@ register("match")(lambda c, p: pc.match_substring_regex(c, p))
 @register("split")
 def _split(c, p, limit=None):
     """split(value, pattern, limit) — limit = max number of
-    substrings returned (split.cue)."""
+    substrings returned (split.cue).  The pattern is a regex (the
+    registry convention; the VRL front-end escapes plain-string
+    patterns into literals before dispatch)."""
+    if isinstance(p, (pa.Array, pa.ChunkedArray)):
+        # per-row patterns: no Arrow kernel — cold-path python re
+        import re as _re
+
+        ms = None if limit is None else max(int(limit) - 1, 0)
+        out = [
+            None if (v is None or pv is None)
+            else _re.split(pv, v) if ms is None else _re.split(pv, v, ms)
+            for v, pv in zip(c.to_pylist(), p.to_pylist())
+        ]
+        return pa.array(out, type=pa.list_(pa.string()))
     if limit is None:
-        return pc.split_pattern(c, pattern=p)
-    return pc.split_pattern(c, pattern=p, max_splits=max(int(limit) - 1, 0))
+        return pc.split_pattern_regex(c, pattern=p)
+    return pc.split_pattern_regex(c, pattern=p, max_splits=max(int(limit) - 1, 0))
 
 
 register("join")(lambda c, separator="": pc.binary_join(c, separator))
@@ -321,6 +342,10 @@ def _to_string(c):
     if isinstance(c, pa.ChunkedArray):
         c = c.combine_chunks()
     if pa.types.is_timestamp(c.type):
+        # normalize tz-aware columns to UTC first — strftime renders in
+        # the column's zone and the suffix below asserts UTC
+        if c.type.tz is not None and c.type.tz != "UTC":
+            c = c.cast(pa.timestamp(c.type.unit, "UTC"))
         # arrow %S includes fractional seconds when present
         s = pc.strftime(c, format="%Y-%m-%dT%H:%M:%S")
         # trim trailing fractional zeros like the reference's RFC3339
@@ -501,7 +526,8 @@ def _b64e(c, padding=True, charset="standard"):
     enc = base64.urlsafe_b64encode if charset == "url_safe" else base64.b64encode
 
     def _one(v):
-        s = enc(v.encode() if isinstance(v, str) else v).decode()
+        s = enc(v.encode("utf-8", "surrogateescape")
+                if isinstance(v, str) else v).decode()
         return s.rstrip("=") if not padding else s
 
     return pa.array([None if v is None else _one(v) for v in c.to_pylist()])
@@ -518,9 +544,13 @@ def _b64d(c, charset="standard"):
         return dec(v)
 
     raw = [None if v is None else _one(v) for v in c.to_pylist()]
-    # VRL bytes are one type; Arrow splits string/binary — decode to
-    # utf-8 when the whole column round-trips (the common case), else
-    # keep binary (gzip/zstd/crypto payloads feed decode_gzip! etc.)
+    # VRL bytes are one type; Arrow splits string/binary: return string
+    # when the whole batch round-trips utf-8 (the common case), else
+    # binary.  CAVEAT: a column whose batches mix text and binary
+    # payloads can come out string in one batch and binary in another
+    # (Arrow strings physically cannot hold non-utf8 bytes) — pin the
+    # type with a following encode_base64/to_string step if a sink
+    # needs one schema.
     try:
         return pa.array([None if v is None else v.decode() for v in raw])
     except UnicodeDecodeError:
@@ -636,7 +666,7 @@ def _gzip_e(c, compression_level=6):
     import zlib
 
     def _one(v):
-        data = v.encode() if isinstance(v, str) else v
+        data = v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
         co = zlib.compressobj(compression_level, zlib.DEFLATED, -15)
         body = co.compress(data) + co.flush()
         return (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff" + body
@@ -654,7 +684,9 @@ def _gzip_d(c):
     import gzip
 
     return pa.array(
-        [None if v is None else gzip.decompress(v).decode() for v in c.to_pylist()]
+        [None if v is None else gzip.decompress(
+            v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
+        ).decode("utf-8", "replace") for v in c.to_pylist()]
     )
 
 
@@ -663,7 +695,8 @@ def _zlib_e(c):
     import zlib
 
     return pa.array(
-        [None if v is None else zlib.compress(v.encode() if isinstance(v, str) else v)
+        [None if v is None else zlib.compress(
+            v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v)
          for v in c.to_pylist()],
         type=pa.binary(),
     )
@@ -674,7 +707,9 @@ def _zlib_d(c):
     import zlib
 
     return pa.array(
-        [None if v is None else zlib.decompress(v).decode() for v in c.to_pylist()]
+        [None if v is None else zlib.decompress(
+            v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
+        ).decode("utf-8", "replace") for v in c.to_pylist()]
     )
 
 
@@ -702,7 +737,8 @@ def _hmac(c, key, algorithm="SHA-256"):
     )
     return pa.array(
         [None if v is None or a is None else _hm.new(
-            k, (v if isinstance(v, bytes) else str(v).encode()), a).digest()
+            k, (v if isinstance(v, bytes)
+                else str(v).encode("utf-8", "surrogateescape")), a).digest()
          for v, a in zip(c.to_pylist(), algos)],
         type=pa.binary(),
     )
@@ -1368,7 +1404,8 @@ register("strip_left")(lambda c, ch: pc.utf8_ltrim(c, characters=ch))
 register("strip_right")(lambda c, ch: pc.utf8_rtrim(c, characters=ch))
 register("encode_base16")(
     lambda c: pa.array([None if v is None else
-                        (v.encode() if isinstance(v, str) else v).hex()
+                        (v.encode("utf-8", "surrogateescape")
+                         if isinstance(v, str) else v).hex()
                         for v in c.to_pylist()])
 )
 register("decode_base16")(

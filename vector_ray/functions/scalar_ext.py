@@ -10,7 +10,7 @@ the columnar stand-in for VRL's dynamic objects.
 Reference specs: website/cue/reference/remap/functions/<name>.cue.
 Documented deviations: hash bit-values differ where the reference uses
 seahash; random_*/uuid_v4 take a deterministic seed (resume-safe);
-encode_lz4 uses the LZ4 frame format pyarrow ships.
+encode_lz4/decode_lz4 use the reference's lz4_flex BLOCK format (size-prefixed raw blocks via pyarrow's lz4_raw codec); decode also auto-detects the frame container by magic.
 """
 
 from __future__ import annotations
@@ -301,13 +301,25 @@ def _shannon_entropy(c, segmentation="byte"):
             clusters.append(cur)
         return clusters
 
+    if segmentation not in ("byte", "codepoint", "grapheme"):
+        raise ValueError(
+            f"invalid segmentation {segmentation!r} (byte|codepoint|grapheme)")
+
     def _one(s):
+        if segmentation == "byte":
+            # vectorized hot default
+            b = s.encode() if isinstance(s, str) else s
+            if not b:
+                return 0.0
+            counts = np.bincount(np.frombuffer(b, dtype=np.uint8),
+                                 minlength=256)
+            p = counts[counts > 0] / len(b)
+            return float(-(p * np.log2(p)).sum())
         segs = _segments(s)
         n = len(segs)
         if not n:
             return 0.0
-        counts = collections.Counter(
-            segs if not isinstance(segs, bytes) else segs)
+        counts = collections.Counter(segs)
         return float(-sum((k / n) * math.log2(k / n)
                           for k in counts.values()))
 
@@ -751,7 +763,8 @@ def _codec_encode(codec_name):
     def enc(c):
         codec = pa.Codec(codec_name)
         return _rowmap(c, lambda b: codec.compress(
-            b.encode() if isinstance(b, str) else b, asbytes=True), pa.binary())
+            b.encode("utf-8", "surrogateescape") if isinstance(b, str) else b,
+            asbytes=True), pa.binary())
 
     return enc
 
@@ -762,7 +775,7 @@ def _stream_decode(codec_name):
     def dec(c):
         def _one(b):
             if isinstance(b, str):
-                b = b.encode()
+                b = b.encode("utf-8", "surrogateescape")
             st = pa.CompressedInputStream(pa.BufferReader(b), codec_name)
             return bytes(st.read())
 
@@ -784,7 +797,7 @@ def _encode_lz4(c, prepend_size=True):
     codec = pa.Codec("lz4_raw")
 
     def _one(b):
-        data = b.encode() if isinstance(b, str) else b
+        data = b.encode("utf-8", "surrogateescape") if isinstance(b, str) else b
         block = codec.compress(data, asbytes=True)
         return (struct.pack("<I", len(data)) + block) if prepend_size else block
 
@@ -838,7 +851,7 @@ def _decode_lz4(c, buf_size=None, prepended_size=True, use_prepended_size=None):
 
     def _one(b):
         if isinstance(b, str):
-            b = b.encode()
+            b = b.encode("utf-8", "surrogateescape")
         if b[:4] == b"\x04\x22\x4d\x18":  # frame magic
             st = pa.CompressedInputStream(pa.BufferReader(b), "lz4")
             return bytes(st.read())
@@ -885,8 +898,11 @@ def _encode_charset(c, charset):
 
 @register("decode_charset")
 def _decode_charset(c, charset):
-    return _rowmap(c, lambda b: (b if isinstance(b, bytes) else b.encode()).decode(charset),
-                   pa.string())
+    return _rowmap(
+        c,
+        lambda b: (b if isinstance(b, bytes)
+                   else b.encode("utf-8", "surrogateescape")).decode(charset),
+        pa.string())
 
 
 # -------------------------------------------------- arrays and objects
@@ -1476,13 +1492,15 @@ def _parse_xml(c, include_attr=True, attr_prefix="@", text_key="text",
         if parse_null and s == "null":
             return None
         if parse_number:
-            try:
+            # strict digit shapes only — python's int()/float() accept
+            # underscores ("1_0" → 10) and inf spellings that must stay
+            # strings
+            import re as _re
+
+            if _re.fullmatch(r"-?\d+", s):
                 return int(s)
-            except ValueError:
-                try:
-                    return float(s)
-                except ValueError:
-                    pass
+            if _re.fullmatch(r"-?\d+\.\d+", s):
+                return float(s)
         return s
 
     def _elem(e):
@@ -2013,7 +2031,7 @@ def _encrypt(c, algorithm, key, iv):
         _const_arg(iv, "iv"))
 
     def _one(v):
-        b = v.encode() if isinstance(v, str) else v
+        b = v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
         if pad:
             from cryptography.hazmat.primitives import padding
 
@@ -2043,9 +2061,12 @@ def _decrypt(c, algorithm, key, iv):
             out = u.update(out) + u.finalize()
         return out
 
-    raw = [None if v is None else _one(v if not isinstance(v, str) else v.encode())
+    raw = [None if v is None else _one(
+               v if not isinstance(v, str)
+               else v.encode("utf-8", "surrogateescape"))
            for v in _arr(c).to_pylist()]
-    # VRL bytes: render as string when the plaintext round-trips utf-8
+    # string when the whole batch round-trips utf-8, else binary
+    # (same dual-type caveat as decode_base64)
     try:
         return pa.array([None if v is None else v.decode() for v in raw])
     except UnicodeDecodeError:

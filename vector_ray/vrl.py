@@ -56,6 +56,13 @@ from .functions import scalar as _scalar
 __all__ = ["compile_program", "Program", "VrlCondition"]
 
 
+class VrlRegex(str):
+    """A regex literal's value — a str subclass so registry fns use it
+    directly, but distinguishable from plain strings so literal-pattern
+    escaping follows the VALUE (a regex stored in a variable stays a
+    regex; replace.cue string-vs-regex semantics)."""
+
+
 class VrlNameError(ValueError):
     """An undefined variable — a program bug, not a per-row failure.
     Deliberately NOT caught by ``??`` (the reference rejects undefined
@@ -1005,7 +1012,7 @@ class Program:
                 return self._eval_template(node.value, env, live)
             return Val(node.value)
         if isinstance(node, RegexE):
-            return Val(node.pattern)
+            return Val(VrlRegex(node.pattern))
         if isinstance(node, PathE):
             return Val(_read_path(env, node.path))
         if isinstance(node, RootE):
@@ -1334,16 +1341,24 @@ class Program:
         vals = [self._eval(a, env, live) for a in node.args]
         # reference semantics: replace/split/find take a string OR a
         # regex — a plain string matches LITERALLY (r'…' is the regex
-        # form).  The registry convention is regex-always, so escape
-        # non-regex pattern args here (replace.cue "De-dot" etc.).
-        if (
-            name in ("replace", "split", "find")
-            and len(vals) >= 2
-            and not isinstance(node.args[1], RegexE)
-            and vals[1].is_scalar()
-            and isinstance(vals[1].data, str)
-        ):
-            vals[1] = Val(re.escape(vals[1].data), vals[1].err, vals[1].msg)
+        # form, carried through variables as VrlRegex).  The registry
+        # convention is regex-always, so escape non-regex pattern args
+        # here, scalar or per-row column (replace.cue "De-dot" etc.).
+        if name in ("replace", "split", "find") and len(vals) >= 2:
+            pv = vals[1]
+            if pv.is_scalar():
+                if isinstance(pv.data, str) and not isinstance(pv.data, VrlRegex):
+                    vals[1] = Val(re.escape(pv.data), pv.err, pv.msg)
+            else:
+                parr = _broadcast(pv, env.n)
+                if _is_str_type(parr.type):
+                    # columns can't hold regex literals → all literal
+                    esc = pa.array(
+                        [None if s is None else re.escape(s)
+                         for s in parr.to_pylist()],
+                        type=pa.string(),
+                    )
+                    vals[1] = Val(esc, pv.err, pv.msg)
         kwvals = {k: self._eval(a, env, live) for k, a in getattr(node, "kwargs", ())}
         kw = {k: (v.data if v.is_scalar() else _broadcast(v, env.n))
               for k, v in kwvals.items()}
@@ -1448,8 +1463,18 @@ class Program:
                 for f2 in struct_arr.type:
                     res = self._run_closure(
                         body, env, live, {params[0]: Val(f2.name)})
-                    nk = res.data if res.is_scalar() else _arr(
-                        _broadcast(res, env.n))[0].as_py()
+                    if res.is_scalar():
+                        nk = res.data
+                    else:
+                        uniq = {v for v in _arr(_broadcast(res, env.n)).to_pylist()
+                                if v is not None}
+                        if len(uniq) > 1:
+                            raise ValueError(
+                                "VRL: map_keys closure produced per-row key "
+                                f"values for field {f2.name!r} — column names "
+                                "are schema-level in a columnar batch"
+                            )
+                        nk = next(iter(uniq)) if uniq else f2.name
                     kid = pc.struct_field(struct_arr, f2.name)
                     if recursive and pa.types.is_struct(kid.type):
                         kid = _map_keys(kid)
@@ -1555,11 +1580,21 @@ class Program:
         if not (pat.is_scalar() and isinstance(pat.data, str)):
             raise ValueError("replace_with: pattern must be a regex literal")
         count = -1
+
+        def _count_of(expr):
+            cv = self._eval(expr, env, live)
+            if cv.is_scalar() and isinstance(cv.data, (int, float)):
+                return int(cv.data)
+            uniq = {v for v in _broadcast(cv, env.n).to_pylist() if v is not None}
+            if len(uniq) == 1:
+                return int(next(iter(uniq)))
+            raise ValueError("replace_with: per-row count values aren't supported")
+
         for k, a in getattr(node, "kwargs", ()):
-            if k == "count" and isinstance(a, LitE):
-                count = int(a.value)
-        if len(node.args) > 2 and isinstance(node.args[2], LitE):
-            count = int(node.args[2].value)
+            if k == "count":
+                count = _count_of(a)
+        if len(node.args) > 2:
+            count = _count_of(node.args[2])
         rx = re.compile(pat.data)
         rows = _broadcast(subject, env.n).to_pylist()
         matches, rowid, spans = [], [], []
