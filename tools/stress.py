@@ -379,6 +379,69 @@ def ivf200k():
     return out
 
 
+def vrl1m():
+    """1 M events through a closure-heavy VRL program — the language
+    front-end's scale profile: every stage (parse, arithmetic, if/else,
+    closures over list columns) must stay vectorized; asserts exact
+    spot-check outputs and reports rows/s."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 1_000_000
+    rng = np.random.default_rng(7)
+
+    def gen(batch):
+        i = batch["id"]
+        base = np.asarray(i, dtype=np.int64)
+        ks = rng.integers(0, 100, len(base))
+        types = np.where(base % 3 == 0, "error",
+                         np.where(base % 3 == 1, "signup", "view"))
+        tags = pa.array(
+            [[f"t{b % 5}", f"u{b % 7}", ""] for b in base],
+            type=pa.list_(pa.string()),
+        )
+        return pa.table({
+            "event_id": pa.array(base),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array((base % 1000) / 10.0),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+            "tags": tags,
+        })
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow")
+    src_prog = """
+parsed, e = parse_json(.props)
+.k = to_int(parsed.k) ?? -1
+if .event_type == "error" { .sev = 3 }
+else if .event_type == "signup" { .sev = 6 }
+else { .sev = 1 }
+.m = (.k - 50) % 7
+.clean = map_values(filter(.tags) -> |_i, v| { v != "" }) -> |v| { upcase!(v) }
+.tag = .event_type + ":" + to_string(.sev)
+del(.props)
+"""
+    from vector_ray.stages import remap_vrl
+
+    t0 = time.time()
+    out = remap_vrl(ds, src_prog).map_batches(
+        lambda b: b.select(["event_id", "k", "sev", "m", "clean", "tag"]),
+        batch_format="pyarrow",
+    ).materialize()
+    wall = time.time() - t0
+    assert out.count() == n
+    rows = out.take(1000)
+    by_id = {r["event_id"]: r for r in rows}
+    for eid, r in by_id.items():
+        want_sev = 3 if eid % 3 == 0 else (6 if eid % 3 == 1 else 1)
+        assert r["sev"] == want_sev
+        assert r["m"] == int(np.fmod(r["k"] - 50, 7))
+        assert r["clean"] == [f"T{eid % 5}".upper(), f"U{eid % 7}".upper()]
+        assert r["tag"].endswith(f":{want_sev}")
+    return {"rows": n, "wall": round(wall, 1),
+            "rows_per_sec": round(n / wall, 0)}
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     _init()
