@@ -124,3 +124,49 @@ def test_csv_encode_decode_roundtrip_property(rows):
     )
     assert not any(err.to_pylist())
     assert out.to_pylist() == t.to_pylist()
+
+
+# ---- VRL arithmetic property: program results match a python model
+# (true division, truncated %, string concat via +) ----
+
+_vrl_ops = st.sampled_from(["+", "-", "*", "/", "%"])
+_vrl_ints = st.integers(min_value=-1000, max_value=1000)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=_vrl_ints, b=_vrl_ints, c=_vrl_ints, op1=_vrl_ops, op2=_vrl_ops)
+def test_vrl_arithmetic_matches_python_model(a, b, c, op1, op2):
+    import math
+
+    import pytest
+
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    def model(x, y, op):
+        if op == "/":
+            if y == 0:
+                return None
+            return x / y
+        if op == "%":
+            if y == 0:
+                return None
+            out = math.fmod(x, y)
+            return int(out) if isinstance(x, int) and isinstance(y, int) else out
+        return {"+": x + y, "-": x - y, "*": x * y}[op]
+
+    # left-assoc same-precedence chain: (.a op1 .b) op2 .c — mirror the
+    # parser by grouping explicitly
+    src = f".r = (.a {op1} .b) {op2} .c"
+    t = pa.table({"a": [a], "b": [b], "c": [c]})
+    out, err, ab, _ = compile_program(src).run(t)
+    mid = model(a, b, op1)
+    want = None if mid is None else model(mid, c, op2)
+    got = out["r"].to_pylist()[0] if "r" in out.column_names else None
+    if want is None:
+        # div-by-zero somewhere → the row errors, no value
+        assert err.to_pylist() == [True] or got is None
+    else:
+        assert err.to_pylist() == [False]
+        assert got == pytest.approx(want)
