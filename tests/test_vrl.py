@@ -616,3 +616,46 @@ def test_replace_with_count_from_variable():
         'n = 1\n.v = replace_with(.a, r\'foo\', count: n) -> |m| { "X" }'
     ).run(t)
     assert out["v"].to_pylist() == ["X foo foo"]
+
+
+def test_pattern_semantics_third_review():
+    """Registry-level string-vs-regex dispatch (VrlRegex marker):
+    $0 whole-match refs, verbatim literal replacements, per-row
+    literal patterns for replace/find, replace_with regex-only."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"a": ["abc123"]})
+    out, *_ = compile_program(".v = replace(.a, r'\\d+', \"<$0>\")").run(t)
+    assert out["v"].to_pylist() == ["abc<123>"]
+    t2 = pa.table({"a": ["pay x with $$"]})
+    out, *_ = compile_program('.v = replace(.a, "x", "$10 fee")').run(t2)
+    assert out["v"].to_pylist() == ["pay $10 fee with $$"]
+    t3 = pa.table({"a": ["x.y", "p+q"], "sep": [".", "+"]})
+    out, *_ = compile_program(
+        '.r = replace(.a, .sep, "_")\n.f = find(.a, .sep)'
+    ).run(t3)
+    assert out["r"].to_pylist() == ["x_y", "p_q"]
+    assert out["f"].to_pylist() == [1, 1]
+    out, *_ = compile_program(
+        '.f1 = find("a.c", ".")\n.f2 = find("abc", r\'b|c\')'
+    ).run(t)
+    assert out["f1"].to_pylist() == [1] and out["f2"].to_pylist() == [1]
+    with pytest.raises(ValueError, match="regex"):
+        compile_program('.v = replace_with(.a, ".") -> |m| { "X" }').run(t)
+    with pytest.raises(ValueError, match="count"):
+        compile_program(
+            '.v = replace_with(.a, r\'a\', count: .nope) -> |m| { "X" }'
+        ).run(t)
+
+
+def test_decode_gzip_binary_payload_keeps_bytes():
+    import pyarrow as pa
+
+    from vector_ray.functions.scalar import call
+
+    payload = bytes([0, 159, 146, 150])  # invalid utf-8
+    enc = call("encode_gzip", pa.array([payload], type=pa.binary()))
+    dec = call("decode_gzip", enc)
+    assert dec.type == pa.binary() and dec.to_pylist()[0] == payload

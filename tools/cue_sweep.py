@@ -283,7 +283,11 @@ def run_one(fname, args, kwargs):
         else:
             col = pa.array([a0])
         def _unwrap(x):
-            if isinstance(x, tuple) and x[0] in ("__regex__", "__ts__"):
+            if isinstance(x, tuple) and x[0] == "__regex__":
+                from vector_ray.functions.scalar import VrlRegex
+
+                return VrlRegex(x[1])
+            if isinstance(x, tuple) and x[0] == "__ts__":
                 return x[1]
             if isinstance(x, list):
                 return [_unwrap(i) for i in x]

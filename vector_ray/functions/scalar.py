@@ -26,6 +26,13 @@ import pyarrow.compute as pc
 FUNCTIONS: Dict[str, Callable] = {}
 
 
+class VrlRegex(str):
+    """A regex-typed pattern value (VRL ``r'…'`` literals).  Pattern
+    arguments dispatch on it: a plain string matches LITERALLY, a
+    VrlRegex engages the regex kernels + capture-reference handling —
+    the reference's string-vs-regex semantics (replace.cue etc.)."""
+
+
 def register(name: str):
     def deco(fn):
         FUNCTIONS[name] = fn
@@ -69,41 +76,46 @@ register("slice")(lambda c, start, end=None: pc.utf8_slice_codeunits(c, start, e
 @register("replace")
 def _replace(c, pat, rep, count=-1):
     """replace(value, pattern, with, count) — count<0 = all
-    (replace.cue); patterns are regexes in our registry convention
-    (the VRL front-end escapes plain-string patterns to the reference's
-    literal semantics before dispatch).  ``$name`` / ``$1`` capture
-    references in the replacement translate to RE2's ``\\N`` form;
-    ``$$`` is a literal dollar."""
+    (replace.cue).  A plain-string pattern replaces LITERALLY with the
+    replacement verbatim; a ``VrlRegex`` pattern engages the regex
+    kernel with ``$0``/``$name``/``$1`` capture references translated
+    to RE2's ``\\N`` form (``$$`` escapes a dollar).  A per-row
+    pattern column replaces literally row by row."""
+    mr = None if count is None or count < 0 else int(count)
+    if isinstance(pat, (pa.Array, pa.ChunkedArray)):
+        # per-row literal patterns: no Arrow kernel
+        out = [
+            None if (v is None or p is None)
+            else (v.replace(p, rep) if mr is None else v.replace(p, rep, mr))
+            for v, p in zip(c.to_pylist(), pat.to_pylist())
+        ]
+        return pa.array(out, type=pa.string())
+    if not isinstance(pat, VrlRegex):
+        return pc.replace_substring(
+            c, pattern=pat, replacement=rep, max_replacements=mr,
+        )
     if isinstance(rep, str) and "$" in rep:
         import re as _re
 
+        gidx = {}
         try:
-            compiled = _re.compile(pat)
+            gidx = _re.compile(pat).groupindex
         except _re.error:
-            compiled = None
-        # capture references only exist when the pattern HAS groups —
-        # a literal pattern's replacement keeps its $ text verbatim
-        # ("$10 fee" stays "$10 fee"; replace.cue uses $$ to escape)
-        if compiled is not None and compiled.groups > 0:
-            gidx = compiled.groupindex
-            ngroups = compiled.groups
+            pass  # RE2-only syntax: still translate positional refs
 
-            def _ref(m):
-                name = m.group(1) or m.group(2)
-                if name.isdigit():
-                    return ("\\" + name) if int(name) <= ngroups else m.group(0)
-                if name in gidx:
-                    return "\\" + str(gidx[name])
-                return m.group(0)
+        def _ref(m):
+            name = m.group(1) or m.group(2)
+            if name.isdigit():
+                return "\\" + name  # $0 = whole match, $N positional
+            if name in gidx:
+                return "\\" + str(gidx[name])
+            return m.group(0)
 
-            rep = _re.sub(r"\$(?:(\w+)|\{(\w+)\})", _ref,
-                          rep.replace("$$", "\x00"))
-            rep = rep.replace("\x00", "$")
-        else:
-            rep = rep.replace("$$", "$")
+        rep = _re.sub(r"\$(?:(\w+)|\{(\w+)\})", _ref,
+                      rep.replace("$$", "\x00"))
+        rep = rep.replace("\x00", "$")
     return pc.replace_substring_regex(
-        c, pattern=pat, replacement=rep,
-        max_replacements=None if count is None or count < 0 else int(count),
+        c, pattern=str(pat), replacement=rep, max_replacements=mr,
     )
 
 
@@ -153,23 +165,21 @@ register("match")(lambda c, p: pc.match_substring_regex(c, p))
 @register("split")
 def _split(c, p, limit=None):
     """split(value, pattern, limit) — limit = max number of
-    substrings returned (split.cue).  The pattern is a regex (the
-    registry convention; the VRL front-end escapes plain-string
-    patterns into literals before dispatch)."""
+    substrings returned (split.cue).  Plain-string patterns split
+    LITERALLY; ``VrlRegex`` patterns split by regex; per-row pattern
+    columns split literally row by row."""
+    ms = None if limit is None else max(int(limit) - 1, 0)
     if isinstance(p, (pa.Array, pa.ChunkedArray)):
-        # per-row patterns: no Arrow kernel — cold-path python re
-        import re as _re
-
-        ms = None if limit is None else max(int(limit) - 1, 0)
         out = [
             None if (v is None or pv is None)
-            else _re.split(pv, v) if ms is None else _re.split(pv, v, ms)
+            else (v.split(pv) if ms is None else v.split(pv, ms))
             for v, pv in zip(c.to_pylist(), p.to_pylist())
         ]
         return pa.array(out, type=pa.list_(pa.string()))
-    if limit is None:
-        return pc.split_pattern_regex(c, pattern=p)
-    return pc.split_pattern_regex(c, pattern=p, max_splits=max(int(limit) - 1, 0))
+    kernel = pc.split_pattern_regex if isinstance(p, VrlRegex) else pc.split_pattern
+    if ms is None:
+        return kernel(c, pattern=str(p))
+    return kernel(c, pattern=str(p), max_splits=ms)
 
 
 register("join")(lambda c, separator="": pc.binary_join(c, separator))
@@ -177,18 +187,28 @@ register("join")(lambda c, separator="": pc.binary_join(c, separator))
 
 @register("find")
 def _find(c, pattern, from_=0):
-    """find(value, pattern, from) — byte index of first regex match at
-    or after ``from``, -1 when absent (find.cue)."""
+    """find(value, pattern, from) — byte index of the first match at
+    or after ``from``, -1 when absent (find.cue).  Plain strings match
+    literally; ``VrlRegex`` matches by regex; per-row pattern columns
+    match literally."""
     import re as _re
 
-    rx = _re.compile(pattern)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if isinstance(pattern, (pa.Array, pa.ChunkedArray)):
+        return pa.array(
+            [None if (v is None or p is None) else v.find(p, int(from_))
+             for v, p in zip(c.to_pylist(), pattern.to_pylist())],
+            type=pa.int64(),
+        )
+    rx = _re.compile(
+        pattern if isinstance(pattern, VrlRegex) else _re.escape(pattern)
+    )
 
     def _one(s):
         m = rx.search(s, int(from_))
         return -1 if m is None else m.start()
 
-    if isinstance(c, pa.ChunkedArray):
-        c = c.combine_chunks()
     return pa.array(
         [None if v is None else _one(v) for v in c.to_pylist()], type=pa.int64()
     )
@@ -683,11 +703,15 @@ def _gzip_e(c, compression_level=6):
 def _gzip_d(c):
     import gzip
 
-    return pa.array(
-        [None if v is None else gzip.decompress(
-            v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
-        ).decode("utf-8", "replace") for v in c.to_pylist()]
-    )
+    raw = [None if v is None else gzip.decompress(
+        v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
+    ) for v in c.to_pylist()]
+    # string when the whole batch round-trips utf-8, else binary (same
+    # dual-type caveat as decode_base64 — never lossy-replace bytes)
+    try:
+        return pa.array([None if v is None else v.decode() for v in raw])
+    except UnicodeDecodeError:
+        return pa.array(raw, type=pa.binary())
 
 
 @register("encode_zlib")
@@ -706,11 +730,15 @@ def _zlib_e(c):
 def _zlib_d(c):
     import zlib
 
-    return pa.array(
-        [None if v is None else zlib.decompress(
-            v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
-        ).decode("utf-8", "replace") for v in c.to_pylist()]
-    )
+    raw = [None if v is None else zlib.decompress(
+        v.encode("utf-8", "surrogateescape") if isinstance(v, str) else v
+    ) for v in c.to_pylist()]
+    # string when the whole batch round-trips utf-8, else binary (same
+    # dual-type caveat as decode_base64 — never lossy-replace bytes)
+    try:
+        return pa.array([None if v is None else v.decode() for v in raw])
+    except UnicodeDecodeError:
+        return pa.array(raw, type=pa.binary())
 
 
 @register("hmac")

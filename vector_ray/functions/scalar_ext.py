@@ -1497,9 +1497,11 @@ def _parse_xml(c, include_attr=True, attr_prefix="@", text_key="text",
             # strings
             import re as _re
 
-            if _re.fullmatch(r"-?\d+", s):
+            if _re.fullmatch(r"-?[0-9]+", s, _re.ASCII):
                 return int(s)
-            if _re.fullmatch(r"-?\d+\.\d+", s):
+            if _re.fullmatch(
+                r"-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?", s, _re.ASCII
+            ) and not _re.fullmatch(r"-?[0-9]+", s, _re.ASCII):
                 return float(s)
         return s
 

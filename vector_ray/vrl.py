@@ -56,11 +56,7 @@ from .functions import scalar as _scalar
 __all__ = ["compile_program", "Program", "VrlCondition"]
 
 
-class VrlRegex(str):
-    """A regex literal's value — a str subclass so registry fns use it
-    directly, but distinguishable from plain strings so literal-pattern
-    escaping follows the VALUE (a regex stored in a variable stays a
-    regex; replace.cue string-vs-regex semantics)."""
+from .functions.scalar import VrlRegex  # noqa: E402  (shared marker)
 
 
 class VrlNameError(ValueError):
@@ -1339,26 +1335,10 @@ class Program:
                 right.err, right.msg,
             )
         vals = [self._eval(a, env, live) for a in node.args]
-        # reference semantics: replace/split/find take a string OR a
-        # regex — a plain string matches LITERALLY (r'…' is the regex
-        # form, carried through variables as VrlRegex).  The registry
-        # convention is regex-always, so escape non-regex pattern args
-        # here, scalar or per-row column (replace.cue "De-dot" etc.).
-        if name in ("replace", "split", "find") and len(vals) >= 2:
-            pv = vals[1]
-            if pv.is_scalar():
-                if isinstance(pv.data, str) and not isinstance(pv.data, VrlRegex):
-                    vals[1] = Val(re.escape(pv.data), pv.err, pv.msg)
-            else:
-                parr = _broadcast(pv, env.n)
-                if _is_str_type(parr.type):
-                    # columns can't hold regex literals → all literal
-                    esc = pa.array(
-                        [None if s is None else re.escape(s)
-                         for s in parr.to_pylist()],
-                        type=pa.string(),
-                    )
-                    vals[1] = Val(esc, pv.err, pv.msg)
+        # pattern string-vs-regex semantics (plain string = literal,
+        # r'…' = regex, carried through variables as VrlRegex) live in
+        # the registry fns themselves — replace/split/find dispatch on
+        # the VrlRegex marker
         kwvals = {k: self._eval(a, env, live) for k, a in getattr(node, "kwargs", ())}
         kw = {k: (v.data if v.is_scalar() else _broadcast(v, env.n))
               for k, v in kwvals.items()}
@@ -1577,17 +1557,26 @@ class Program:
         params, body = node.closure
         subject = self._eval(node.args[0], env, live)
         pat = self._eval(node.args[1], env, live)
-        if not (pat.is_scalar() and isinstance(pat.data, str)):
-            raise ValueError("replace_with: pattern must be a regex literal")
+        if not (pat.is_scalar() and isinstance(pat.data, VrlRegex)):
+            # the reference only accepts regex patterns here
+            raise ValueError("replace_with: pattern must be a regex (r'…')")
         count = -1
 
         def _count_of(expr):
             cv = self._eval(expr, env, live)
-            if cv.is_scalar() and isinstance(cv.data, (int, float)):
-                return int(cv.data)
+            if cv.is_scalar():
+                if isinstance(cv.data, (int, float)) and not isinstance(cv.data, bool):
+                    return int(cv.data)
+                raise ValueError(
+                    f"replace_with: invalid count {cv.data!r} (integer expected)")
             uniq = {v for v in _broadcast(cv, env.n).to_pylist() if v is not None}
-            if len(uniq) == 1:
+            if len(uniq) == 1 and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in uniq
+            ):
                 return int(next(iter(uniq)))
+            if not uniq:
+                raise ValueError("replace_with: invalid count (null)")
             raise ValueError("replace_with: per-row count values aren't supported")
 
         for k, a in getattr(node, "kwargs", ()):
