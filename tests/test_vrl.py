@@ -554,16 +554,14 @@ def test_closure_fallible_flags_parent_row_only():
     assert out["n"].to_pylist()[0] == [1, 2]
 
 
-def test_closure_for_each_raises_descriptive():
+def test_for_each_requires_two_params():
     import pyarrow as pa
 
     from vector_ray.vrl import compile_program
 
     t = pa.table({"tags": [["a"]]})
     with pytest.raises(ValueError, match="for_each"):
-        compile_program(
-            "for_each(.tags) -> |_i, v| { v }"
-        ).run(t)
+        compile_program("for_each(.tags) -> |v| { v }").run(t)
 
 
 # ---- second review-pass regressions ----
@@ -659,3 +657,30 @@ def test_decode_gzip_binary_payload_keeps_bytes():
     enc = call("encode_gzip", pa.array([payload], type=pa.binary()))
     dec = call("decode_gzip", enc)
     assert dec.type == pa.binary() and dec.to_pylist()[0] == payload
+
+
+def test_for_each_accumulates_per_row():
+    """for_each.cue Tally elements — sequential over element positions,
+    vectorized across rows; outer-variable writes persist between
+    iterations (dynamic-key get/set build a per-row typed map)."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"tags": [["foo", "bar", "foo", "baz"], ["a", "a"], None]})
+    src = (
+        "tally = {}\n"
+        "for_each(array!(.tags) ?? []) -> |_index, value| {\n"
+        "    count = int(get!(tally, [value])) ?? 0\n"
+        "    tally = set!(tally, [value], count + 1)\n"
+        "}\n"
+        ".tally = tally\n"
+        "total = 0\n"
+        "for_each(array!(.tags) ?? []) -> |i, v| { total = total + i }\n"
+        ".isum = total\n"
+    )
+    out, err, ab, _ = compile_program(src).run(t)
+    rows = out["tally"].to_pylist()
+    assert dict(rows[0]) == {"foo": 2, "bar": 1, "baz": 1}
+    assert dict(rows[1]) == {"a": 2}
+    assert out["isum"].to_pylist()[:2] == [6, 1]  # 0+1+2+3, 0+1

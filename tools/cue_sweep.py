@@ -422,9 +422,6 @@ SKIP_EXAMPLES = {
     "encrypt_ip: Encrypt IPv6 address with prefix-preserving mode",
     "decrypt_ip: Decrypt IPv4 address with prefix-preserving mode",
     "decrypt_ip: Decrypt IPv6 address with prefix-preserving mode",
-    # for_each needs sequential accumulation (documented deviation:
-    # vectorized closures cover map_values/map_keys/filter/replace_with)
-    "for_each: Tally elements",
     # the XXH3 doc examples carry an unterminated string literal
     # (xxhash.cue: `xxhash("foo", "XXH3-64)`) — unrunnable as written
     "xxhash: Calculate a hash using the XXH3-64 algorithm",

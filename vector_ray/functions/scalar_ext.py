@@ -1045,7 +1045,38 @@ def _values(c):
                      for d in _map_to_dicts(c)], type=pa.list_(pa.string()))
 
 
-register("get")(lambda c, path=None: FUNCTIONS["get_path"](c, path))
+@register("get")
+def _get(c, path=None):
+    """get(value, path) — per-row dynamic path segments supported
+    (column keys, the for_each tally idiom)."""
+    if _has_column(path):
+        rows, kind = _obj_rows(c)
+        if kind is None:
+            raise ValueError("get() needs a map/struct/array column")
+        n = len(rows)
+        segs = path if isinstance(path, (list, tuple)) else [path]
+        seg_rows = [_per_row(s, n) for s in segs]
+        out = []
+        for i, d in enumerate(rows):
+            ks = []
+            for sr in seg_rows:
+                seg = sr[i]
+                ks.extend(seg if isinstance(seg, list) else [seg])
+            if d is None or any(k is None for k in ks):
+                out.append(None)
+                continue
+            cur = d
+            for k in [".".join(str(k) for k in ks)] if isinstance(d, dict) else ks:
+                try:
+                    cur = cur[k]
+                except (KeyError, IndexError, TypeError):
+                    cur = None
+                    break
+            out.append(cur)
+        from .scalar import obj_array
+
+        return obj_array(out)
+    return FUNCTIONS["get_path"](c, path)
 register("merge")(lambda c, other: FUNCTIONS["merge_objects"](c, other))
 
 
@@ -1228,6 +1259,37 @@ def _path_remove(obj, path, compact=False):
     return obj
 
 
+def _typed_map_array(dicts):
+    """Map array with a typed value column when all values share an
+    Arrow-inferable type (int counts stay ints — the for_each tally
+    shape); falls back to the flat string map."""
+    vals = [v for d in dicts if d for v in d.values() if v is not None]
+    try:
+        vt = pa.array(vals).type if vals else pa.string()
+        return pa.array(
+            [None if d is None else list(d.items()) for d in dicts],
+            type=pa.map_(pa.string(), vt),
+        )
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return _to_map_array(dicts)
+
+
+def _per_row(x, n):
+    """Per-row values for set/get args: an Arrow array → python list,
+    a scalar → repeated."""
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return _arr(x).to_pylist()
+    return [x] * n
+
+
+def _has_column(x):
+    if isinstance(x, (pa.Array, pa.ChunkedArray)):
+        return True
+    if isinstance(x, (list, tuple)):
+        return any(isinstance(s, (pa.Array, pa.ChunkedArray)) for s in x)
+    return False
+
+
 @register("set")
 def _set(c, path, data=None, *, key=None, value=None):
     if key is not None:
@@ -1236,8 +1298,32 @@ def _set(c, path, data=None, *, key=None, value=None):
         data = value
     key, value = path, data
     """set(value, path, data) — nested object/array path assignment
-    (set.cue); flat maps address dotted keys for compatibility."""
+    (set.cue); flat maps address dotted keys for compatibility.
+    Path segments and the value may be COLUMNS (per-row dynamic keys —
+    the for_each tally idiom builds a per-row map this way)."""
     rows, kind = _obj_rows(c)
+    if kind is not None and (_has_column(key) or _has_column(value)):
+        n = len(rows)
+        segs = key if isinstance(key, (list, tuple)) else [key]
+        seg_rows = [_per_row(s, n) for s in segs]
+        val_rows = _per_row(value, n)
+        out = []
+        for i, d in enumerate(rows):
+            if d is None:
+                out.append(None)
+                continue
+            ks = []
+            for sr in seg_rows:
+                seg = sr[i]
+                # a list-typed per-row segment IS that row's path array
+                ks.extend(seg if isinstance(seg, list) else [seg])
+            if any(k is None for k in ks):
+                out.append(d)
+                continue
+            nd = dict(d) if isinstance(d, dict) else d
+            nd[".".join(str(k) for k in ks)] = val_rows[i]
+            out.append(nd)
+        return _typed_map_array(out)
     if kind == "map" and not (isinstance(key, (list, tuple))
                               and any(isinstance(s, int) for s in key)):
         key = _path_key(key)

@@ -1369,21 +1369,73 @@ class Program:
 
     # ---- closures: f(x) -> |p1, p2| { body }
 
-    def _run_closure(self, body, env, live, bindings):
-        """Run a closure body in a child variable scope.  Closures read
-        the outer scope but their assignments are local (VRL closure
-        scoping); event columns are restored afterwards too."""
+    def _run_closure(self, body, env, live, bindings, persist=False):
+        """Run a closure body.  With ``persist=False`` (map/filter over
+        FLATTENED values, where lengths differ from the event) the body
+        runs in a child scope and outer writes are restored; with
+        ``persist=True`` (for_each's per-position iteration, length-n)
+        only the param bindings are removed afterwards — outer-variable
+        accumulation across iterations is the point of for_each."""
         saved_vars = dict(env.vars)
         saved_cols = dict(env.cols)
         env.vars.update(bindings)
         try:
             result = self._exec_block(list(body), env, live)
         finally:
-            env.vars = saved_vars
-            env.cols = saved_cols
-        if result is None:
+            if persist:
+                for k in bindings:
+                    if k in saved_vars:
+                        env.vars[k] = saved_vars[k]
+                    else:
+                        env.vars.pop(k, None)
+            else:
+                env.vars = saved_vars
+                env.cols = saved_cols
+        if result is None and not persist:
             raise ValueError("VRL: closure body must end in an expression")
         return result
+
+    def _eval_for_each(self, node: CallE, env, live) -> Val:
+        """for_each(array|object) -> |i_or_k, value| { body } — SEQUENTIAL
+        over element positions / object fields, VECTORIZED across rows:
+        iteration j binds ``value`` to every row's j-th element at once
+        (rows shorter than j masked out), and outer-variable writes
+        persist between iterations, so per-row accumulators work
+        without a per-row loop (for_each.cue)."""
+        params, body = node.closure
+        if len(params) != 2:
+            raise ValueError("VRL: for_each closure takes |index_or_key, value|")
+        subject = self._eval(node.args[0], env, live)
+        data = _broadcast(subject, env.n)
+        t = data.type
+        if pa.types.is_struct(t):
+            for f in t:
+                self._run_closure(
+                    body, env, live,
+                    {params[0]: Val(f.name),
+                     params[1]: Val(pc.struct_field(data, f.name))},
+                    persist=True,
+                )
+            return Val(None)
+        if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+            raise ValueError(f"VRL: for_each needs an array or object, got {t}")
+        lst = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+        lst = lst.cast(pa.list_(t.value_type))
+        offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.where(_validity(lst), np.diff(offsets), 0)
+        max_len = int(lens.max()) if len(lens) else 0
+        values = lst.values
+        for j in range(max_len):
+            has = lens > j
+            idx = pa.array(np.where(has, offsets[:-1] + j, 0), type=pa.int64())
+            vj = values.take(idx)
+            vj = _blend(has, vj, pa.nulls(env.n, vj.type))
+            self._run_closure(
+                body, env, live & has,
+                {params[0]: Val(int(j)), params[1]: Val(vj)},
+                persist=True,
+            )
+        return Val(None)
 
     def _eval_closure_call(self, node: CallE, env, live) -> Val:
         """map_values / map_keys / filter with a closure, columnar:
@@ -1402,11 +1454,7 @@ class Program:
         params, body = node.closure
         name = node.name
         if name == "for_each":
-            raise ValueError(
-                "VRL: for_each's sequential accumulation isn't expressible "
-                "vectorized - restate with map_values/filter or a keyed "
-                "aggregate stage"
-            )
+            return self._eval_for_each(node, env, live)
         if name == "replace_with":
             return self._eval_replace_with(node, env, live)
         if name not in ("map_values", "map_keys", "filter"):
@@ -1712,6 +1760,27 @@ def _take_blend(mask, new: pa.Array, old: pa.Array) -> pa.Array:
     the two types."""
     m = np.asarray(mask)
     n = len(m)
+    if new.type != old.type:
+        # map-vs-struct (e.g. dynamic-key set! blended with a `{}`
+        # literal): coerce the struct side to the map type so the
+        # result STAYS a map — obj_array would union keys into a struct
+        # with null-filled fields leaking across rows
+        for a, b in ((new, old), (old, new)):
+            if pa.types.is_map(a.type) and pa.types.is_struct(b.type):
+                rows = [
+                    None if r is None else list(r.items())
+                    for r in b.to_pylist()
+                ]
+                try:
+                    coerced = pa.array(rows, type=a.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    break
+                if b is old:
+                    old = coerced
+                else:
+                    new = coerced
+                break
     if new.type == old.type:
         combined = pa.concat_arrays([new, old])
         idx = np.where(m, np.arange(n), n + np.arange(n))
