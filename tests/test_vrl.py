@@ -684,3 +684,68 @@ def test_for_each_accumulates_per_row():
     assert dict(rows[0]) == {"foo": 2, "bar": 1, "baz": 1}
     assert dict(rows[1]) == {"a": 2}
     assert out["isum"].to_pylist()[:2] == [6, 1]  # 0+1+2+3, 0+1
+
+
+def test_for_each_map_and_null_object():
+    """Fourth review pass: for_each over map columns (parse_json
+    output) and zero iterations for null objects."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"props": ['{"a":"1","b":"2"}', '{"c":"9"}', None]})
+    out, *_ = compile_program(
+        'obj, e = parse_json(.props)\nks = ""\n'
+        'for_each(obj) -> |k, v| { ks = ks + k + v }\n.r = ks'
+    ).run(t)
+    assert out["r"].to_pylist()[:2] == ["a1b2", "c9"]
+    t2 = pa.table({"o": pa.array(
+        [{"x": 1, "y": 2}, None],
+        type=pa.struct([("x", pa.int64()), ("y", pa.int64())]))})
+    out, *_ = compile_program(
+        "total = 0\nfor_each(.o) -> |k, v| { total = total + (int(v) ?? 100) }\n"
+        ".t = total"
+    ).run(t2)
+    assert out["t"].to_pylist() == [3, 0]
+
+
+def test_dynamic_set_get_shapes():
+    import pyarrow as pa
+
+    from vector_ray.functions.scalar import call
+    from vector_ray.vrl import compile_program
+
+    # dynamic index into arrays
+    t = pa.table({"arr": [[1, 2, 3], [4, 5]], "idx": [1, 0]})
+    out, err, *_ = compile_program(".r = set!(.arr, [.idx], 9)").run(t)
+    assert out["r"].to_pylist() == [[1, 9, 3], [9, 5]]
+    assert err.to_pylist() == [False, False]
+    # dynamic get descends nested objects like the static path
+    nested = pa.array([{"a": {"b": 7}}])
+    assert call("get", nested, [pa.array(["a"]), "b"]).to_pylist() == [7]
+    # heterogeneous value types error descriptively, never stringify
+    with pytest.raises(ValueError, match="unify"):
+        call("set", pa.array([[("a", "x")]],
+                             type=pa.map_(pa.string(), pa.string())),
+             pa.array(["b"]), pa.array([2]))
+
+
+def test_replace_out_of_range_group_is_empty():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"a": ["abc123"]})
+    out, err, *_ = compile_program(".v = replace(.a, r'\\d+', \"$10 fee\")").run(t)
+    assert err.to_pylist() == [False]
+    assert out["v"].to_pylist() == ["abc fee"]  # missing group -> empty
+
+
+def test_per_row_empty_separator_splits_chars():
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"a": ["xyz"], "sep": [""]})
+    out, err, *_ = compile_program(".p = split(.a, .sep)").run(t)
+    assert out["p"].to_pylist() == [["x", "y", "z"]]

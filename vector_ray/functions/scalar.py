@@ -97,16 +97,22 @@ def _replace(c, pat, rep, count=-1):
     if isinstance(rep, str) and "$" in rep:
         import re as _re
 
-        gidx = {}
+        gidx, ngroups = {}, None
         try:
-            gidx = _re.compile(pat).groupindex
+            compiled = _re.compile(pat)
+            gidx, ngroups = compiled.groupindex, compiled.groups
         except _re.error:
             pass  # RE2-only syntax: still translate positional refs
 
         def _ref(m):
             name = m.group(1) or m.group(2)
             if name.isdigit():
-                return "\\" + name  # $0 = whole match, $N positional
+                # $0 = whole match; out-of-range $N substitutes EMPTY
+                # like the reference's Rust regex (RE2 would reject the
+                # whole rewrite and error every row)
+                if ngroups is not None and int(name) > ngroups:
+                    return ""
+                return "\\" + name
             if name in gidx:
                 return "\\" + str(gidx[name])
             return m.group(0)
@@ -170,9 +176,13 @@ def _split(c, p, limit=None):
     columns split literally row by row."""
     ms = None if limit is None else max(int(limit) - 1, 0)
     if isinstance(p, (pa.Array, pa.ChunkedArray)):
+        def _one_split(v, pv):
+            if not pv:
+                return list(v)  # empty separator: between characters
+            return v.split(pv) if ms is None else v.split(pv, ms)
+
         out = [
-            None if (v is None or pv is None)
-            else (v.split(pv) if ms is None else v.split(pv, ms))
+            None if (v is None or pv is None) else _one_split(v, pv)
             for v, pv in zip(c.to_pylist(), p.to_pylist())
         ]
         return pa.array(out, type=pa.list_(pa.string()))

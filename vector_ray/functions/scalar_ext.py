@@ -1066,12 +1066,15 @@ def _get(c, path=None):
                 out.append(None)
                 continue
             cur = d
-            for k in [".".join(str(k) for k in ks)] if isinstance(d, dict) else ks:
+            for k in ks:
                 try:
                     cur = cur[k]
                 except (KeyError, IndexError, TypeError):
                     cur = None
                     break
+            if cur is None and isinstance(d, dict) and len(ks) >= 1:
+                # flat-map compatibility: dotted key form
+                cur = d.get(".".join(str(k) for k in ks))
             out.append(cur)
         from .scalar import obj_array
 
@@ -1271,7 +1274,11 @@ def _typed_map_array(dicts):
             type=pa.map_(pa.string(), vt),
         )
     except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-        return _to_map_array(dicts)
+        raise ValueError(
+            "object value types can't unify in a columnar batch "
+            f"({sorted({type(v).__name__ for v in vals})}) — encode "
+            "values to one type (to_string/to_int) before set()"
+        )
 
 
 def _per_row(x, n):
@@ -1303,6 +1310,8 @@ def _set(c, path, data=None, *, key=None, value=None):
     the for_each tally idiom builds a per-row map this way)."""
     rows, kind = _obj_rows(c)
     if kind is not None and (_has_column(key) or _has_column(value)):
+        import copy
+
         n = len(rows)
         segs = key if isinstance(key, (list, tuple)) else [key]
         seg_rows = [_per_row(s, n) for s in segs]
@@ -1320,10 +1329,16 @@ def _set(c, path, data=None, *, key=None, value=None):
             if any(k is None for k in ks):
                 out.append(d)
                 continue
-            nd = dict(d) if isinstance(d, dict) else d
-            nd[".".join(str(k) for k in ks)] = val_rows[i]
+            if isinstance(d, dict):
+                nd = dict(d)
+                nd[".".join(str(k) for k in ks)] = val_rows[i]
+            else:
+                # array (or nested) rows: per-row path assignment
+                nd = _path_set(copy.deepcopy(d), ks, val_rows[i])
             out.append(nd)
-        return _typed_map_array(out)
+        if kind == "map" or all(isinstance(r, dict) for r in out if r is not None):
+            return _typed_map_array(out)
+        return _rebuild_obj(out, "py")
     if kind == "map" and not (isinstance(key, (list, tuple))
                               and any(isinstance(s, int) for s in key)):
         key = _path_key(key)

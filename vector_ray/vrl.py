@@ -1409,11 +1409,33 @@ class Program:
         data = _broadcast(subject, env.n)
         t = data.type
         if pa.types.is_struct(t):
+            # null-object rows iterate ZERO times (reference semantics)
+            valid = _validity(data)
             for f in t:
                 self._run_closure(
-                    body, env, live,
+                    body, env, live & valid,
                     {params[0]: Val(f.name),
                      params[1]: Val(pc.struct_field(data, f.name))},
+                    persist=True,
+                )
+            return Val(None)
+        if pa.types.is_map(t):
+            # a map IS a list of (key, value) entries — iterate entry
+            # positions like the list branch, binding the key column as
+            # the first param (per-row key sets supported)
+            marr = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+            offsets = marr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = np.where(_validity(marr), np.diff(offsets), 0)
+            max_len = int(lens.max()) if len(lens) else 0
+            keys, items = marr.keys, marr.items
+            for j in range(max_len):
+                has = lens > j
+                idx = pa.array(np.where(has, offsets[:-1] + j, 0), type=pa.int64())
+                kj = _blend(has, keys.take(idx), pa.nulls(env.n, keys.type))
+                vj = _blend(has, items.take(idx), pa.nulls(env.n, items.type))
+                self._run_closure(
+                    body, env, live & has,
+                    {params[0]: Val(kj), params[1]: Val(vj)},
                     persist=True,
                 )
             return Val(None)
