@@ -159,11 +159,13 @@ class TestDnstap:
         assert a["rData"] == "93.184.216.34"
 
     def test_column_fn(self):
+        # typed nested output (parse_dnstap.cue shape), not a flat map
         out = call("parse_dnstap", pa.array([DNSTAP_B64]))
-        m = dict(out.to_pylist()[0])
+        m = out.to_pylist()[0]
         assert m["messageType"] == "ResolverQuery"
-        req = json.loads(m["requestData"])
-        assert req["question"][0]["domainName"] == "facebook1.com."
+        assert m["requestData"]["question"][0]["domainName"] == "facebook1.com."
+        assert m["responseData"]["header"]["rcode"] == 16  # EDNS-folded
+        assert m["timestamp"] == "2020-06-30T03:50:07.920014129Z"
 
 
 class TestTagTypes:

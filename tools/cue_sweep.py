@@ -102,20 +102,30 @@ class P:
                 self.ws()
                 assert self.s[self.i] == ":", self.s[self.i:self.i + 30]
                 self.i += 1
-                obj[k] = self.value()
-        m = re.match(r"-?\d+\.\d+(e-?\d+)?", s[i:])
+                obj[k] = self.field_value()
+        m = re.match(r"-?[\d_]+\.[\d_]+(e-?\d+)?", s[i:])
         if m:
             self.i += m.end()
-            return float(m.group(0))
-        m = re.match(r"-?\d+", s[i:])
+            return float(m.group(0).replace("_", ""))
+        m = re.match(r"-?\d[\d_]*", s[i:])
         if m:
             self.i += m.end()
-            return int(m.group(0))
+            return int(m.group(0).replace("_", ""))
         for lit, v in (("true", True), ("false", False), ("null", None)):
             if s.startswith(lit, i):
                 self.i += len(lit)
                 return v
         raise ValueError(f"cue value at {s[i:i+40]!r}")
+
+    def field_value(self):
+        """A field's value, including cue's nested shorthand
+        (``query: hello: "world"`` → {"hello": "world"})."""
+        self.ws()
+        mk = re.match(r"([\w@#-]+)\s*:", self.s[self.i:])
+        if mk:
+            self.i += mk.end()
+            return {mk.group(1): self.field_value()}
+        return self.value()
 
     def key(self):
         self.ws()
@@ -334,6 +344,58 @@ class _SkipProgram(Exception):
     pass
 
 
+def _parse_return_shorthand(tail: str, pos: int, text: str, src_start: int):
+    """Two cue return forms the strict value parser rejects:
+    braceless single-field shorthand (``return: key: "val"`` — possibly
+    chained) and input references (``return: input.log.message``)."""
+    frag = tail[pos:]
+    m2 = re.match(r"\s*input\.log\.([\w.]+)", frag)
+    if m2:
+        head = text[:src_start]
+        im = None
+        for im_ in _INPUT_RX.finditer(head):
+            im = im_
+        if im is None:
+            return None, "input reference without input block"
+        try:
+            event = P(head, im.end()).value()
+        except Exception:
+            mm = re.match(r"\s*(\w+):", head[im.end():])
+            if not mm:
+                return None, "input parse"
+            try:
+                event = {mm.group(1): P(head, im.end() + mm.end()).value()}
+            except Exception as e:
+                return None, f"input parse: {e}"
+        cur = event
+        for seg in m2.group(1).split("."):
+            if not isinstance(cur, dict) or seg not in cur:
+                return None, f"input path {m2.group(1)} missing"
+            cur = cur[seg]
+        return cur, None
+    # braceless field chain: key: [key: ...] value
+    chain = []
+    p = P(tail, pos)
+    while True:
+        save = p.i
+        p.ws()
+        mk = re.match(r"[\w@#-]+\s*:", p.s[p.i:])
+        if not mk:
+            p.i = save
+            break
+        chain.append(re.match(r"[\w@#-]+", p.s[p.i:]).group(0))
+        p.i += mk.end()
+    if not chain:
+        return None, "unparseable return"
+    try:
+        v = p.value()
+    except Exception as e:
+        return None, f"shorthand value: {e}"
+    for k in reversed(chain):
+        v = {k: v}
+    return v, None
+
+
 _INPUT_RX = re.compile(r"input:\s*log:\s*")
 
 
@@ -451,13 +513,29 @@ def sweep(only=None):
             title = title_m[-1] if title_m else "?"
             key = f"{name}: {title}"
             if rm is None:
-                buckets["NO_RETURN"].append(key)
+                # no expected value — still SMOKE-run the snippet
+                # through the program path: it must compile and not
+                # crash the batch (per-row err flags are fine)
+                try:
+                    run_program(text, m.start(), src)
+                    buckets["NO_RETURN"].append(key + " (smoke-ran)")
+                except _SkipProgram as e:
+                    buckets["NO_RETURN"].append(key + f" ({e})")
+                except RuntimeError:
+                    # example row errored — acceptable for snippets
+                    # documenting failure paths
+                    buckets["NO_RETURN"].append(key + " (smoke-ran, row err)")
+                except Exception as e:
+                    buckets["ERROR"].append(
+                        (key, f"smoke {type(e).__name__}: {str(e)[:90]}"))
                 continue
             try:
                 want = P(tail, rm.end()).value()
             except Exception as e:
-                buckets["NO_RETURN"].append(key + f" (ret parse: {e})")
-                continue
+                want, werr = _parse_return_shorthand(tail, rm.end(), text, m.start())
+                if werr is not None:
+                    buckets["NO_RETURN"].append(key + f" (ret parse: {werr})")
+                    continue
             try:
                 call = parse_call(src)
             except Exception:

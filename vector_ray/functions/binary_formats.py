@@ -430,6 +430,9 @@ def parse_dns_message(buf: bytes, lowercase: bool = False) -> dict:
         if records:
             out[section] = records
     out["fullRcode"] = full_rcode
+    # the reference folds the EDNS extended bits into the displayed
+    # header rcode too (parse_dnstap.cue responseData.header.rcode=16)
+    out["header"]["rcode"] = full_rcode
     out["rcodeName"] = _RCODE_NAMES.get(full_rcode, str(full_rcode))
     return out
 
@@ -506,8 +509,18 @@ def parse_dnstap_payload(data, lowercase_hostnames: bool = False) -> dict:
     if sec is None:
         sec, nsec = (r_sec, r_nsec) if mtype % 2 == 1 else (q_sec, q_nsec)
     if sec is not None:
-        out["time"] = int(sec) * 1_000_000_000 + int(nsec or 0)
+        ns = int(sec) * 1_000_000_000 + int(nsec or 0)
+        out["time"] = ns
         out["timePrecision"] = "ns"
+        # RFC3339 with nanosecond precision (datetime only carries µs)
+        import datetime as _dt
+
+        base = _dt.datetime.fromtimestamp(ns // 1_000_000_000,
+                                          _dt.timezone.utc)
+        out["timestamp"] = (
+            base.strftime("%Y-%m-%dT%H:%M:%S")
+            + f".{ns % 1_000_000_000:09d}Z"
+        )
     return out
 
 
@@ -516,13 +529,11 @@ def _parse_dnstap(c, lowercase_hostnames: bool = False):
     arr = _arr(c)
     is_binary = pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
 
-    def _one(raw):
-        d = parse_dnstap_payload(
-            raw if not is_binary else bytes(raw), lowercase_hostnames
-        )
-        return {k: _stringify(v) for k, v in d.items()}
+    from .scalar import obj_array
 
-    return pa.array(
-        [None if r is None else list(_one(r).items()) for r in arr.to_pylist()],
-        type=MAP_SS,
-    )
+    return obj_array([
+        None if r is None else parse_dnstap_payload(
+            r if not is_binary else bytes(r), lowercase_hostnames
+        )
+        for r in arr.to_pylist()
+    ])

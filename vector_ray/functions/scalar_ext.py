@@ -1080,7 +1080,9 @@ def _get(c, path=None):
 
         return obj_array(out)
     return FUNCTIONS["get_path"](c, path)
-register("merge")(lambda c, other: FUNCTIONS["merge_objects"](c, other))
+register("merge")(
+    lambda c, other, deep=False: FUNCTIONS["merge_objects"](c, other, deep)
+)
 
 
 @register("map_keys")
