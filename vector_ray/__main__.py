@@ -22,22 +22,30 @@ import time
 def _load_config(path: str) -> dict:
     """Load TOML (default), JSON (.json), or YAML (.yaml/.yml when a
     yaml module is available) — the reference accepts all three config
-    formats (src/config/format.rs)."""
+    formats (src/config/format.rs).  Env vars ($VAR/${VAR:-d}/${VAR:?e})
+    and SECRET[backend.key] placeholders are interpolated over the raw
+    text before parsing, like the reference's config loader
+    (src/config/vars.rs, src/config/loading/secret.rs)."""
+    from .config_vars import prepare_config_text
+
     if path.endswith(".json"):
-        with open(path) as f:
-            doc = json.load(f)
+        parse = json.loads
     elif path.endswith((".yaml", ".yml")):
         try:
             import yaml
         except ImportError as e:
             raise SystemExit("yaml configs need a pyyaml install") from e
-        with open(path) as f:
-            doc = yaml.safe_load(f)
+        parse = yaml.safe_load
     else:
         import tomllib
 
-        with open(path, "rb") as f:
-            doc = tomllib.load(f)
+        parse = tomllib.loads
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = prepare_config_text(text, parse)
+    except ValueError as e:
+        raise SystemExit(f"config error: {e}") from e
     # allow either top-level sections or a [config] wrapper
     return doc.get("config", doc)
 
