@@ -215,3 +215,56 @@ def test_merge_with_empty_sketch_keeps_stats():
     for m in (merge_sketches(empty, full), merge_sketches(full, empty)):
         assert m.min == 5.0 and m.max == 20.0
         assert m.ts == 1700000000 and m.cnt == 3
+
+
+def test_quantile_reference_edges_and_interpolation():
+    """ddsketch.rs:666-706 parity: q<=0 -> min exactly, q>=1 -> max
+    exactly; interior quantiles use rank-weighted interpolation with
+    the first bin's v_low replaced by min."""
+    vals = [0.5, 1.5, 1.5, 3.0, 200.0]
+    s = sketch_from_values(vals)
+    assert s.quantile(0.0) == min(vals)
+    assert s.quantile(-0.1) == min(vals)
+    assert s.quantile(1.0) == max(vals)
+    assert s.quantile(2.0) == max(vals)
+    # single-value sketch: every interior quantile lands in the only
+    # bin, whose v_low is min -> estimate clamps to the value itself
+    one = sketch_from_values([42.0])
+    assert abs(one.quantile(0.5) - 42.0) / 42.0 < 0.015
+    # interpolation stays within the sketch's relative-error bound
+    rng = np.random.default_rng(9)
+    data = rng.uniform(1.0, 1000.0, 50_000)
+    sk = sketch_from_values(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.999):
+        exact = np.quantile(data, q)
+        assert abs(sk.quantile(q) - exact) / exact < 0.02
+
+
+def test_decode_unpacked_repeated_fields():
+    """proto3 parsers must accept UNPACKED repeated scalars (one wire-0
+    varint per element) for fields 7/8, not only packed blobs."""
+    from vector_ray.ddsketch_wire import (
+        _decode_dogsketch,
+        _double,
+        _int64,
+        _varint,
+        _zigzag,
+    )
+
+    s = sketch_from_values([0.5, 1.5, 1.5, -3.0])
+    unpacked = b"".join(
+        [
+            _int64(1, s.ts),
+            _int64(2, s.cnt),
+            _double(3, s.min),
+            _double(4, s.max),
+            _double(5, s.avg),
+            _double(6, s.sum),
+        ]
+        + [_varint(7 << 3 | 0) + _varint(_zigzag(int(k))) for k in s.k]
+        + [_varint(8 << 3 | 0) + _varint(int(n)) for n in s.n]
+    )
+    d = _decode_dogsketch(unpacked)
+    assert d.cnt == s.cnt and d.min == s.min and d.max == s.max
+    assert list(d.k) == list(s.k)
+    assert list(d.n) == list(s.n)

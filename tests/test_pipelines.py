@@ -425,3 +425,88 @@ def test_image_edge_and_entropy_features(ray_session):
     assert flat["edge_energy"][0] == 0.0 and flat["luma_entropy"][0] == 0.0
     chk = image_features(media, batch_size=8, decoder=checker_decoder).to_pandas()
     assert chk["edge_energy"][0] > 200 and 0.9 < chk["luma_entropy"][0] <= 1.01
+
+
+def test_topk_preserves_string_id_type(tmp_path):
+    """ADVICE r4: configurable id_col must keep its source Arrow type
+    (string ids crashed the hardcoded int64 output arrays)."""
+    from vector_ray.pipelines.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(200, 16)).astype("float32")
+    df = pd.DataFrame(
+        {"doc": [f"doc-{i:04d}" for i in range(200)], "embedding": list(mat)}
+    )
+    queries = mat[:2]
+    out = brute_force_topk(
+        rd.from_pandas(df), queries, k=3, id_col="doc"
+    ).to_pandas()
+    assert out["doc"].map(type).eq(str).all()
+    assert out.loc[out.query_id.eq(0) & out["rank"].eq(1), "doc"].item() == "doc-0000"
+
+    out2 = ivf_topk(
+        rd.from_pandas(df), queries, k=3, n_lists=4, nprobe=4, id_col="doc"
+    ).to_pandas()
+    assert out2["doc"].map(type).eq(str).all()
+    assert out2.loc[out2.query_id.eq(1) & out2["rank"].eq(1), "doc"].item() == "doc-0001"
+
+    idx_dir = str(tmp_path / "ivf_str")
+    build_ivf_index(rd.from_pandas(df), idx_dir, n_lists=4, id_col="doc")
+    out3 = ivf_search(idx_dir, queries, k=3, nprobe=4, id_col="doc").to_pandas()
+    assert out3["doc"].map(type).eq(str).all()
+    assert out3.loc[out3.query_id.eq(0) & out3["rank"].eq(1), "doc"].item() == "doc-0000"
+
+
+def test_ivf_config_rebuilds_on_changed_corpus(tmp_path):
+    """ADVICE r4: the config path must not serve stale top-k from an
+    old materialized index when the input files change."""
+    import pyarrow.parquet as _pq
+
+    from vector_ray.topology import build
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(60, 8)).astype("float32")
+    qpath = str(tmp_path / "q.parquet")
+    _pq.write_table(
+        pa.table({"embedding": [mat[0].tolist()]}), qpath
+    )
+
+    def corpus(path, ids, rows):
+        _pq.write_table(
+            pa.table(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "embedding": [r.tolist() for r in rows]}
+            ),
+            path,
+        )
+
+    p1 = str(tmp_path / "corpus1.parquet")
+    corpus(p1, list(range(30)), mat[:30])
+    idx = str(tmp_path / "idx")
+
+    def cfg(path):
+        return {
+            "sources": {"emb": {"type": "parquet", "path": path}},
+            "transforms": {
+                "ann": {
+                    "type": "ivf_topk", "inputs": ["emb"], "k": 1,
+                    "n_lists": 2, "nprobe": 2, "index_dir": idx,
+                    "queries_path": qpath,
+                }
+            },
+            "sinks": {"out": {"type": "parquet", "inputs": ["ann"]}},
+        }
+
+    first = build(cfg(p1))["out"].to_pandas()
+    assert first.loc[first["rank"].eq(1), "vec_id"].item() == 0
+
+    # new corpus file: vector 0 is gone, ids shifted by 1000
+    p2 = str(tmp_path / "corpus2.parquet")
+    corpus(p2, [1000 + i for i in range(29)], mat[1:30])
+    second = build(cfg(p2))["out"].to_pandas()
+    assert second.loc[second["rank"].eq(1), "vec_id"].item() >= 1000

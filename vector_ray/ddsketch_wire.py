@@ -92,18 +92,29 @@ class AgentSketch:
     n: np.ndarray  # uint32 counts
 
     def quantile(self, q: float, config: AgentConfig = DEFAULT_CONFIG) -> float:
-        """Agent-style quantile estimate over the bins (ddsketch.rs
-        quantile: rank interpolation inside the crossing bin)."""
+        """Agent-style quantile estimate (ddsketch.rs quantile:666-706,
+        rank:917): wanted_rank = round_to_even(q*(count-1)); inside the
+        crossing bin interpolate v_low*weight + v_high*(1-weight) with
+        weight = (cum_n - wanted_rank)/bin_n and v_high = v_low*gamma
+        (for negative keys this extends away from zero, exactly like
+        the reference); the first bin uses min as v_low; q<=0 / q>=1
+        return min/max directly; the estimate clamps into [min, max]."""
         if self.cnt == 0:
             return float("nan")
-        cum = np.cumsum(self.n.astype(np.int64))
-        rank = q * (self.cnt - 1)
-        i = int(np.searchsorted(cum, rank + 1))
+        if q <= 0.0:
+            return float(self.min)
+        if q >= 1.0:
+            return float(self.max)
+        wanted_rank = float(np.rint(q * (self.cnt - 1)))  # round-half-even
+        cum = np.cumsum(self.n.astype(np.float64))
+        i = int(np.searchsorted(cum, wanted_rank, side="right"))
         i = min(i, len(self.k) - 1)
-        key = int(self.k[i])
-        lo = config.bin_lower_bound(key)
-        hi = config.bin_lower_bound(key + 1 if key >= 0 else key)  # one-sided
-        est = (lo + hi) / 2.0 if np.isfinite(hi) else lo
+        weight = (cum[i] - wanted_rank) / float(self.n[i])
+        v_low = config.bin_lower_bound(int(self.k[i]))
+        v_high = v_low * config.gamma_v
+        if i == 0:
+            v_low = self.min
+        est = v_low * weight + v_high * (1.0 - weight)
         return float(min(max(est, self.min), self.max))
 
 
@@ -296,6 +307,12 @@ def _decode_dogsketch(buf: bytes) -> AgentSketch:
             sub = _Reader(r.bytes_())
             while not sub.eof():
                 ns.append(sub.varint())
+        # proto3 repeated scalars must also accept UNPACKED encoding
+        # (one wire-0 varint entry per element)
+        elif field == 7 and wire == 0:
+            ks.append(_unzigzag(r.varint()))
+        elif field == 8 and wire == 0:
+            ns.append(r.varint())
         else:
             r.skip(wire)
     return AgentSketch(

@@ -2,9 +2,11 @@
 
 - brute_force_topk: exact cosine top-k — the correctness baseline.
   The query matrix is broadcast once (ray.put); every batch does one
-  numpy matmul against it and emits its LOCAL top-k per query; a
-  final tiny groupby-reduce merges local top-ks.  No full-data
-  shuffle, no driver-side loop: this is the 100 TB shape.
+  numpy matmul against it and emits its LOCAL top-k per query; all
+  variants share the bounded two-level _merge_topk final (streaming
+  combine → single-block merge — no groupby shuffle for a k-row
+  result).  No full-data shuffle, no driver-side loop: the 100 TB
+  shape.
 - ivf_topk: k-means-ish coarse quantizer (trained on a sample),
   vectors bucketed by nearest centroid, queries probe ``nprobe``
   buckets.  Prunes COMPUTE only — every vector is still read and
@@ -53,19 +55,20 @@ def brute_force_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = list_to_matrix(batch[vec_col], np.float32)  # zero-copy view
             vn = _normalize(vecs)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
             sim = self.q @ vn.T  # (nq, nbatch)
             kk = min(k, sim.shape[1])
             top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-            rows_q, rows_id, rows_s = [], [], []
+            rows_q, rows_idx, rows_s = [], [], []
             for qi in range(sim.shape[0]):
                 rows_q.extend([qi] * kk)
-                rows_id.extend(ids[top[qi]].tolist())
+                rows_idx.extend(top[qi].tolist())
                 rows_s.extend(sim[qi, top[qi]].tolist())
+            # gather ids with take() so the output keeps the source id
+            # column's type (string/int/...) instead of forcing int64
             return pa.table(
                 {
                     "query_id": pa.array(rows_q, type=pa.int64()),
-                    id_col: pa.array(rows_id, type=pa.int64()),
+                    id_col: batch[id_col].take(pa.array(rows_idx, pa.int64())),
                     "score": pa.array(rows_s, type=pa.float64()),
                 }
             )
@@ -73,14 +76,7 @@ def brute_force_topk(
     local = emb_ds.map_batches(
         LocalTopK, batch_format="pyarrow", concurrency=default_pool(divisor=16)
     )
-
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return local.groupby("query_id").map_groups(_merge, batch_format="pandas")
+    return _merge_topk(local, k, id_col)
 
 
 class IVFIndex:
@@ -296,13 +292,12 @@ def ivf_search(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = list_to_matrix(batch[vec_col], np.float32)  # zero-copy
             vn = _normalize(vecs)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
             list_ids = batch["list_id"].to_numpy(zero_copy_only=False)
-            rows_q, rows_id, rows_s = [], [], []
+            rows_q, rows_idx, rows_s = [], [], []
             for lid in np.unique(list_ids):
                 mask = list_ids == lid
                 sub = vn[mask]
-                sub_ids = ids[mask]
+                sub_pos = np.nonzero(mask)[0]
                 qis = np.nonzero((self.probes == lid).any(axis=1))[0]
                 if not len(qis):
                     continue
@@ -311,12 +306,13 @@ def ivf_search(
                 top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
                 for row, qi in enumerate(qis):
                     rows_q.extend([int(qi)] * kk)
-                    rows_id.extend(sub_ids[top[row]].tolist())
+                    rows_idx.extend(sub_pos[top[row]].tolist())
                     rows_s.extend(sim[row, top[row]].tolist())
+            # take() keeps the configured id column's source type intact
             return pa.table(
                 {
                     "query_id": pa.array(rows_q, type=pa.int64()),
-                    id_col: pa.array(rows_id, type=pa.int64()),
+                    id_col: batch[id_col].take(pa.array(rows_idx, pa.int64())),
                     "score": pa.array(rows_s, type=pa.float64()),
                 }
             )
@@ -367,8 +363,7 @@ def ivf_topk(
             vecs = list_to_matrix(batch[vec_col], np.float32)  # zero-copy view
             lists = self.index.assign(vecs)
             vn = _normalize(vecs)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            rows_q, rows_id, rows_s = [], [], []
+            rows_q, rows_idx, rows_s = [], [], []
             for qi in range(len(self.q)):
                 mask = np.isin(lists, list(self.probe_of_query[qi]))
                 if not mask.any():
@@ -378,12 +373,12 @@ def ivf_topk(
                 top = np.argpartition(-sim, kk - 1)[:kk]
                 sel = np.nonzero(mask)[0][top]
                 rows_q.extend([qi] * kk)
-                rows_id.extend(ids[sel].tolist())
+                rows_idx.extend(sel.tolist())
                 rows_s.extend(sim[top].tolist())
             return pa.table(
                 {
                     "query_id": pa.array(rows_q, type=pa.int64()),
-                    id_col: pa.array(rows_id, type=pa.int64()),
+                    id_col: batch[id_col].take(pa.array(rows_idx, pa.int64())),
                     "score": pa.array(rows_s, type=pa.float64()),
                 }
             )
@@ -391,11 +386,4 @@ def ivf_topk(
     local = emb_ds.map_batches(
         ProbeTopK, batch_format="pyarrow", concurrency=default_pool(divisor=16)
     )
-
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return local.groupby("query_id").map_groups(_merge, batch_format="pandas")
+    return _merge_topk(local, k, id_col)

@@ -589,12 +589,40 @@ def _t_ivf_topk(cfg, inputs):
     )
     index_dir = cfg.get("index_dir")
     if index_dir:
-        if not os.path.exists(os.path.join(index_dir, "centroids.parquet")):
+        # Rebuild when (a) no index exists, (b) `rebuild = true`, or
+        # (c) the input dataset's file fingerprint changed since the
+        # index was built — otherwise a grown/changed corpus would
+        # silently serve stale top-k from the old materialized index.
+        # Fingerprint = hash of the source file list (cheap, metadata
+        # only); inputs with no file lineage (inline/post-transform)
+        # get no auto-guard, so `rebuild` is the escape hatch there.
+        import hashlib
+        import json as _json
+
+        fp_path = os.path.join(index_dir, "fingerprint.json")
+        try:
+            files = sorted(inputs.input_files())
+        except Exception:
+            files = []
+        fingerprint = (
+            hashlib.sha1("\n".join(files).encode()).hexdigest() if files else None
+        )
+        stale = False
+        if os.path.exists(fp_path) and fingerprint is not None:
+            with open(fp_path) as f:
+                stale = _json.load(f).get("fingerprint") != fingerprint
+        if (
+            cfg.get("rebuild", False)
+            or stale
+            or not os.path.exists(os.path.join(index_dir, "centroids.parquet"))
+        ):
             build_ivf_index(
                 inputs, index_dir,
                 n_lists=cfg.get("n_lists", 16),
                 vec_col=common["vec_col"], id_col=common["id_col"],
             )
+            with open(fp_path, "w") as f:
+                _json.dump({"fingerprint": fingerprint, "files": len(files)}, f)
         return ivf_search(index_dir, queries, **common)
     return ivf_topk(inputs, queries, n_lists=cfg.get("n_lists", 16), **common)
 

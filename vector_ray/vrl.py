@@ -1980,7 +1980,19 @@ def _bisect_call(name: str, first: pa.Array, rest: list, n: int,
         t = types.pop()
         out_chunks = [pc.cast(c, t) if c.type != t else c for c in out_chunks]
     elif len(types) > 1:
-        out_chunks = [pc.cast(c, pa.string()) for c in out_chunks]
+        # numeric chunks unify losslessly; anything else is a real
+        # heterogeneous result — error like the map-values path instead
+        # of silently stringifying typed values
+        if all(
+            pa.types.is_integer(t) or pa.types.is_floating(t) for t in types
+        ):
+            out_chunks = [pc.cast(c, pa.float64()) for c in out_chunks]
+        else:
+            raise ValueError(
+                f"VRL: {name}() produced per-row results of mixed Arrow "
+                f"types ({sorted(str(t) for t in types)}) — heterogeneous "
+                "values aren't representable in a columnar batch"
+            )
     out = pa.concat_arrays(out_chunks)
     if _is_fallible(name):
         err = err | (~_validity(out))
