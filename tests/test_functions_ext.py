@@ -348,3 +348,46 @@ def test_to_string_tz_aware_renders_utc():
         [dt.datetime(2020, 1, 1, 12)], type=pa.timestamp("us", "UTC")
     ).cast(pa.timestamp("us", "America/New_York"))
     assert call("to_string", arr).to_pylist() == ["2020-01-01T12:00:00Z"]
+
+
+def test_parse_encode_proto_roundtrip_vrl_shape():
+    """VRL-surface proto functions: desc FILE PATH + whole-object
+    encode / nested-object decode (parse_proto.cue, encode_proto.cue),
+    using the reference's own descriptor set."""
+    import base64
+
+    import pyarrow as pa
+
+    from vector_ray.functions import scalar
+
+    desc = "/root/reference/lib/vector-vrl/tests/resources/protobuf_descriptor_set.desc"
+    wire = base64.b64decode("Cgdzb21lb25lIggKBjEyMzQ1Ng==")
+    out = scalar.call(
+        "parse_proto", pa.array([wire]), desc, "test_protobuf.Person"
+    )
+    assert out[0].as_py() == {"name": "someone", "phones": [{"number": "123456"}]}
+    obj = pa.array([{"name": "someone", "phones": [{"number": "123456"}]}])
+    enc = scalar.call("encode_proto", obj, desc, "test_protobuf.Person")
+    assert enc[0].as_py() == wire
+    with pytest.raises(Exception):
+        scalar.call("parse_proto", pa.array([b"\xff\xff garbage"]), desc,
+                    "test_protobuf.Person")
+
+
+def test_validate_json_schema_doc_matrix():
+    """The four-doc-example matrix: formats enforced iff
+    ignore_unknown_formats is false (validate_json_schema.cue)."""
+    import pyarrow as pa
+
+    from vector_ray.functions import scalar
+
+    p = "/root/reference/lib/vector-vrl/tests/resources/json-schema_definition.json"
+    def run(payload, flag):
+        return scalar.call(
+            "validate_json_schema", pa.array([payload]), p, flag
+        )[0].as_py()
+
+    assert run('{ "productUser": "valid@email.com" }', False) is True
+    assert run('{ "productUser": "invalidEmail" }', False) is False
+    assert run('{ "productUser": "a-custom-formatted-string" }', False) is False
+    assert run('{ "productUser": "a-custom-formatted-string" }', True) is True

@@ -446,26 +446,21 @@ def run_program(text: str, src_start: int, src: str):
 
 
 SKIP_FNS = {
-    # proto examples need .desc resource files from the reference tree
-    "encode_proto", "parse_proto",
     # nondeterministic / environment / runtime-type introspection
     "now", "uuid_v4", "uuid_v7", "random_bytes", "random_int", "random_float",
     "is_regex", "get_hostname", "get_env_var", "get_timezone_name",
     # event-metadata secrets context
     "get_secret", "set_secret", "remove_secret",
-    # need loaded enrichment tables / resource files
+    # need loaded enrichment tables
     "get_enrichment_table_record", "find_enrichment_table_records",
-    "validate_json_schema",
     # year-inference examples written in a different year
     "parse_klog",
 }
 
 # documented exclusions:
-# - parse_etld custom PSL needs a resource file the sandbox doesn't ship
 # - the xxhash XXH64 doc example's sign disagrees with the official
 #   XXH64 test vectors (which our implementation matches)
 SKIP_EXAMPLES = {
-    "parse_etld: Parse eTLD with custom PSL",
     "xxhash: Calculate a hash using the XXH64 algorithm",
     # zstd frame params: pyarrow's zstd codec writes the content size
     # into the frame header where the reference's zstd crate does not —
@@ -507,6 +502,13 @@ def sweep(only=None):
             src = "\n".join(ln.lstrip("\t") for ln in m.group(2).split("\n")).strip()
             if m.group(1) != "#":
                 src = _unescape(src)
+            # doc examples reference resource files relative to the
+            # vrl test tree (proto .desc sets, PSL, JSON schemas) —
+            # the reference ships them; point at its copy
+            src = src.replace(
+                '"resources/',
+                '"/root/reference/lib/vector-vrl/tests/resources/',
+            )
             tail = text[m.end():]
             rm = re.search(r"\n\s*return:\s*", tail)
             title_m = re.findall(r'title:\s*"([^"]*)"', text[:m.start()])

@@ -1668,8 +1668,56 @@ if "parse_syslog" not in FUNCTIONS:
 
     FUNCTIONS["parse_syslog"] = _parse_syslog_vrl
 
+_DESC_POOL_CACHE: dict = {}
+
+
+def _proto_message_class(desc_file, message_type: str):
+    """Message class from a FileDescriptorSet given as a file PATH (the
+    VRL surface: parse_proto.cue/encode_proto.cue take `desc_file`) or
+    raw bytes.  Pools are cached per descriptor so per-batch calls
+    don't re-parse the set."""
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    if isinstance(desc_file, (pa.Array, pa.ChunkedArray)):
+        desc_file = desc_file[0].as_py()
+    key = desc_file if isinstance(desc_file, str) else hash(desc_file)
+    pool = _DESC_POOL_CACHE.get(key)
+    if pool is None:
+        raw = desc_file
+        if isinstance(desc_file, str):
+            with open(desc_file, "rb") as fh:
+                raw = fh.read()
+        pool = descriptor_pool.DescriptorPool()
+        for f in descriptor_pb2.FileDescriptorSet.FromString(raw).file:
+            pool.Add(f)
+        _DESC_POOL_CACHE[key] = pool
+    if isinstance(message_type, (pa.Array, pa.ChunkedArray)):
+        message_type = message_type[0].as_py()
+    return message_factory.GetMessageClass(pool.FindMessageTypeByName(message_type))
+
+
 if "parse_proto" not in FUNCTIONS:
-    FUNCTIONS["parse_proto"] = _codecs_mod.decode_protobuf
+    def _parse_proto_vrl(c, desc_file, message_type):
+        """parse_proto(value, desc_file, message_type) → object
+        (parse_proto.cue; vrl stdlib parse_proto): decodes each row's
+        binary payload to the full message as a nested object."""
+        from google.protobuf.json_format import MessageToDict
+
+        cls = _proto_message_class(desc_file, message_type)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        out = []
+        for v in c.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            if isinstance(v, str):
+                v = v.encode("utf-8", "surrogateescape")
+            msg = cls.FromString(v)  # raises on invalid payload (fallible)
+            out.append(MessageToDict(msg, preserving_proto_field_name=True))
+        return obj_array(out)
+
+    FUNCTIONS["parse_proto"] = _parse_proto_vrl
 
 if "match_datadog_query" not in FUNCTIONS:
     def _match_datadog_query(c, query):
@@ -1696,15 +1744,23 @@ if "match_datadog_query" not in FUNCTIONS:
     FUNCTIONS["match_datadog_query"] = _match_datadog_query
 
 if "encode_proto" not in FUNCTIONS:
-    def _encode_proto(c, descriptor_set, message_type, field="value"):
-        """Single-column convenience wrapper over codecs.encode_protobuf
-        (the table-level encoder handles multi-field messages)."""
-        import pyarrow as _pa
+    def _encode_proto(c, desc_file, message_type):
+        """encode_proto(object, desc_file, message_type) → bytes
+        (encode_proto.cue): each row's object populates the message's
+        fields (nested objects/arrays included) and serializes."""
+        from google.protobuf.json_format import ParseDict
 
-        if isinstance(c, _pa.ChunkedArray):
+        cls = _proto_message_class(desc_file, message_type)
+        if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        return _codecs_mod.encode_protobuf(
-            _pa.table({field: c}), descriptor_set, message_type
-        )
+        out = []
+        for v in c.to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            if not isinstance(v, dict):
+                raise TypeError("encode_proto needs an object value")
+            out.append(ParseDict(v, cls()).SerializeToString())
+        return pa.array(out, type=pa.binary())
 
     FUNCTIONS["encode_proto"] = _encode_proto

@@ -2024,7 +2024,31 @@ def _validate_json_schema(c, schema_json, ignore_unknown_formats=False):
         with open(schema_json) as fh:
             schema_json = fh.read()
     schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
-    validator = jsonschema.Draft202012Validator(schema)
+    # doc-example matrix (validate_json_schema.cue): with the flag
+    # false, formats are enforced and an unvalidatable format is a
+    # schema error; with the flag true, format declarations don't
+    # constrain values at all
+    checker = jsonschema.FormatChecker() if not ignore_unknown_formats else None
+    if not ignore_unknown_formats:
+        # the reference's rust jsonschema crate treats a format string
+        # it can't validate as a schema error when the flag is false
+        def _formats(node):
+            if isinstance(node, dict):
+                if isinstance(node.get("format"), str):
+                    yield node["format"]
+                for v in node.values():
+                    yield from _formats(v)
+            elif isinstance(node, list):
+                for v in node:
+                    yield from _formats(v)
+
+        unknown = {f for f in _formats(schema) if f not in checker.checkers}
+        if unknown:
+            raise ValueError(
+                f"unknown JSON-schema formats {sorted(unknown)} "
+                "(set ignore_unknown_formats to allow)"
+            )
+    validator = jsonschema.Draft202012Validator(schema, format_checker=checker)
 
     def _one(s):
         try:
