@@ -439,14 +439,17 @@ def test_named_call_arguments_bind_as_keywords():
     assert not err.to_pylist()[0]
 
 
-def test_mixed_array_literal_raises_descriptive():
+def test_mixed_array_literal_from_columns():
+    """Heterogeneous element COLUMNS fall back to tagged-JSON elements
+    (was a hard error before round 5)."""
     import pyarrow as pa
 
     from vector_ray.vrl import compile_program
 
-    t = pa.table({"i": [1], "s": ["b"]})
-    with pytest.raises(ValueError, match="heterogeneous"):
-        compile_program(".arr = [.i, .s]").run(t)
+    t = pa.table({"i": [1, 2], "s": ["b", "c"]})
+    out, err, abort, msgs = compile_program(".arr = [.i, .s]").run(t)
+    assert not err[0].as_py()
+    assert out["arr"].to_pylist() == [[1, "b"], [2, "c"]]
 
 
 def test_coalesce_does_not_swallow_undefined_variable(events):
@@ -749,3 +752,53 @@ def test_per_row_empty_separator_splits_chars():
     t = pa.table({"a": ["xyz"], "sep": [""]})
     out, err, *_ = compile_program(".p = split(.a, .sep)").run(t)
     assert out["p"].to_pylist() == [["x", "y", "z"]]
+
+
+def test_mixed_type_array_literals():
+    """["a", 1, true] falls back to list<vector_ray.json> tagged
+    elements instead of erroring (the last columnar language gap)."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    batch = pa.table({"x": pa.array([10, 20])})
+    p = compile_program('.a = ["a", 1, true, [2, "b"]]; .a')
+    d, e = p.eval_value(batch)
+    assert not e[0].as_py()
+    assert d.to_pylist() == [["a", 1, True, [2, "b"]]] * 2
+
+    # mixed arrays built from COLUMNS, not just literals
+    p2 = compile_program('.pair = [.x, "tag"]; .pair')
+    d2, e2 = p2.eval_value(batch)
+    assert not e2[0].as_py()
+    assert d2.to_pylist() == [[10, "tag"], [20, "tag"]]
+
+    # consumed by list functions transparently
+    p3 = compile_program('compact(["foo", "", null, 1, [], {}])')
+    d3, _ = p3.eval_value(batch)
+    assert d3.to_pylist() == [["foo", 1]] * 2
+
+    p4 = compile_program('flatten([1, [2, 3, 4], [5, [6, 7], 8], 9])')
+    d4, _ = p4.eval_value(batch)
+    assert d4.to_pylist() == [[1, 2, 3, 4, 5, 6, 7, 8, 9]] * 2
+
+    p5 = compile_program(
+        'object_from_array([["one", 1], [null, 2], ["two", 3]])')
+    d5, _ = p5.eval_value(batch)
+    assert d5.to_pylist() == [{"one": 1, "two": 3}] * 2
+
+
+def test_mixed_array_order_independent_types():
+    """[string, int, bool] must keep element types even though
+    int→string casts would succeed (no silent stringify regardless of
+    which element type comes first)."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"n": [7, 8]})
+    out, err, _, _ = compile_program('.mixed = ["tag", .n, true]').run(t)
+    assert out["mixed"].to_pylist() == [["tag", 7, True], ["tag", 8, True]]
+    # homogeneous-kind unify still works: ints+floats promote
+    out2, _, _, _ = compile_program('.nums = [.n, 1.5]').run(t)
+    assert out2["nums"].to_pylist() == [[7.0, 1.5], [8.0, 1.5]]

@@ -291,7 +291,16 @@ def run_one(fname, args, kwargs):
         elif isinstance(a0, dict):
             col = pa.array([a0])
         else:
-            col = pa.array([a0])
+            try:
+                col = pa.array([a0])
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                # mixed-type array literal → tagged-JSON element list,
+                # same fallback the VRL program front-end uses
+                from vector_ray.functions.scalar import mixed_json_array
+
+                col = pa.ListArray.from_arrays(
+                    [0, len(a0)], mixed_json_array(a0))
         def _unwrap(x):
             if isinstance(x, tuple) and x[0] == "__regex__":
                 from vector_ray.functions.scalar import VrlRegex

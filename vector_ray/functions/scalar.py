@@ -41,6 +41,58 @@ def register(name: str):
     return deco
 
 
+class VrlJsonScalar(pa.ExtensionScalar):
+    def as_py(self):
+        import json as _json
+
+        v = self.value.as_py() if self.value is not None else None
+        return None if v is None else _json.loads(v)
+
+
+class VrlJsonType(pa.ExtensionType):
+    """Tagged JSON-string element: the columnar fallback for VRL's
+    heterogeneous arrays (``["a", 1, true]``).  Storage is a JSON
+    string per element; ``as_py()`` decodes, so ``to_pylist()`` on a
+    ``list<vector_ray.json>`` column transparently yields the original
+    mixed Python values — every per-row list function keeps working."""
+
+    def __init__(self):
+        super().__init__(pa.string(), "vector_ray.json")
+
+    def __arrow_ext_serialize__(self):
+        return b""
+
+    @classmethod
+    def __arrow_ext_deserialize__(cls, storage_type, serialized):
+        return cls()
+
+    def __arrow_ext_scalar_class__(self):
+        return VrlJsonScalar
+
+
+VRL_JSON = VrlJsonType()
+try:
+    pa.register_extension_type(VRL_JSON)
+except pa.ArrowKeyError:
+    pass
+
+
+def mixed_json_array(values) -> pa.Array:
+    """Python values → vector_ray.json extension array (None stays
+    null)."""
+    import json as _json
+
+    storage = pa.array(
+        [None if v is None else _json.dumps(v, default=str) for v in values],
+        type=pa.string(),
+    )
+    return pa.ExtensionArray.from_storage(VRL_JSON, storage)
+
+
+def is_vrl_json(t) -> bool:
+    return isinstance(t, VrlJsonType)
+
+
 def obj_array(rows):
     """Rows of python dicts/lists → a typed Arrow array (struct/list)
     when the shape is uniform, else a JSON-string column.  The typed
@@ -51,6 +103,22 @@ def obj_array(rows):
     except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
         import json as _json
 
+        if all(r is None or isinstance(r, list) for r in rows):
+            # rows are lists with heterogeneous elements → keep them
+            # real lists via the tagged-JSON element type (decodes
+            # back through as_py), not stringified rows
+            # offsets[i] = start of row i (null marks row i null),
+            # final entry = total element count
+            offsets, flat, pos = [], [], 0
+            for r in rows:
+                offsets.append(None if r is None else pos)
+                if r is not None:
+                    flat.extend(r)
+                    pos += len(r)
+            offsets.append(pos)
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), mixed_json_array(flat)
+            )
         return pa.array(
             [None if r is None else _json.dumps(r, sort_keys=True) for r in rows],
             type=pa.string(),

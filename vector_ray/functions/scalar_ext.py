@@ -965,15 +965,25 @@ def _compact(c, recursive=True, null=True, string=True, object=True,
 
 @register("flatten")
 def _flatten(c, separator="."):
+    from .scalar import is_vrl_json
+
     c = _arr(c)
-    if pa.types.is_list(c.type) and pa.types.is_list(c.type.value_type):
-        # per-row one-level flatten (pc.list_flatten removes the OUTER
-        # nesting and would change the row count)
-        return _rowmap(
-            c,
-            lambda l: [x for sub in l
-                       for x in (sub if isinstance(sub, list) else [sub])],
-        )
+    if pa.types.is_list(c.type) and (
+        pa.types.is_list(c.type.value_type)
+        or is_vrl_json(c.type.value_type)
+    ):
+        # recursive per-row flatten to a single level (flatten.cue:
+        # [1,[2,3,4],[5,[6,7],8],9] → [1..9]); pc.list_flatten would
+        # remove the OUTER nesting and change the row count
+        def _rec(l, out):
+            for x in l:
+                if isinstance(x, list):
+                    _rec(x, out)
+                else:
+                    out.append(x)
+            return out
+
+        return _rowmap(c, lambda l: _rec(l, []))
     if pa.types.is_struct(c.type) or pa.types.is_map(c.type):
         return FUNCTIONS["flatten_object"](c, separator)
     return c

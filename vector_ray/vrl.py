@@ -630,7 +630,19 @@ def _broadcast(val: Val, n: int) -> pa.Array:
     if val.is_scalar():
         if val.data is None:
             return pa.nulls(n)
-        return pa.array([val.data] * n)
+        try:
+            return pa.array([val.data] * n)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            if isinstance(val.data, list):
+                # heterogeneous array literal (["a", 1, true]): fall
+                # back to list<vector_ray.json> — each element a
+                # tagged JSON string that decodes back through as_py()
+                k = len(val.data)
+                flat = _scalar.mixed_json_array(list(val.data) * n)
+                offsets = pa.array(
+                    np.arange(0, n * k + 1, k, dtype=np.int32))
+                return pa.ListArray.from_arrays(offsets, flat)
+            raise
     return _arr(val.data)
 
 
@@ -1106,15 +1118,36 @@ class Program:
         if all(v.is_scalar() for v in vals):
             return Val([v.data for v in vals])
         arrs = [_broadcast(v, env.n) for v in vals]
-        t = next((a.type for a in arrs if a.type != pa.null()), pa.string())
-        try:
-            arrs = [pc.cast(a, t) for a in arrs]
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-            raise ValueError(
-                "VRL: array literal elements can't unify to one Arrow "
-                f"type ({[str(a.type) for a in arrs]}) — heterogeneous "
-                "arrays aren't representable in a columnar batch"
+        # unify only within one kind (numeric promotion, string
+        # widths); casting across kinds (int→string, bool→string)
+        # would silently stringify typed values — those arrays drop to
+        # the tagged JSON-string element type instead
+        types = {a.type for a in arrs if a.type != pa.null()}
+        if len(types) <= 1:
+            t = types.pop() if types else pa.string()
+        elif all(
+            pa.types.is_integer(t) or pa.types.is_floating(t) for t in types
+        ):
+            t = (
+                pa.int64()
+                if all(pa.types.is_integer(t) for t in types)
+                else pa.float64()
             )
+        elif all(pa.types.is_string(t) or pa.types.is_large_string(t)
+                 for t in types):
+            t = pa.string()
+        else:
+            t = None
+        if t is not None:
+            try:
+                arrs = [pc.cast(a, t) for a in arrs]
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError):
+                t = None
+        if t is None:
+            arrs = [
+                _scalar.mixed_json_array(_arr(a).to_pylist()) for a in arrs
+            ]
         n, k = env.n, len(arrs)
         flat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrs])
         # interleave: element j of row i sits at j*n + i → take indices
