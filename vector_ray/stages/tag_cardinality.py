@@ -27,6 +27,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _membership_key(c):
+    """Groupable/probeable key for a tag column: scalar columns pass
+    through; multi-value tags (list columns, the reference's
+    TagValueSet) key on the US-joined element string so the whole
+    value-set is one distinct value (tag_value_set.rs semantics)."""
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    if pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
+        return pc.binary_join(
+            pc.cast(c, pa.list_(pa.string())), "\x1f"
+        )
+    return c
+
+
 def accepted_value_sets(
     ds, tag_columns: List[str], value_limit: int, order_by: str
 ) -> Dict[str, set]:
@@ -40,8 +54,15 @@ def accepted_value_sets(
     item 1a; reference semantics tag_value_set.rs:3-20)."""
     out: Dict[str, set] = {}
     for col in tag_columns:
+
+        def _proj(batch: pa.Table, col=col) -> pa.Table:
+            # narrow projection + multi-value key derivation
+            return pa.table(
+                {col: _membership_key(batch[col]), order_by: batch[order_by]}
+            )
+
         firsts = (
-            ds.select_columns([col, order_by])
+            ds.map_batches(_proj, batch_format="pyarrow", batch_size=None)
             .groupby(col)
             .min(order_by)
         )
@@ -93,11 +114,9 @@ def tag_cardinality_limit(
 
             keep = None
             for col, bf in blooms.items():
-                c = batch[col]
-                if isinstance(c, pa.ChunkedArray):
-                    c = c.combine_chunks()
-                ok = bf.contains_array(c)
-                nulls = pc.is_null(c).to_numpy(zero_copy_only=False)
+                key = _membership_key(batch[col])
+                ok = bf.contains_array(key)
+                nulls = pc.is_null(key).to_numpy(zero_copy_only=False)
                 ok = ok | nulls
                 if limit_exceeded_action == "drop_event":
                     keep = ok if keep is None else (keep & ok)
@@ -120,7 +139,8 @@ def tag_cardinality_limit(
         def _apply(batch: pa.Table) -> pa.Table:
             keep = None
             for col, vals in accepted_arrays.items():
-                ok = pc.fill_null(pc.is_in(batch[col], value_set=vals), True)
+                key = _membership_key(batch[col])
+                ok = pc.fill_null(pc.is_in(key, value_set=vals), True)
                 keep = ok if keep is None else pc.and_(keep, ok)
             if isinstance(keep, pa.ChunkedArray):
                 keep = keep.combine_chunks()
@@ -133,7 +153,7 @@ def tag_cardinality_limit(
                 c = batch[col]
                 if isinstance(c, pa.ChunkedArray):
                     c = c.combine_chunks()
-                ok = pc.fill_null(pc.is_in(c, value_set=vals), True)
+                ok = pc.fill_null(pc.is_in(_membership_key(c), value_set=vals), True)
                 nulled = pc.if_else(ok, c, pa.scalar(None, type=c.type))
                 batch = batch.set_column(batch.column_names.index(col), col, nulled)
             return batch
@@ -142,3 +162,159 @@ def tag_cardinality_limit(
         raise ValueError(f"unknown action {limit_exceeded_action!r}")
 
     return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+def _value_key(v):
+    """Canonical per-row tag value: multi-value tags (list columns,
+    tag_value_set.rs TagValueSet) key on the whole value-set tuple."""
+    return tuple(v) if isinstance(v, list) else v
+
+
+class _AcceptedSet:
+    """AcceptedTagValueSet analog (tag_value_set.rs): exact HashSet or
+    bloom-with-counter.  Bloom may false-accept an out-of-set value
+    (bounded memory is the trade), never false-drops an accepted one."""
+
+    def __init__(self, mode: str, value_limit: int):
+        self.mode = mode
+        self.count = 0
+        if mode == "probabilistic":
+            from ..state.bloom import BloomFilter
+
+            self.bloom = BloomFilter(capacity=max(16, value_limit * 2))
+        else:
+            self.values = set()
+
+    def contains(self, key) -> bool:
+        if self.mode == "probabilistic":
+            return bool(self.bloom.contains_array(pa.array([str(key)]))[0])
+        return key in self.values
+
+    def insert(self, key) -> None:
+        if self.mode == "probabilistic":
+            self.bloom.add_array(pa.array([str(key)]))
+        else:
+            self.values.add(key)
+        self.count += 1
+
+
+class SequentialTagLimiter:
+    """Event-order-exact port of the reference transform
+    (tag_cardinality_limit/mod.rs:130-182):
+
+    * ``drop_event`` checks EVERY tag first and records values only
+      when the whole event is accepted — a dropped event's other tags
+      don't consume limit slots (tests.rs drop_event_checks_all_tags).
+    * ``drop_tag`` try-accepts per tag independently.
+    * ``per_metric_limits`` scopes state + limits by metric name
+      (mod.rs metric_key); unconfigured names share the global state.
+
+    Sequential BY DEFINITION — the reference transform is equally
+    single-threaded.  This is the parity/behavior-test path and the
+    ``sequential: true`` config mode; the two-phase distributed
+    ``tag_cardinality_limit`` above is the 100 TB shape (identical
+    results for drop_tag, which has no cross-tag coupling)."""
+
+    def __init__(
+        self,
+        tag_columns: List[str],
+        value_limit: int,
+        limit_exceeded_action: str = "drop_tag",
+        mode: str = "exact",
+        per_metric_limits: Dict[str, dict] | None = None,
+        metric_name_col: str | None = None,
+    ):
+        if limit_exceeded_action not in ("drop_tag", "drop_event"):
+            raise ValueError(f"unknown action {limit_exceeded_action!r}")
+        self.tag_columns = list(tag_columns)
+        self.value_limit = value_limit
+        self.action = limit_exceeded_action
+        self.mode = mode
+        self.per_metric = per_metric_limits or {}
+        self.name_col = metric_name_col
+        # state: (metric_key, tag) -> _AcceptedSet
+        self._sets: Dict[tuple, _AcceptedSet] = {}
+
+    def _cfg_for(self, name):
+        if name is not None and name in self.per_metric:
+            pm = self.per_metric[name]
+            return (
+                name,
+                int(pm.get("value_limit", self.value_limit)),
+                pm.get("limit_exceeded_action", self.action),
+                pm.get("mode", self.mode),
+            )
+        return (None, self.value_limit, self.action, self.mode)
+
+    def _set_for(self, metric_key, tag, limit, mode) -> _AcceptedSet:
+        s = self._sets.get((metric_key, tag))
+        if s is None:
+            s = self._sets[(metric_key, tag)] = _AcceptedSet(mode, limit)
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        keep = []
+        for row in rows:
+            name = row.get(self.name_col) if self.name_col else None
+            metric_key, limit, action, mode = self._cfg_for(name)
+            present = [
+                (t, _value_key(row[t]))
+                for t in self.tag_columns
+                if row.get(t) is not None
+            ]
+            if action == "drop_event":
+                exceeded = False
+                for tag, key in present:
+                    s = self._set_for(metric_key, tag, limit, mode)
+                    if not s.contains(key) and s.count >= limit:
+                        exceeded = True
+                        break
+                if exceeded:
+                    continue
+                for tag, key in present:
+                    s = self._set_for(metric_key, tag, limit, mode)
+                    if not s.contains(key):
+                        s.insert(key)
+            else:  # drop_tag
+                for tag, key in present:
+                    s = self._set_for(metric_key, tag, limit, mode)
+                    if s.contains(key):
+                        continue
+                    if s.count < limit:
+                        s.insert(key)
+                    else:
+                        row[tag] = None
+            keep.append(row)
+        cols = {
+            c: pa.array([r.get(c) for r in keep], type=batch.schema.field(c).type)
+            for c in batch.column_names
+        }
+        return pa.table(cols, schema=batch.schema)
+
+
+def tag_cardinality_limit_sequential(
+    ds,
+    tag_columns: List[str],
+    value_limit: int,
+    order_by: str,
+    limit_exceeded_action: str = "drop_tag",
+    mode: str = "exact",
+    per_metric_limits: Dict[str, dict] | None = None,
+    metric_name_col: str | None = None,
+):
+    """Reference-order-exact dataset variant: one global ordered pass
+    (repartition(1), sorted by ``order_by``) through a single
+    SequentialTagLimiter.  Parity mode only — it deliberately trades
+    scale-out for the reference's sequential drop_event semantics."""
+    limiter = SequentialTagLimiter(
+        tag_columns, value_limit, limit_exceeded_action, mode,
+        per_metric_limits, metric_name_col,
+    )
+    # repartition(1) + batch_size=None → exactly one ordered batch, so
+    # the limiter's state never needs to survive across tasks
+    return (
+        ds.sort(order_by)
+        .repartition(1)
+        .map_batches(limiter, batch_format="pyarrow", batch_size=None)
+    )

@@ -293,6 +293,22 @@ def _t_window(cfg, inputs):
 
 @register("tag_cardinality_limit")
 def _t_tagcard(cfg, inputs):
+    """`sequential = true` (or per-metric limits, which need scoped
+    sequential state) runs the reference-order-exact single-pass
+    limiter; the default two-phase path is the distributed shape."""
+    if cfg.get("sequential", False) or cfg.get("per_metric"):
+        from .stages.tag_cardinality import tag_cardinality_limit_sequential
+
+        return tag_cardinality_limit_sequential(
+            inputs,
+            cfg["tag_columns"],
+            cfg["value_limit"],
+            cfg["order_by"],
+            limit_exceeded_action=cfg.get("limit_exceeded_action", "drop_tag"),
+            mode=cfg.get("mode", "exact"),
+            per_metric_limits=cfg.get("per_metric"),
+            metric_name_col=cfg.get("metric_name_col", "name"),
+        )
     return stages.tag_cardinality_limit(
         inputs,
         cfg["tag_columns"],
@@ -719,7 +735,50 @@ def _t_python(cfg, inputs):
     delivery (sort + repartition(1)) — without it Ray delivers blocks
     in arbitrary order (preserve_order defaults off) and boundary
     fires between out-of-order batches are silently skipped.  Periodic
-    flushes would likewise duplicate per actor at concurrency>1."""
+    flushes would likewise duplicate per actor at concurrency>1.
+
+    Config-file form (the Lua-v2 config shape, src/transforms/lua/v2/
+    mod.rs LuaConfig: ``source`` defines functions, ``hooks.process``
+    names one or is itself inline source): hooks may be Python SOURCE
+    STRINGS — ``source`` is exec'd once and ``hooks.process = "name"``
+    resolves against it, or the hook string is inline ``def``/``lambda``
+    source.  Hook signatures: init() -> state, process(batch, state)
+    -> batch, shutdown(state), timer.hook(state, fire_ts_us) ->
+    rows."""
+    cfg = dict(cfg)
+    hooks = cfg.get("hooks")
+    if hooks or isinstance(cfg.get("process"), str):
+        ns: dict = {}
+        if isinstance(cfg.get("source"), str):
+            exec(cfg["source"], ns)  # the Lua-v2 `source` block analog
+
+        def _resolve(spec):
+            if not isinstance(spec, str):
+                return spec
+            if spec in ns:
+                return ns[spec]
+            s = spec.strip()
+            if s.startswith("lambda"):
+                return eval(s, ns)
+            if s.startswith("def "):
+                before = set(ns)
+                exec(s, ns)
+                new = [k for k in ns if k not in before and callable(ns[k])]
+                if len(new) != 1:
+                    raise ValueError("inline hook must define exactly one function")
+                return ns[new[0]]
+            raise ValueError(f"hook {spec!r} is neither a known name nor source")
+
+        merged = dict(hooks or {})
+        for k in ("init", "process", "shutdown"):
+            if k in cfg and k not in merged:
+                merged[k] = cfg[k]
+        for k, v in merged.items():
+            cfg[k] = _resolve(v)
+        if isinstance(cfg.get("timer"), dict) and isinstance(
+            cfg["timer"].get("hook"), str
+        ):
+            cfg["timer"] = {**cfg["timer"], "hook": _resolve(cfg["timer"]["hook"])}
     if "process" in cfg:
         init_fn = cfg.get("init")
         process_fn = cfg["process"]
