@@ -445,3 +445,38 @@ def test_multi_input_dedupe_into_reduce(ray_session):
     assert r["message"] == "some message"
     assert r["field3"] == "value3"
     assert r["counter"] == 2  # one deduped event + the field3 event
+
+
+def test_cli_tap_samples_component_outputs(ray_session, tmp_path, capsys):
+    """`tap` prints sampled events per matching component, including
+    route ports (vector tap analog)."""
+    import json as _json
+
+    from vector_ray.__main__ import main
+
+    cfg = tmp_path / "tap.toml"
+    cfg.write_text("""
+[sources.in]
+type = "inline"
+rows = [
+  { level = "error", msg = "boom" },
+  { level = "info", msg = "fine" },
+]
+
+[transforms.split]
+type = "route"
+inputs = ["in"]
+[transforms.split.routes]
+err = '.level == "error"'
+ok = '.level == "info"'
+""")
+    assert main(["tap", str(cfg), "split", "--limit", "5"]) == 0
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    comps = {l["component"] for l in lines}
+    assert {"split.err", "split.ok"} <= comps
+    err_events = [l["event"] for l in lines if l["component"] == "split.err"]
+    assert err_events and err_events[0]["msg"] == "boom"
+    # no match → error exit
+    assert main(["tap", str(cfg), "nope*"]) == 1

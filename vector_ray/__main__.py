@@ -50,10 +50,14 @@ def _load_config(path: str) -> dict:
     return doc.get("config", doc)
 
 
-def _ray_init():
+def _ray_init() -> bool:
+    """Init Ray if nobody has; returns True when WE own the session
+    (callers only shut down what they started — a host test harness's
+    session must survive a CLI call)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
@@ -64,10 +68,18 @@ def _ray_init():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
+
+
+def _ray_shutdown(owned: bool) -> None:
+    if owned:
+        import ray
+
+        ray.shutdown()
 
 
 def cmd_run(args) -> int:
-    _ray_init()
+    owned = _ray_init()
     from .sinks import write_sinks
     from .topology import build
 
@@ -91,9 +103,7 @@ def cmd_run(args) -> int:
         for name, ds in sinks.items():
             out[name] = {"rows": ds.count()}
     print(json.dumps({"sinks": out, "wall_secs": round(time.time() - t0, 3)}))
-    import ray
-
-    ray.shutdown()
+    _ray_shutdown(owned)
     return 0
 
 
@@ -117,7 +127,7 @@ def cmd_validate(args) -> int:
 
 
 def cmd_test(args) -> int:
-    _ray_init()
+    owned = _ray_init()
     from .behavior import BehaviorTestFailure, run_behavior_dir, run_behavior_file
 
     try:
@@ -133,9 +143,7 @@ def cmd_test(args) -> int:
         for n in names:
             print(f"passed: {f} :: {n}")
     print(f"{total} behavior tests passed")
-    import ray
-
-    ray.shutdown()
+    _ray_shutdown(owned)
     return 0
 
 
@@ -190,6 +198,44 @@ def cmd_generate(args) -> int:
 
 def cmd_convert(args) -> int:
     print(json.dumps(_load_config(args.config), indent=2, default=str))
+    return 0
+
+
+def cmd_tap(args) -> int:
+    """`vector tap` analog (src/api/ event taps, src/tap/): sample the
+    events flowing out of matching components.  ``patterns`` are
+    shell-style globs over component names (tap's --outputs-of); each
+    sampled event prints as one JSON line tagged with its component
+    (and port for multi-output transforms like route)."""
+    import fnmatch
+
+    owned = _ray_init()
+    from .topology import Topology
+
+    config = _load_config(args.config)
+    topo = Topology(config)
+    patterns = args.patterns or ["*"]
+    names = [
+        n for n in topo.nodes
+        if topo.nodes[n]["section"] != "sinks"
+        and any(fnmatch.fnmatch(n, p) for p in patterns)
+    ]
+    if not names:
+        print(f"no components match {patterns!r}", file=sys.stderr)
+        return 1
+    for name in sorted(names):
+        built = topo._build(name)
+        outputs = built.items() if isinstance(built, dict) else [(None, built)]
+        for port, ds in outputs:
+            where = name if port is None else f"{name}.{port}"
+            try:
+                rows = ds.limit(args.limit).take_all()
+            except Exception as e:
+                print(json.dumps({"component": where, "error": str(e)}))
+                continue
+            for row in rows:
+                print(json.dumps({"component": where, "event": row}, default=str))
+    _ray_shutdown(owned)
     return 0
 
 
@@ -294,6 +340,18 @@ def main(argv=None) -> int:
     vrl.add_argument("value", nargs="?")
     vrl.add_argument("args", nargs="*")
     vrl.set_defaults(fn=cmd_vrl)
+    tap = sub.add_parser(
+        "tap",
+        help="sample events flowing out of matching components "
+             "(`vector tap` analog): tap config.toml [patterns...] "
+             "[--limit N]",
+    )
+    tap.add_argument("config")
+    tap.add_argument("patterns", nargs="*",
+                     help="glob patterns over component names (default: *)")
+    tap.add_argument("--limit", type=int, default=10,
+                     help="events to sample per component output")
+    tap.set_defaults(fn=cmd_tap)
     cc = sub.add_parser(
         "convert-config",
         help="load a TOML/JSON/YAML config and print it as JSON "
