@@ -255,3 +255,17 @@ def test_cli_missing_env_is_config_error(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit, match="Missing environment variable"):
         _load_config(str(cfg))
+
+
+def test_exec_backend_pretty_printed_stdout(tmp_path):
+    """Review r5: whole-stdout JSON (pretty-printed, multi-line) must
+    parse, not just first-line framing."""
+    script = tmp_path / "pp.py"
+    script.write_text(
+        "import json, sys\n"
+        "q = json.load(sys.stdin)\n"
+        "print(json.dumps({k: {'value': 'v', 'error': None}"
+        " for k in q['secrets']}, indent=2))\n"
+    )
+    cfg = {"e": {"type": "exec", "command": [sys.executable, str(script)]}}
+    assert retrieve_secrets(cfg, {"e": {"k"}}) == {"e.k": "v"}

@@ -391,3 +391,55 @@ def test_validate_json_schema_doc_matrix():
     assert run('{ "productUser": "invalidEmail" }', False) is False
     assert run('{ "productUser": "a-custom-formatted-string" }', False) is False
     assert run('{ "productUser": "a-custom-formatted-string" }', True) is True
+
+
+def test_proto_native_types_roundtrip(tmp_path):
+    """Review r5: int64 must stay int (not decimal string), bytes must
+    stay bytes (not base64), repeated fields stay lists — MessageToDict
+    proto3-JSON coercions are bypassed."""
+    import pyarrow as pa
+    from google.protobuf import descriptor_pb2
+
+    from vector_ray.functions import scalar
+
+    fds = descriptor_pb2.FileDescriptorSet()
+    f = fds.file.add(); f.name = "t.proto"; f.package = "t"; f.syntax = "proto3"
+    m = f.message_type.add(); m.name = "Ev"
+    for i, (name, typ, lab) in enumerate(
+        [("a", 3, 1), ("b", 12, 1), ("s", 9, 1), ("r", 5, 3)], 1
+    ):  # int64, bytes, string, repeated int32
+        fld = m.field.add()
+        fld.name = name; fld.number = i; fld.type = typ; fld.label = lab
+    p = str(tmp_path / "t.desc")
+    open(p, "wb").write(fds.SerializeToString())
+    obj = {"a": 2**60 + 3, "b": b"\x01\x02", "s": "x", "r": [1, 2, 3]}
+    enc = scalar.call("encode_proto", pa.array([obj]), p, "t.Ev")
+    dec = scalar.call("parse_proto", enc, p, "t.Ev")
+    assert dec[0].as_py() == obj
+
+
+def test_flatten_heterogeneous_elements():
+    """Review r5: flatten over still-mixed elements must not crash on
+    pa.array inference."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    d, _ = compile_program('flatten(["a", [1, true]])').eval_value(
+        pa.table({"x": [1]})
+    )
+    assert d.to_pylist() == [["a", 1, True]]
+
+
+def test_json_schema_spec_format_without_checker_dep():
+    """Review r5: a spec-vocabulary format (date-time) whose optional
+    validator dep may be missing must not raise 'unknown format'."""
+    import pyarrow as pa
+
+    from vector_ray.functions import scalar
+
+    schema = '{"type": "object", "properties": {"t": {"type": "string", "format": "date-time"}}}'
+    out = scalar.call(
+        "validate_json_schema", pa.array(['{"t": "whatever"}']), schema, False
+    )
+    assert out[0].as_py() in (True, False)  # validates, no raise

@@ -141,3 +141,28 @@ def test_dedupe_windowed_self_partitions_small_input(ray_session):
     multi = dedupe_windowed(one_block, ["k"], cache_size=100, concurrency=2)
     got = sorted(r["k"] for r in multi.take_all())
     assert got == sorted(f"key{i}" for i in range(5))
+
+
+def test_dedupe_windowed_multiactor_preserves_dtypes_and_order(ray_session):
+    """Review r5: the self-partition shuffle must keep nullable int64
+    columns int64 (no pandas round-trip) and order_by makes the
+    survivor deterministic."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages import dedupe_windowed
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "b"]),
+            "n": pa.array([1, None, 2, None], type=pa.int64()),
+            "seq": pa.array([3, 0, 1, 2], type=pa.int64()),
+        }
+    )
+    out = dedupe_windowed(
+        rd.from_arrow(t), ["k"], cache_size=10, concurrency=2, order_by="seq"
+    )
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert tbl.schema.field("n").type == pa.int64()
+    rows = {r["k"]: r["seq"] for r in tbl.to_pylist()}
+    assert rows == {"a": 0, "b": 1}  # lowest seq survives per key

@@ -40,7 +40,9 @@ def _load_config(path: str) -> dict:
         import tomllib
 
         parse = tomllib.loads
-    with open(path) as f:
+    # explicit utf-8: tomllib.load mandates it, and the locale default
+    # (LANG=C in containers) would mojibake non-ASCII config strings
+    with open(path, encoding="utf-8") as f:
         text = f.read()
     try:
         doc = prepare_config_text(text, parse)
@@ -222,6 +224,7 @@ def cmd_tap(args) -> int:
     ]
     if not names:
         print(f"no components match {patterns!r}", file=sys.stderr)
+        _ray_shutdown(owned)
         return 1
     for name in sorted(names):
         built = topo._build(name)

@@ -161,9 +161,13 @@ def _retrieve_exec(cfg: dict, wanted: set[str]) -> dict[str, str]:
             f"secret backend command failed with status {proc.returncode}: "
             f"{proc.stderr.decode(errors='replace').strip()}"
         )
-    # exec.rs reads newline-framed JSON; accept whole-stdout JSON too
-    payload = proc.stdout.decode().strip().splitlines()
-    response = json.loads(payload[0]) if payload else {}
+    # accept whole-stdout JSON (pretty-printed responses included);
+    # fall back to exec.rs's newline-framed first line
+    raw = proc.stdout.decode().strip()
+    try:
+        response = json.loads(raw) if raw else {}
+    except json.JSONDecodeError:
+        response = json.loads(raw.splitlines()[0])
     out = {}
     for k in wanted:
         entry = response.get(k)

@@ -1764,13 +1764,103 @@ def _proto_message_class(desc_file, message_type: str):
     return message_factory.GetMessageClass(pool.FindMessageTypeByName(message_type))
 
 
+def _proto_is_repeated(field) -> bool:
+    rep = getattr(field, "is_repeated", None)
+    if rep is not None:
+        return bool(rep)
+    return field.label == field.LABEL_REPEATED
+
+
+def _proto_msg_to_obj(msg):
+    """Message → native Python object keeping wire types: int64 stays
+    int, bytes stays bytes (MessageToDict would follow the proto3-JSON
+    mapping and render them as decimal/base64 STRINGS, silently
+    corrupting typed fields — VRL's parse_proto returns native
+    values)."""
+    from google.protobuf.descriptor import FieldDescriptor
+
+    out = {}
+    for field, value in msg.ListFields():
+        if field.type == FieldDescriptor.TYPE_MESSAGE:
+            if field.message_type.GetOptions().map_entry:
+                vf = field.message_type.fields_by_name["value"]
+                if vf.type == FieldDescriptor.TYPE_MESSAGE:
+                    out[field.name] = {
+                        k: _proto_msg_to_obj(v) for k, v in value.items()
+                    }
+                else:
+                    out[field.name] = dict(value)
+            elif _proto_is_repeated(field):
+                out[field.name] = [_proto_msg_to_obj(m) for m in value]
+            else:
+                out[field.name] = _proto_msg_to_obj(value)
+        elif field.type == FieldDescriptor.TYPE_ENUM:
+            name = lambda v: field.enum_type.values_by_number[v].name
+            out[field.name] = (
+                [name(v) for v in value]
+                if _proto_is_repeated(field)
+                else name(value)
+            )
+        elif _proto_is_repeated(field):
+            out[field.name] = list(value)
+        else:
+            out[field.name] = value
+    return out
+
+
+def _proto_obj_to_msg(d: dict, msg):
+    """dict → message without ParseDict's proto3-JSON coercions (bytes
+    values stay raw bytes instead of requiring base64 text)."""
+    from google.protobuf.descriptor import FieldDescriptor
+
+    for key, value in d.items():
+        if value is None:
+            continue
+        field = msg.DESCRIPTOR.fields_by_name.get(key)
+        if field is None:
+            raise ValueError(
+                f"unknown field {key!r} for {msg.DESCRIPTOR.full_name}"
+            )
+        if field.type == FieldDescriptor.TYPE_MESSAGE:
+            if field.message_type.GetOptions().map_entry:
+                vf = field.message_type.fields_by_name["value"]
+                target = getattr(msg, key)
+                for k, v in value.items():
+                    if vf.type == FieldDescriptor.TYPE_MESSAGE:
+                        _proto_obj_to_msg(v, target[k])
+                    else:
+                        target[k] = v
+            elif _proto_is_repeated(field):
+                for item in value:
+                    _proto_obj_to_msg(item, getattr(msg, key).add())
+            else:
+                _proto_obj_to_msg(value, getattr(msg, key))
+        elif field.type == FieldDescriptor.TYPE_ENUM and isinstance(
+            value, (str, list)
+        ):
+            num = lambda v: (
+                field.enum_type.values_by_name[v].number
+                if isinstance(v, str) else v
+            )
+            if _proto_is_repeated(field):
+                getattr(msg, key).extend([num(v) for v in value])
+            else:
+                setattr(msg, key, num(value))
+        elif _proto_is_repeated(field):
+            getattr(msg, key).extend(value)
+        elif field.type == FieldDescriptor.TYPE_BYTES and isinstance(value, str):
+            setattr(msg, key, value.encode("utf-8", "surrogateescape"))
+        else:
+            setattr(msg, key, value)
+    return msg
+
+
 if "parse_proto" not in FUNCTIONS:
     def _parse_proto_vrl(c, desc_file, message_type):
         """parse_proto(value, desc_file, message_type) → object
         (parse_proto.cue; vrl stdlib parse_proto): decodes each row's
-        binary payload to the full message as a nested object."""
-        from google.protobuf.json_format import MessageToDict
-
+        binary payload to the full message as a nested object with
+        native value types."""
         cls = _proto_message_class(desc_file, message_type)
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
@@ -1782,7 +1872,7 @@ if "parse_proto" not in FUNCTIONS:
             if isinstance(v, str):
                 v = v.encode("utf-8", "surrogateescape")
             msg = cls.FromString(v)  # raises on invalid payload (fallible)
-            out.append(MessageToDict(msg, preserving_proto_field_name=True))
+            out.append(_proto_msg_to_obj(msg))
         return obj_array(out)
 
     FUNCTIONS["parse_proto"] = _parse_proto_vrl
@@ -1815,9 +1905,8 @@ if "encode_proto" not in FUNCTIONS:
     def _encode_proto(c, desc_file, message_type):
         """encode_proto(object, desc_file, message_type) → bytes
         (encode_proto.cue): each row's object populates the message's
-        fields (nested objects/arrays included) and serializes."""
-        from google.protobuf.json_format import ParseDict
-
+        fields (nested objects/arrays included, native value types —
+        bytes fields take raw bytes, not base64 text) and serializes."""
         cls = _proto_message_class(desc_file, message_type)
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
@@ -1828,7 +1917,7 @@ if "encode_proto" not in FUNCTIONS:
                 continue
             if not isinstance(v, dict):
                 raise TypeError("encode_proto needs an object value")
-            out.append(ParseDict(v, cls()).SerializeToString())
+            out.append(_proto_obj_to_msg(v, cls()).SerializeToString())
         return pa.array(out, type=pa.binary())
 
     FUNCTIONS["encode_proto"] = _encode_proto

@@ -983,7 +983,14 @@ def _flatten(c, separator="."):
                     out.append(x)
             return out
 
-        return _rowmap(c, lambda l: _rec(l, []))
+        # rebuild through obj_array: flattened rows may STILL be
+        # heterogeneous (["a", [1, true]] → ["a", 1, true]) and a bare
+        # pa.array() cannot infer a mixed element type
+        from .scalar import obj_array
+
+        return obj_array(
+            [None if l is None else _rec(l, []) for l in c.to_pylist()]
+        )
     if pa.types.is_struct(c.type) or pa.types.is_map(c.type):
         return FUNCTIONS["flatten_object"](c, separator)
     return c
@@ -2052,7 +2059,20 @@ def _validate_json_schema(c, schema_json, ignore_unknown_formats=False):
                 for v in node:
                     yield from _formats(v)
 
-        unknown = {f for f in _formats(schema) if f not in checker.checkers}
+        # only formats outside the 2020-12 vocabulary are "unknown";
+        # spec formats whose optional validator package is missing
+        # just validate passively (jsonschema's normal behavior)
+        spec_formats = {
+            "date-time", "date", "time", "duration", "email", "idn-email",
+            "hostname", "idn-hostname", "ipv4", "ipv6", "uri",
+            "uri-reference", "iri", "iri-reference", "uuid",
+            "uri-template", "json-pointer", "relative-json-pointer",
+            "regex",
+        }
+        unknown = {
+            f for f in _formats(schema)
+            if f not in spec_formats and f not in checker.checkers
+        }
         if unknown:
             raise ValueError(
                 f"unknown JSON-schema formats {sorted(unknown)} "

@@ -143,7 +143,13 @@ class LRUDedupe:
         return batch.filter(pa.array(keep))
 
 
-def dedupe_windowed(ds, fields: List[str], cache_size: int = 5000, concurrency: int = 1):
+def dedupe_windowed(
+    ds,
+    fields: List[str],
+    cache_size: int = 5000,
+    concurrency: int = 1,
+    order_by: Optional[str] = None,
+):
     """Windowed-LRU dedup via a stateful actor pool.
 
     With 1 actor it matches Vector's ordered-stream behavior exactly.
@@ -151,7 +157,11 @@ def dedupe_windowed(ds, fields: List[str], cache_size: int = 5000, concurrency: 
     match fields → 2×pool partitions) so each key's rows visit exactly
     one actor AND small inputs that would collapse to one block still
     feed the whole pool (r4 judge note: a 1-block input halved a
-    concurrency=2 pool)."""
+    concurrency=2 pool).  The shuffle does NOT preserve arrival order
+    within a key — pass ``order_by`` to make the first-seen-wins
+    survivor deterministic at concurrency>1 (each partition sorts by it
+    before the LRU); without it, which duplicate survives can vary run
+    to run."""
     if concurrency and concurrency > 1:
         from ..functions.hashes import hash_columns
 
@@ -161,10 +171,20 @@ def dedupe_windowed(ds, fields: List[str], cache_size: int = 5000, concurrency: 
             h = hash_columns(batch, list(fields)) % np.uint64(parts)
             return batch.append_column("__lru_part", pa.array(h.view(np.int64)))
 
+        def _ident(g: pa.Table) -> pa.Table:
+            # pyarrow identity — a pandas round-trip here would corrupt
+            # dtypes (nullable int64 → float64) and change the output
+            # schema vs the concurrency=1 path
+            if order_by is not None:
+                g = g.take(
+                    pc.sort_indices(g, sort_keys=[(order_by, "ascending")])
+                )
+            return g
+
         ds = (
             ds.map_batches(_kpart, batch_format="pyarrow", batch_size=None)
             .groupby("__lru_part")
-            .map_groups(lambda g: g, batch_format="pandas")
+            .map_groups(_ident, batch_format="pyarrow")
             .drop_columns(["__lru_part"])
         )
     return ds.map_batches(

@@ -35,9 +35,17 @@ def _membership_key(c):
     if isinstance(c, pa.ChunkedArray):
         c = c.combine_chunks()
     if pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
-        return pc.binary_join(
-            pc.cast(c, pa.list_(pa.string())), "\x1f"
+        lst = pc.cast(c, pa.list_(pa.string()))
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        # binary_join propagates a null ELEMENT to a null key, which
+        # would exempt ['a', null] sets from limiting — sentinel-fill
+        # elements so only a null LIST yields a null key
+        values = pc.fill_null(lst.values, "\x00null\x00")
+        lst = pa.ListArray.from_arrays(
+            lst.offsets, values, mask=pc.is_null(lst)
         )
+        return pc.binary_join(lst, "\x1f")
     return c
 
 

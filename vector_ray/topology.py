@@ -125,7 +125,8 @@ def _t_remap(cfg, inputs):
 def _t_dedupe(cfg, inputs):
     if cfg.get("cache_size"):
         return stages.dedupe_windowed(
-            inputs, cfg["fields"], cfg["cache_size"], cfg.get("concurrency", 1)
+            inputs, cfg["fields"], cfg["cache_size"], cfg.get("concurrency", 1),
+            order_by=cfg.get("order_by"),
         )
     return stages.dedupe_exact(
         inputs,
