@@ -443,3 +443,26 @@ def test_json_schema_spec_format_without_checker_dep():
         "validate_json_schema", pa.array(['{"t": "whatever"}']), schema, False
     )
     assert out[0].as_py() in (True, False)  # validates, no raise
+
+
+def test_parse_groks_alias_sources(tmp_path):
+    """parse_groks.cue 'Parse using aliases from file' (skip_test in
+    the reference because the path is fictional — realized here)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    p = tmp_path / "aliases.json"
+    p.write_text(_json.dumps({
+        "PATTERN_A": "%{PATTERN_B}",
+        "PATTERN_B": "username=%{USERNAME:username}",
+    }))
+    src = (
+        f'parse_groks!("username=foo", patterns: [ "%{{PATTERN_A}}" ], '
+        f'alias_sources: [ "{p}" ])'
+    )
+    d, e = compile_program(src).eval_value(pa.table({"x": [1]}))
+    assert not e[0].as_py()
+    assert dict(d[0].as_py()) == {"username": "foo"}

@@ -1558,11 +1558,23 @@ def _parse_grok(c, pattern, aliases=None):
 
 
 @register("parse_groks")
-def _parse_groks(c, patterns, aliases=None):
-    """parse_groks(value, patterns, aliases) — first matching pattern
-    wins; ``aliases`` adds custom grok pattern names usable inside the
-    patterns (parse_groks.cue)."""
+def _parse_groks(c, patterns, aliases=None, alias_sources=None):
+    """parse_groks(value, patterns, aliases, alias_sources) — first
+    matching pattern wins; ``aliases`` adds custom grok pattern names
+    usable inside the patterns, ``alias_sources`` loads additional
+    aliases from JSON files (parse_groks.cue)."""
     from ..parse import grok_to_regex
+
+    aliases = dict(aliases or {})
+    if alias_sources:
+        if isinstance(alias_sources, str):
+            alias_sources = [alias_sources]
+        for src in alias_sources:
+            with open(src) as fh:
+                loaded = json.load(fh)
+            if not isinstance(loaded, dict):
+                raise ValueError(f"alias source {src!r} is not a JSON object")
+            aliases.update(loaded)
 
     rxs = [re.compile(grok_to_regex(p, extra_patterns=aliases)[0]) for p in patterns]
 
