@@ -182,14 +182,22 @@ def run_scaling() -> dict:
             VECTOR_RAY_TASK_CPUS="1",
             BENCH_HEADLINE_ONLY="1",
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # min-of-2 fresh sessions per level — the same protocol as the
+        # per-query timings: this host's background load swings single
+        # samples by 10-15% (measured eff 0.748/0.877/0.772 across
+        # three single-sample runs of identical code), and min is the
+        # documented estimator of unloaded capability
+        runs = []
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        return min(runs, key=lambda r: r["value"])
 
     lo, hi = one(lo_n), one(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]
