@@ -466,3 +466,80 @@ def test_parse_groks_alias_sources(tmp_path):
     d, e = compile_program(src).eval_value(pa.table({"x": [1]}))
     assert not e[0].as_py()
     assert dict(d[0].as_py()) == {"username": "foo"}
+
+
+def test_proto_edge_cases(tmp_path):
+    """Second-pass review: open-enum ints, map<k,Enum> names, repeated
+    bytes from str, WKT Timestamp proto3-JSON form, empty-submessage
+    presence, dependency-order-agnostic descriptor sets."""
+    import pyarrow as pa
+    from google.protobuf import descriptor_pb2, timestamp_pb2
+
+    from vector_ray.functions import scalar
+
+    fds = descriptor_pb2.FileDescriptorSet()
+    f = fds.file.add()
+    f.name = "t2.proto"; f.package = "t2"; f.syntax = "proto3"
+    f.dependency.append("google/protobuf/timestamp.proto")
+    en = f.enum_type.add(); en.name = "E"
+    for i, n in enumerate(["E0", "E1", "E2"]):
+        v = en.value.add(); v.name = n; v.number = i
+    sub = f.message_type.add(); sub.name = "Sub"
+    fl = sub.field.add(); fl.name = "x"; fl.number = 1; fl.type = 5
+    m = f.message_type.add(); m.name = "Ev"
+    for i, (name, typ, lab, tname) in enumerate(
+        [("e", 14, 1, ".t2.E"), ("rb", 12, 3, None),
+         ("ts", 11, 1, ".google.protobuf.Timestamp"),
+         ("sub", 11, 1, ".t2.Sub")], 1,
+    ):
+        fld = m.field.add()
+        fld.name = name; fld.number = i; fld.type = typ; fld.label = lab
+        if tname:
+            fld.type_name = tname
+    me = m.nested_type.add(); me.name = "MEntry"; me.options.map_entry = True
+    k = me.field.add(); k.name = "key"; k.number = 1; k.type = 9
+    v = me.field.add(); v.name = "value"; v.number = 2; v.type = 14
+    v.type_name = ".t2.E"
+    fld = m.field.add()
+    fld.name = "m"; fld.number = 5; fld.type = 11; fld.label = 3
+    fld.type_name = ".t2.Ev.MEntry"
+    # deps appended AFTER the dependent file on purpose
+    fds.file.append(descriptor_pb2.FileDescriptorProto.FromString(
+        timestamp_pb2.DESCRIPTOR.serialized_pb))
+    p = str(tmp_path / "t2.desc")
+    open(p, "wb").write(fds.SerializeToString())
+
+    obj = {"e": "E1", "rb": ["x", b"\x01"], "ts": "2024-01-01T00:00:00Z",
+           "sub": {}, "m": {"a": "E2"}}
+    enc = scalar.call("encode_proto", pa.array([obj]), p, "t2.Ev")
+    got = scalar.call("parse_proto", enc, p, "t2.Ev")[0].as_py()
+    assert got["e"] == "E1"
+    assert got["rb"] == [b"x", b"\x01"]          # str coerced like singular
+    assert got["ts"] == "2024-01-01T00:00:00Z"   # WKT JSON scalar form
+    assert got["sub"] == {}                      # presence kept
+    assert got["m"] == {"a": "E2"}               # map enums name-mapped
+    # unknown open-enum wire value decodes to the raw int, no crash
+    wire = bytes([0x08, 99])
+    assert scalar.call("parse_proto", pa.array([wire]), p, "t2.Ev")[0].as_py() == {"e": 99}
+
+
+def test_json_schema_fallback_format_checkers():
+    """Spec formats enforce via stdlib fallbacks even without optional
+    validator packages (uuid/ipv4 are never shipped with jsonschema)."""
+    import pyarrow as pa
+
+    from vector_ray.functions import scalar
+
+    schema = ('{"type": "object", "properties": {'
+              '"u": {"type": "string", "format": "uuid"},'
+              '"ip": {"type": "string", "format": "ipv4"}}}')
+
+    def run(payload):
+        return scalar.call(
+            "validate_json_schema", pa.array([payload]), schema, False
+        )[0].as_py()
+
+    assert run('{"u": "123e4567-e89b-12d3-a456-426614174000"}') is True
+    assert run('{"u": "not-a-uuid"}') is False
+    assert run('{"ip": "10.0.0.1"}') is True
+    assert run('{"ip": "999.0.0.1"}') is False

@@ -212,34 +212,38 @@ def cmd_tap(args) -> int:
     import fnmatch
 
     owned = _ray_init()
-    from .topology import Topology
+    try:
+        from .topology import Topology
 
-    config = _load_config(args.config)
-    topo = Topology(config)
-    patterns = args.patterns or ["*"]
-    names = [
-        n for n in topo.nodes
-        if topo.nodes[n]["section"] != "sinks"
-        and any(fnmatch.fnmatch(n, p) for p in patterns)
-    ]
-    if not names:
-        print(f"no components match {patterns!r}", file=sys.stderr)
+        config = _load_config(args.config)
+        topo = Topology(config)
+        patterns = args.patterns or ["*"]
+        names = [
+            n for n in topo.nodes
+            if topo.nodes[n]["section"] != "sinks"
+            and any(fnmatch.fnmatch(n, p) for p in patterns)
+        ]
+        if not names:
+            print(f"no components match {patterns!r}", file=sys.stderr)
+            return 1
+        for name in sorted(names):
+            built = topo._build(name)
+            outputs = (
+                built.items() if isinstance(built, dict) else [(None, built)]
+            )
+            for port, ds in outputs:
+                where = name if port is None else f"{name}.{port}"
+                try:
+                    rows = ds.limit(args.limit).take_all()
+                except Exception as e:
+                    print(json.dumps({"component": where, "error": str(e)}))
+                    continue
+                for row in rows:
+                    print(json.dumps(
+                        {"component": where, "event": row}, default=str))
+        return 0
+    finally:
         _ray_shutdown(owned)
-        return 1
-    for name in sorted(names):
-        built = topo._build(name)
-        outputs = built.items() if isinstance(built, dict) else [(None, built)]
-        for port, ds in outputs:
-            where = name if port is None else f"{name}.{port}"
-            try:
-                rows = ds.limit(args.limit).take_all()
-            except Exception as e:
-                print(json.dumps({"component": where, "error": str(e)}))
-                continue
-            for row in rows:
-                print(json.dumps({"component": where, "event": row}, default=str))
-    _ray_shutdown(owned)
-    return 0
 
 
 def cmd_vrl(args) -> int:

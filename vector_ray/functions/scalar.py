@@ -1756,8 +1756,19 @@ def _proto_message_class(desc_file, message_type: str):
             with open(desc_file, "rb") as fh:
                 raw = fh.read()
         pool = descriptor_pool.DescriptorPool()
-        for f in descriptor_pb2.FileDescriptorSet.FromString(raw).file:
-            pool.Add(f)
+        # tolerate dependency-order-agnostic sets: retry files whose
+        # imports haven't loaded yet until a full pass makes no progress
+        pending = list(descriptor_pb2.FileDescriptorSet.FromString(raw).file)
+        while pending:
+            still = []
+            for f in pending:
+                try:
+                    pool.Add(f)
+                except TypeError:
+                    still.append(f)
+            if len(still) == len(pending):
+                pool.Add(still[0])  # re-raise the real error
+            pending = still
         _DESC_POOL_CACHE[key] = pool
     if isinstance(message_type, (pa.Array, pa.ChunkedArray)):
         message_type = message_type[0].as_py()
@@ -1771,13 +1782,28 @@ def _proto_is_repeated(field) -> bool:
     return field.label == field.LABEL_REPEATED
 
 
+def _proto_enum_name(field, v):
+    """Enum number → name; unknown numbers (proto3 open enums — a newer
+    producer added a variant) pass through as the raw int instead of
+    crashing."""
+    entry = field.enum_type.values_by_number.get(v)
+    return entry.name if entry is not None else v
+
+
 def _proto_msg_to_obj(msg):
     """Message → native Python object keeping wire types: int64 stays
     int, bytes stays bytes (MessageToDict would follow the proto3-JSON
     mapping and render them as decimal/base64 STRINGS, silently
     corrupting typed fields — VRL's parse_proto returns native
-    values)."""
+    values).  Well-known types (google.protobuf.Timestamp/Duration/
+    wrappers/Struct) keep their canonical JSON scalar form."""
     from google.protobuf.descriptor import FieldDescriptor
+    from google.protobuf.json_format import MessageToDict
+
+    def _sub(m):
+        if m.DESCRIPTOR.full_name.startswith("google.protobuf."):
+            return MessageToDict(m, preserving_proto_field_name=True)
+        return _proto_msg_to_obj(m)
 
     out = {}
     for field, value in msg.ListFields():
@@ -1785,21 +1811,23 @@ def _proto_msg_to_obj(msg):
             if field.message_type.GetOptions().map_entry:
                 vf = field.message_type.fields_by_name["value"]
                 if vf.type == FieldDescriptor.TYPE_MESSAGE:
+                    out[field.name] = {k: _sub(v) for k, v in value.items()}
+                elif vf.type == FieldDescriptor.TYPE_ENUM:
+                    # map<k, Enum> values name-map like plain enum fields
                     out[field.name] = {
-                        k: _proto_msg_to_obj(v) for k, v in value.items()
+                        k: _proto_enum_name(vf, v) for k, v in value.items()
                     }
                 else:
                     out[field.name] = dict(value)
             elif _proto_is_repeated(field):
-                out[field.name] = [_proto_msg_to_obj(m) for m in value]
+                out[field.name] = [_sub(m) for m in value]
             else:
-                out[field.name] = _proto_msg_to_obj(value)
+                out[field.name] = _sub(value)
         elif field.type == FieldDescriptor.TYPE_ENUM:
-            name = lambda v: field.enum_type.values_by_number[v].name
             out[field.name] = (
-                [name(v) for v in value]
+                [_proto_enum_name(field, v) for v in value]
                 if _proto_is_repeated(field)
-                else name(value)
+                else _proto_enum_name(field, value)
             )
         elif _proto_is_repeated(field):
             out[field.name] = list(value)
@@ -1822,19 +1850,39 @@ def _proto_obj_to_msg(d: dict, msg):
                 f"unknown field {key!r} for {msg.DESCRIPTOR.full_name}"
             )
         if field.type == FieldDescriptor.TYPE_MESSAGE:
+
+            def _fill(v, target):
+                if isinstance(v, dict):
+                    if not v:
+                        # {} means PRESENT empty message (proto3
+                        # message fields have explicit presence)
+                        target.SetInParent()
+                    else:
+                        _proto_obj_to_msg(v, target)
+                else:
+                    # well-known types take their proto3-JSON scalar
+                    # form (Timestamp RFC3339 string, wrappers, ...)
+                    from google.protobuf.json_format import ParseDict
+
+                    ParseDict(v, target)
+
             if field.message_type.GetOptions().map_entry:
                 vf = field.message_type.fields_by_name["value"]
                 target = getattr(msg, key)
                 for k, v in value.items():
                     if vf.type == FieldDescriptor.TYPE_MESSAGE:
-                        _proto_obj_to_msg(v, target[k])
+                        _fill(v, target[k])
+                    elif vf.type == FieldDescriptor.TYPE_ENUM and isinstance(
+                        v, str
+                    ):
+                        target[k] = vf.enum_type.values_by_name[v].number
                     else:
                         target[k] = v
             elif _proto_is_repeated(field):
                 for item in value:
-                    _proto_obj_to_msg(item, getattr(msg, key).add())
+                    _fill(item, getattr(msg, key).add())
             else:
-                _proto_obj_to_msg(value, getattr(msg, key))
+                _fill(value, getattr(msg, key))
         elif field.type == FieldDescriptor.TYPE_ENUM and isinstance(
             value, (str, list)
         ):
@@ -1846,10 +1894,18 @@ def _proto_obj_to_msg(d: dict, msg):
                 getattr(msg, key).extend([num(v) for v in value])
             else:
                 setattr(msg, key, num(value))
+        elif field.type == FieldDescriptor.TYPE_BYTES:
+            # str → utf-8 bytes, symmetric for singular AND repeated
+            enc = lambda v: (
+                v.encode("utf-8", "surrogateescape")
+                if isinstance(v, str) else v
+            )
+            if _proto_is_repeated(field):
+                getattr(msg, key).extend([enc(v) for v in value])
+            else:
+                setattr(msg, key, enc(value))
         elif _proto_is_repeated(field):
             getattr(msg, key).extend(value)
-        elif field.type == FieldDescriptor.TYPE_BYTES and isinstance(value, str):
-            setattr(msg, key, value.encode("utf-8", "surrogateescape"))
         else:
             setattr(msg, key, value)
     return msg

@@ -1557,6 +1557,9 @@ def _parse_grok(c, pattern, aliases=None):
                           for s in _arr(c).to_pylist()])
 
 
+_GROK_ALIAS_CACHE: dict = {}
+
+
 @register("parse_groks")
 def _parse_groks(c, patterns, aliases=None, alias_sources=None):
     """parse_groks(value, patterns, aliases, alias_sources) — first
@@ -1570,10 +1573,17 @@ def _parse_groks(c, patterns, aliases=None, alias_sources=None):
         if isinstance(alias_sources, str):
             alias_sources = [alias_sources]
         for src in alias_sources:
-            with open(src) as fh:
-                loaded = json.load(fh)
-            if not isinstance(loaded, dict):
-                raise ValueError(f"alias source {src!r} is not a JSON object")
+            # cached per path: this runs inside the per-batch scalar
+            # call — re-reading the file per block would put disk I/O
+            # in the hot path (reference caches loaded sources too)
+            loaded = _GROK_ALIAS_CACHE.get(src)
+            if loaded is None:
+                with open(src, encoding="utf-8") as fh:
+                    loaded = json.load(fh)
+                if not isinstance(loaded, dict):
+                    raise ValueError(
+                        f"alias source {src!r} is not a JSON object")
+                _GROK_ALIAS_CACHE[src] = loaded
             aliases.update(loaded)
 
     rxs = [re.compile(grok_to_regex(p, extra_patterns=aliases)[0]) for p in patterns]
@@ -2041,6 +2051,52 @@ def _uuid_from_friendly_id(c):
     return _rowmap(c, _one, pa.string())
 
 
+def _register_fallback_format_checkers(checker) -> None:
+    """jsonschema only enforces a spec format when its optional
+    validator package is installed; the reference's Rust jsonschema
+    enforces them natively.  Register stdlib-based checkers for any
+    spec format missing from this environment so enforcement doesn't
+    depend on which optional deps happen to be present."""
+    have = checker.checkers
+
+    def add(name, fn):
+        if name not in have:
+            checker.checks(name)(fn)
+
+    import datetime as _dt
+    import ipaddress as _ip
+    import re as _re
+    import uuid as _uuid
+
+    def _str_check(fn):
+        def check(v):
+            if not isinstance(v, str):
+                return True
+            try:
+                fn(v)
+                return True
+            except (ValueError, _re.error):
+                return False
+        return check
+
+    add("date-time",
+        _str_check(lambda v: _dt.datetime.fromisoformat(
+            v.replace("Z", "+00:00"))))
+    add("date", _str_check(_dt.date.fromisoformat))
+    add("time",
+        _str_check(lambda v: _dt.time.fromisoformat(
+            v.replace("Z", "+00:00"))))
+    add("ipv4", _str_check(_ip.IPv4Address))
+    add("ipv6", _str_check(_ip.IPv6Address))
+    add("uuid", _str_check(_uuid.UUID))
+    add("regex", _str_check(_re.compile))
+    def _json_pointer(v):
+        if v and not v.startswith("/"):
+            raise ValueError("json pointer must start with /")
+
+    add("json-pointer", _str_check(_json_pointer))
+
+
 @register("validate_json_schema")
 def _validate_json_schema(c, schema_json, ignore_unknown_formats=False):
     """validate_json_schema(value, schema_definition,
@@ -2058,6 +2114,8 @@ def _validate_json_schema(c, schema_json, ignore_unknown_formats=False):
     # schema error; with the flag true, format declarations don't
     # constrain values at all
     checker = jsonschema.FormatChecker() if not ignore_unknown_formats else None
+    if checker is not None:
+        _register_fallback_format_checkers(checker)
     if not ignore_unknown_formats:
         # the reference's rust jsonschema crate treats a format string
         # it can't validate as a schema error when the flag is false

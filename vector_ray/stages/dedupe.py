@@ -162,7 +162,12 @@ def dedupe_windowed(
     survivor deterministic at concurrency>1 (each partition sorts by it
     before the LRU); without it, which duplicate survives can vary run
     to run."""
-    if concurrency and concurrency > 1:
+    if not concurrency or concurrency <= 1:
+        # honor order_by here too: the same config must pick the same
+        # survivor regardless of the concurrency knob
+        if order_by is not None:
+            ds = ds.sort(order_by).repartition(1)
+    else:
         from ..functions.hashes import hash_columns
 
         parts = concurrency * 2

@@ -2020,13 +2020,18 @@ def _bisect_call(name: str, first: pa.Array, rest: list, n: int,
             pa.types.is_integer(t) or pa.types.is_floating(t) for t in types
         ):
             # all-integer stays integer (float64 would lose precision
-            # past 2^53 and silently change the column's kind)
+            # past 2^53 and silently change the column's kind); uint64
+            # values past 2^63 can't fit int64 — fall back to float64
+            # rather than failing the whole batch
             tgt = (
                 pa.int64()
                 if all(pa.types.is_integer(t) for t in types)
                 else pa.float64()
             )
-            out_chunks = [pc.cast(c, tgt) for c in out_chunks]
+            try:
+                out_chunks = [pc.cast(c, tgt) for c in out_chunks]
+            except pa.ArrowInvalid:
+                out_chunks = [pc.cast(c, pa.float64()) for c in out_chunks]
         else:
             raise ValueError(
                 f"VRL: {name}() produced per-row results of mixed Arrow "
