@@ -73,7 +73,25 @@ def _run_one(base_config: dict, test: dict, path: str) -> None:
     name = test.get("name", "<unnamed>")
     inp = test["input"]
     insert_at = inp["insert_at"]
-    rows = [dict(r, __seq=i) for i, r in enumerate(inp["rows"])]
+    if "source" in inp:
+        # `type = "vrl"` test inputs (reference unit_test framework,
+        # e.g. tests/behavior/transforms/vrl_test_input.toml): a VRL
+        # program builds each input event from scratch
+        from .vrl import compile_program
+
+        n = int(inp.get("count", 1))
+        prog = compile_program(inp["source"])
+        seed = pa.table({"__seq": pa.array(range(n), pa.int64())})
+        out, err, abort, msgs = prog.run(seed)
+        if err[0].as_py() if len(err) else False:
+            raise BehaviorTestFailure(
+                f"{name}: vrl input program errored: {msgs[0].as_py()}"
+            )
+        rows = [
+            dict(r, __seq=i) for i, r in enumerate(out.to_pylist())
+        ]
+    else:
+        rows = [dict(r, __seq=i) for i, r in enumerate(inp["rows"])]
 
     config = {
         "sources": dict(base_config.get("sources", {})),

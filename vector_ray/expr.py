@@ -393,6 +393,16 @@ def _call(node: Call, batch: pa.Table):
         if t is not None and (pa.types.is_list(t) or pa.types.is_large_list(t)):
             return pc.list_value_length(col)
         return pc.utf8_length(col)
+    # anything else resolves against the full VRL stdlib registry
+    # (is_timestamp, is_ipv4, parse_* guards, ...)
+    from .functions import scalar as _scalar
+
+    if name in _scalar.FUNCTIONS:
+        extra = [
+            a.value if isinstance(a, Lit) else _eval(a, batch)
+            for a in args[1:]
+        ]
+        return _scalar.call(name, col, *extra)
     raise ValueError(f"unknown function {name!r}")
 
 
