@@ -23,4 +23,4 @@ def test_all_doc_examples_pass():
     assert buckets["MISMATCH"] == [], buckets["MISMATCH"]
     # the runnable-coverage floor: regressions that silently divert
     # examples into SKIP buckets should fail loudly too
-    assert len(buckets["OK"]) >= 361, {k: len(v) for k, v in buckets.items()}
+    assert len(buckets["OK"]) >= 363, {k: len(v) for k, v in buckets.items()}

@@ -269,10 +269,13 @@ def test_encrypt_ip_roundtrip():
 
 
 def test_secrets_store():
-    call("set_secret", s("x"), "dd_api_key", "abc123")
-    assert call("get_secret", s("x", "y"), "dd_api_key").to_pylist() == ["abc123", "abc123"]
-    call("remove_secret", s("x"), "dd_api_key")
-    assert call("get_secret", s("x"), "dd_api_key").to_pylist() == [None]
+    # registry convention: first arg IS the key column (the VRL program
+    # path routes these to per-event __meta_secrets.* columns instead)
+    call("set_secret", s("dd_api_key"), "abc123")
+    assert call("get_secret", s("dd_api_key", "dd_api_key")).to_pylist() == [
+        "abc123", "abc123"]
+    call("remove_secret", s("dd_api_key"))
+    assert call("get_secret", s("dd_api_key")).to_pylist() == [None]
 
 
 def test_uuid_and_random_deterministic():

@@ -802,3 +802,38 @@ def test_mixed_array_order_independent_types():
     # homogeneous-kind unify still works: ints+floats promote
     out2, _, _, _ = compile_program('.nums = [.n, 1.5]').run(t)
     assert out2["nums"].to_pylist() == [[7.0, 1.5], [8.0, 1.5]]
+
+
+def test_metadata_paths_and_secrets():
+    """`%`/`%key.sub` metadata paths (reserved __meta column
+    namespace) and the secrets trio over __meta_secrets.*."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"x": [1, 2]})
+    p = compile_program(
+        '%k = "m1"; %nest.deep = 7; .got = %k; .d = %nest.deep; '
+        '.mod = .x % 2; .m10 = 10 % 3'
+    )
+    out, err, _, _ = p.run(t)
+    assert not err[0].as_py()
+    assert out["got"].to_pylist() == ["m1", "m1"]
+    assert out["d"].to_pylist() == [7, 7]
+    assert out["mod"].to_pylist() == [1, 0]   # % stays modulo after values
+    assert out["m10"].to_pylist() == [1, 1]
+
+    p2 = compile_program('% = "Metadata"; .metadata = %')
+    o2, _, _, _ = p2.run(t)
+    assert o2["metadata"].to_pylist() == ["Metadata"] * 2
+
+    p3 = compile_program(
+        'set_secret("api_key", "abc122")\n'
+        '.k1 = get_secret("api_key")\n'
+        'if .x == 2 { remove_secret("api_key") }\n'
+        '.k2 = get_secret("api_key")'
+    )
+    o3, e3, _, _ = p3.run(t)
+    assert not e3[0].as_py()
+    assert o3["k1"].to_pylist() == ["abc122", "abc122"]
+    assert o3["k2"].to_pylist() == ["abc122", None]  # per-row removal

@@ -458,8 +458,9 @@ SKIP_FNS = {
     # nondeterministic / environment / runtime-type introspection
     "now", "uuid_v4", "uuid_v7", "random_bytes", "random_int", "random_float",
     "is_regex", "get_hostname", "get_env_var", "get_timezone_name",
-    # event-metadata secrets context
-    "get_secret", "set_secret", "remove_secret",
+    # the doc example expects a PRE-SEEDED secret ("secret value") the
+    # example itself never sets; set_secret/remove_secret run
+    "get_secret",
     # need loaded enrichment tables
     "get_enrichment_table_record", "find_enrichment_table_records",
     # year-inference examples written in a different year

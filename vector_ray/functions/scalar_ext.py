@@ -2201,23 +2201,30 @@ _SECRET_STORE: dict = {}
 
 
 @register("set_secret")
-def _set_secret(c, key, value):
-    """Process-local secret store (the reference stores per-event secret
-    metadata; columnar analog is a per-worker store)."""
-    _SECRET_STORE[key] = value
-    return _arr(c)
+def _set_secret(c, value):
+    """Registry fallback: process-local store keyed by the first arg
+    (the VRL program path intercepts these names and uses the event's
+    ``__meta_secrets.*`` columns instead — vrl.py _call_secret)."""
+    for k in set(_arr(c).to_pylist()):
+        if k is not None:
+            _SECRET_STORE[k] = value
+    return pa.nulls(len(_arr(c)))
 
 
 @register("get_secret")
-def _get_secret(c, key):
-    v = _SECRET_STORE.get(key)
-    return pa.array([v] * len(_arr(c)), type=pa.string())
+def _get_secret(c):
+    return pa.array(
+        [None if k is None else _SECRET_STORE.get(k)
+         for k in _arr(c).to_pylist()],
+        type=pa.string(),
+    )
 
 
 @register("remove_secret")
-def _remove_secret(c, key):
-    _SECRET_STORE.pop(key, None)
-    return _arr(c)
+def _remove_secret(c):
+    for k in set(_arr(c).to_pylist()):
+        _SECRET_STORE.pop(k, None)
+    return pa.nulls(len(_arr(c)))
 
 
 # -------------------------------------------------------------- crypto

@@ -72,6 +72,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>[ \t]+)
   | (?P<comment>\#[^\n]*)
   | (?P<nl>\r?\n)
+  | (?P<metapath>%(?:[A-Za-z_][\w]*(?:\.(?:[A-Za-z_][\w]*|"(?:[^"\\]|\\.)*"))*)?)
   | (?P<op>\?\?|&&|\|\||==|!=|<=|>=|[<>]|[-+*/%]|[!=]|[(){}\[\],;:]|\|)
   | (?P<rawstr>s'(?:[^'\\]|\\.)*')
   | (?P<regex>r'(?:[^'\\]|\\.)*')
@@ -102,6 +103,24 @@ def _lex(src: str) -> List[Tuple[str, str]]:
         kind = m.lastgroup
         text = m.group()
         if kind in ("ws", "comment"):
+            continue
+        if kind == "metapath":
+            # `%` is modulo when the previous token ends a VALUE
+            # (`a % b`, `10 % 3`), a metadata path otherwise
+            # (`% = x`, `.m = %`, `%foo.bar`) — vrl metadata paths,
+            # lib/vector-core event metadata
+            prev = toks[-1] if toks else None
+            value_end = prev is not None and (
+                prev[0] in ("num", "str", "rawstr", "regex", "path")
+                or (prev[0] == "ident"
+                    and prev[1] not in ("if", "else", "return", "abort"))
+                or (prev[0] == "op" and prev[1] in (")", "]", "}"))
+            )
+            if value_end:
+                toks.append(("op", "%"))
+                pos = m.start() + 1
+                continue
+            toks.append(("metapath", text[1:]))
             continue
         if kind == "nl":
             if depth > 0:
@@ -311,6 +330,9 @@ class _Parser:
                     self.next(); self.next(); self.next()
                     return IndexedPathE(_split_path(v), int(idx))
             return PathE(_split_path(v))
+        if k == "metapath":
+            self.next()
+            return _meta_path(v)
         if k == "dot":
             self.next()
             return RootE()
@@ -497,6 +519,9 @@ class _Parser:
         if k == "path":
             self.next()
             return PathE(_split_path(v))
+        if k == "metapath":
+            self.next()
+            return _meta_path(v)
         if k == "dot":
             self.next()
             return RootE()
@@ -557,6 +582,17 @@ class _Parser:
                 raise ValueError("VRL: `!` is only valid as a call suffix")
             return VarE(v)
         raise ValueError(f"VRL: unexpected token {v!r}")
+
+
+def _meta_path(text: str) -> "PathE":
+    """Metadata path `%foo.bar` → PathE over the reserved __meta
+    column namespace (root `%` ↔ column "__meta", `%k` ↔ "__meta_k")
+    so every existing path mechanism — read, nested assign, del,
+    exists — applies to event metadata unchanged."""
+    if not text:
+        return PathE(("__meta",))
+    parts = _split_path("." + text)
+    return PathE(("__meta_" + parts[0],) + tuple(parts[1:]))
 
 
 def _split_path(p: str) -> Tuple[str, ...]:
@@ -1313,6 +1349,8 @@ class Program:
             return self._eval_closure_call(node, env, live)
         if name == "del":
             return self._call_del(node, env, live)
+        if name in ("get_secret", "set_secret", "remove_secret"):
+            return self._call_secret(node, env, live)
         if name == "exists":
             (arg,) = node.args
             if isinstance(arg, PathE):
@@ -1748,6 +1786,32 @@ class Program:
         err = _merge_err_masks(subject.err,
                                row_err if row_err.any() else None)
         return Val(pa.array(out, type=pa.string()), err, res.msg or subject.msg)
+
+    def _call_secret(self, node: CallE, env, live) -> Val:
+        """get_secret/set_secret/remove_secret (vrl stdlib; reference
+        event metadata secrets) over the reserved ``__meta_secrets.*``
+        column namespace — the same projection %-paths use."""
+        key_v = self._eval(node.args[0], env, live)
+        if not key_v.is_scalar() or not isinstance(key_v.data, str):
+            raise ValueError(f"{node.name}() needs a constant string key")
+        col = f"__meta_secrets.{key_v.data}"
+        if node.name == "get_secret":
+            return Val(env.cols.get(col, pa.nulls(env.n)))
+        if node.name == "set_secret":
+            val = self._eval(node.args[1], env, live)
+            data = _broadcast(val, env.n)
+            if col in env.cols and not live.all():
+                data = _blend(live, data, env.cols[col])
+            env.cols[col] = data
+            return Val(None)
+        # remove_secret
+        if col in env.cols:
+            old = env.cols[col]
+            if live.all():
+                del env.cols[col]
+            else:
+                env.cols[col] = _blend(live, pa.nulls(env.n, old.type), old)
+        return Val(None)
 
     def _call_del(self, node: CallE, env, live) -> Val:
         (arg,) = node.args
