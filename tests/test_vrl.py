@@ -837,3 +837,71 @@ def test_metadata_paths_and_secrets():
     assert not e3[0].as_py()
     assert o3["k1"].to_pylist() == ["abc122", "abc122"]
     assert o3["k2"].to_pylist() == ["abc122", None]  # per-row removal
+
+
+def test_metadata_namespace_semantics():
+    """Third-pass review fixes: unified % namespace, metadata survives
+    root replacement, root reads exclude metadata, modulo after a
+    metapath, quoted keys, per-row secret keys."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"x": [1, 2]})
+    out, err, _, _ = compile_program('%n = 5; .a = %n % 2').run(t)
+    assert out["a"].to_pylist() == [1, 1]
+
+    o, _, _, _ = compile_program(
+        'if .x == 1 { set_secret("k", "v") }; .got = get_secret("k")'
+    ).run(t)
+    assert o["got"].to_pylist() == ["v", None]
+
+    o, _, _, _ = compile_program(
+        'set_secret("tok","s3"); %m = 1; . = {"z": 1}; '
+        '.g = get_secret("tok"); .mm = %m'
+    ).run(t)
+    assert o["g"].to_pylist() == ["s3", "s3"]
+    assert o["mm"].to_pylist() == [1, 1]
+
+    o, _, _, _ = compile_program(
+        'set_secret("tok","s3"); %m = 1; .all = .'
+    ).run(pa.table({"x": [1]}))
+    assert not any(k.startswith("__meta") for k in o["all"][0].as_py())
+
+    o, _, _, _ = compile_program(
+        '% = {"a": 1}; .x1 = %a; %b = 2; .y = %'
+    ).run(t)
+    assert o["x1"].to_pylist() == [1, 1]
+    assert o["y"][0].as_py() == {"a": 1, "b": 2}
+
+    o, _, _, _ = compile_program(
+        'set_secret("a", "va"); set_secret("b", "vb"); '
+        '.k = get_secret(.name)'
+    ).run(pa.table({"name": ["a", "b"]}))
+    assert o["k"].to_pylist() == ["va", "vb"]
+
+    o, _, _, _ = compile_program('%"api key" = 1; .g = %"api key"').run(t)
+    assert o["g"].to_pylist() == [1, 1]
+
+
+def test_sinks_strip_metadata_columns(ray_session, tmp_path):
+    """__meta* columns (metadata + secrets) never reach sink files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.sinks import write_sinks
+    from vector_ray.vrl import compile_program
+
+    prog = compile_program('set_secret("api", "sekrit"); %env = "prod"')
+
+    def _step(b):
+        out, err, abort, msgs = prog.run(b)
+        return out
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2]})).map_batches(
+        _step, batch_format="pyarrow")
+    paths = write_sinks({"out": ds}, str(tmp_path))
+    found = pq.read_table(paths["out"])
+    assert all(not c.startswith("__meta") for c in found.column_names)
+    assert found.num_rows == 2

@@ -281,8 +281,10 @@ def cmd_vrl(args) -> int:
                 else pa.Table.from_pylist([event])
             )
             out, err, abort, msgs = prog.run(batch)
-            if "__cli_dummy" in out.column_names:
-                out = out.drop_columns(["__cli_dummy"])
+            drop = [c for c in out.column_names
+                    if c == "__cli_dummy" or c.startswith("__meta")]
+            if drop:
+                out = out.drop_columns(drop)
         except Exception as e:
             print(f"error: {e}")
             return 1

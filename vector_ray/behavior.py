@@ -83,9 +83,14 @@ def _run_one(base_config: dict, test: dict, path: str) -> None:
         prog = compile_program(inp["source"])
         seed = pa.table({"__seq": pa.array(range(n), pa.int64())})
         out, err, abort, msgs = prog.run(seed)
-        if err[0].as_py() if len(err) else False:
+        import pyarrow.compute as _pc
+
+        bad = _pc.or_(err, abort) if len(err) else err
+        if len(bad) and _pc.any(bad).as_py():
+            i = next(j for j, v in enumerate(bad.to_pylist()) if v)
             raise BehaviorTestFailure(
-                f"{name}: vrl input program errored: {msgs[0].as_py()}"
+                f"{name}: vrl input program errored/aborted on row {i}: "
+                f"{msgs[i].as_py()}"
             )
         rows = [
             dict(r, __seq=i) for i, r in enumerate(out.to_pylist())

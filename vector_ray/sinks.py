@@ -40,6 +40,12 @@ def write_sinks(
     options = options or {}
     out = {}
     for name, ds in sinks.items():
+        # event metadata/secrets (__meta* columns, VRL %-paths /
+        # set_secret) never serialize to a sink — reference codecs
+        # encode only the event payload
+        meta_cols = [c for c in ds.schema().names if c.startswith("__meta")]
+        if meta_cols:
+            ds = ds.drop_columns(meta_cols)
         path = os.path.join(base_dir, name.lstrip("_"))
         fmt = formats.get(name, "parquet")
         if fmt == "csv":

@@ -72,7 +72,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>[ \t]+)
   | (?P<comment>\#[^\n]*)
   | (?P<nl>\r?\n)
-  | (?P<metapath>%(?:[A-Za-z_][\w]*(?:\.(?:[A-Za-z_][\w]*|"(?:[^"\\]|\\.)*"))*)?)
+  | (?P<metapath>%(?:(?:[A-Za-z_][\w]*|"(?:[^"\\]|\\.)*")(?:\.(?:[A-Za-z_][\w]*|"(?:[^"\\]|\\.)*"))*)?)
   | (?P<op>\?\?|&&|\|\||==|!=|<=|>=|[<>]|[-+*/%]|[!=]|[(){}\[\],;:]|\|)
   | (?P<rawstr>s'(?:[^'\\]|\\.)*')
   | (?P<regex>r'(?:[^'\\]|\\.)*')
@@ -111,7 +111,8 @@ def _lex(src: str) -> List[Tuple[str, str]]:
             # lib/vector-core event metadata
             prev = toks[-1] if toks else None
             value_end = prev is not None and (
-                prev[0] in ("num", "str", "rawstr", "regex", "path")
+                prev[0] in ("num", "str", "rawstr", "regex", "path",
+                            "metapath")
                 or (prev[0] == "ident"
                     and prev[1] not in ("if", "else", "return", "abort"))
                 or (prev[0] == "op" and prev[1] in (")", "]", "}"))
@@ -155,6 +156,11 @@ class IndexedPathE:    # .a[2] as an ASSIGNMENT target (remap_array)
 
 @dataclass(frozen=True)
 class RootE:           # bare `.` — the whole event as a struct
+    pass
+
+
+@dataclass(frozen=True)
+class MetaRootE:       # bare `%` — the whole metadata namespace
     pass
 
 
@@ -590,7 +596,7 @@ def _meta_path(text: str) -> "PathE":
     so every existing path mechanism — read, nested assign, del,
     exists — applies to event metadata unchanged."""
     if not text:
-        return PathE(("__meta",))
+        return MetaRootE()
     parts = _split_path("." + text)
     return PathE(("__meta_" + parts[0],) + tuple(parts[1:]))
 
@@ -905,6 +911,9 @@ class Program:
         if isinstance(st.target, RootE):
             self._assign_root(val, env, live)
             return val
+        if isinstance(st.target, MetaRootE):
+            self._assign_meta_root(val, env, live)
+            return val
         if isinstance(st.target, IndexedPathE):
             self._assign_indexed(st.target, val, env, live)
             return val
@@ -997,6 +1006,63 @@ class Program:
         )
         env.cols[name] = arr
 
+    def _read_meta_root(self, env: _Env):
+        """Bare `%`: one view over the metadata namespace — the scalar
+        `__meta` column when root metadata was set to a non-object,
+        else a struct of every `__meta_<key>` column (secrets stay
+        behind get_secret, like the reference's dedicated accessors)."""
+        if "__meta" in env.cols:
+            return env.cols["__meta"]
+        names = sorted(
+            c for c in env.cols
+            if c.startswith("__meta_")
+            and not c.startswith("__meta_secrets.")
+        )
+        if not names:
+            return pa.nulls(env.n)
+        return pa.StructArray.from_arrays(
+            [_arr(env.cols[c]) for c in names],
+            names=[c[len("__meta_"):] for c in names],
+        )
+
+    def _assign_meta_root(self, val: Val, env: _Env, live: np.ndarray) -> None:
+        """``% = expr``: replace the metadata namespace (object values
+        expand to per-key `__meta_<k>` columns so `%k` reads agree with
+        the root view; scalars land in the `__meta` column).  Secrets
+        are not metadata-root-replaceable (use remove_secret)."""
+        data = _broadcast(val, env.n)
+        t = data.type
+        new_meta: Dict[str, pa.Array] = {}
+        if pa.types.is_struct(t):
+            for f in t:
+                new_meta[f"__meta_{f.name}"] = pc.struct_field(data, f.name)
+        elif pa.types.is_map(t):
+            keys = set()
+            for row in data.to_pylist():
+                if row:
+                    keys.update(k for k, _ in row)
+            for k in sorted(keys):
+                new_meta[f"__meta_{k}"] = pc.map_lookup(
+                    data, pa.scalar(k, t.key_type), "first")
+        else:
+            new_meta["__meta"] = data
+        old_meta = {
+            k: v for k, v in env.cols.items()
+            if (k == "__meta" or k.startswith("__meta_"))
+            and not k.startswith("__meta_secrets.")
+        }
+        if live.all():
+            for k in old_meta:
+                del env.cols[k]
+            env.cols.update(new_meta)
+            return
+        for k, arr in new_meta.items():
+            old = env.cols.get(k, pa.nulls(env.n, arr.type))
+            env.cols[k] = _blend(live, arr, old)
+        for k, old in old_meta.items():
+            if k not in new_meta:
+                env.cols[k] = _blend(~live, old, pa.nulls(env.n, old.type))
+
     def _assign_root(self, val: Val, env: _Env, live: np.ndarray) -> None:
         """``. = expr`` — replace the whole event.  A struct/map value
         expands to one column per key (columnar analog of the reference
@@ -1026,6 +1092,11 @@ class Program:
             # non-object root (`. = "root string"`, remap.rs:826) — the
             # event collapses to its message field (legacy namespace)
             new_cols["message"] = data
+        # event replacement never touches metadata/secrets (the
+        # reference's `. = parse_json!(.message)` keeps metadata)
+        for k in env.cols:
+            if k.startswith("__meta"):
+                new_cols.setdefault(k, env.cols[k])
         if live.all():
             env.cols = new_cols
         else:
@@ -1060,9 +1131,12 @@ class Program:
         if isinstance(node, PathE):
             return Val(_read_path(env, node.path))
         if isinstance(node, RootE):
-            names = [c for c in env.cols]
+            # metadata/secrets never serialize into the event payload
+            names = [c for c in env.cols if not c.startswith("__meta")]
             return Val(pa.StructArray.from_arrays(
                 [env.cols[c] for c in names], names=names))
+        if isinstance(node, MetaRootE):
+            return Val(self._read_meta_root(env))
         if isinstance(node, VarE):
             v = env.vars.get(node.name)
             if v is None:
@@ -1790,27 +1864,52 @@ class Program:
     def _call_secret(self, node: CallE, env, live) -> Val:
         """get_secret/set_secret/remove_secret (vrl stdlib; reference
         event metadata secrets) over the reserved ``__meta_secrets.*``
-        column namespace — the same projection %-paths use."""
+        column namespace — the same projection %-paths use.  Keys may
+        be per-row string expressions; each distinct key touches its
+        own column under the live mask."""
         key_v = self._eval(node.args[0], env, live)
-        if not key_v.is_scalar() or not isinstance(key_v.data, str):
-            raise ValueError(f"{node.name}() needs a constant string key")
-        col = f"__meta_secrets.{key_v.data}"
+        if key_v.is_scalar():
+            if not isinstance(key_v.data, str):
+                raise ValueError(f"{node.name}() needs a string key")
+            keys = np.full(env.n, key_v.data, dtype=object)
+        else:
+            keys = np.array(
+                _broadcast(key_v, env.n).to_pylist(), dtype=object)
+        distinct = {k for k in keys.tolist() if k is not None}
+
+        def _mask_for(k):
+            return live & (keys == k)
+
         if node.name == "get_secret":
-            return Val(env.cols.get(col, pa.nulls(env.n)))
+            out = np.full(env.n, None, dtype=object)
+            for k in distinct:
+                col = env.cols.get(f"__meta_secrets.{k}")
+                if col is None:
+                    continue
+                m = keys == k
+                vals = np.array(_arr(col).to_pylist(), dtype=object)
+                out[m] = vals[m]
+            return Val(pa.array(out.tolist(), type=pa.string()))
         if node.name == "set_secret":
             val = self._eval(node.args[1], env, live)
             data = _broadcast(val, env.n)
-            if col in env.cols and not live.all():
-                data = _blend(live, data, env.cols[col])
-            env.cols[col] = data
+            for k in distinct:
+                col = f"__meta_secrets.{k}"
+                m = _mask_for(k)
+                old = env.cols.get(col, pa.nulls(env.n, data.type))
+                env.cols[col] = _blend(m, data, old)
             return Val(None)
         # remove_secret
-        if col in env.cols:
+        for k in distinct:
+            col = f"__meta_secrets.{k}"
+            if col not in env.cols:
+                continue
             old = env.cols[col]
-            if live.all():
+            m = _mask_for(k)
+            if m.all():
                 del env.cols[col]
             else:
-                env.cols[col] = _blend(live, pa.nulls(env.n, old.type), old)
+                env.cols[col] = _blend(m, pa.nulls(env.n, old.type), old)
         return Val(None)
 
     def _call_del(self, node: CallE, env, live) -> Val:
