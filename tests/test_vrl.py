@@ -905,3 +905,39 @@ def test_sinks_strip_metadata_columns(ray_session, tmp_path):
     found = pq.read_table(paths["out"])
     assert all(not c.startswith("__meta") for c in found.column_names)
     assert found.num_rows == 2
+
+
+def test_metadata_fourth_pass_fixes():
+    """merge() excludes metadata, secrets namespace unreachable via
+    %-paths, per-row scalar/struct % resolution, set_secret type guard,
+    del(%) clears metadata but not secrets."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from vector_ray.vrl import compile_program
+
+    t = pa.table({"x": [1, 2]})
+    o, _, _, _ = compile_program(
+        'set_secret("tok","sekrit"); %env = "prod"; '
+        '.out = merge(., {"a": 1})'
+    ).run(pa.table({"x": [1]}))
+    assert not any(k.startswith("__meta") for k in o["out"][0].as_py())
+
+    for bad in ('.l = %secrets.tok', '%"secrets.tok" = 1',
+                '% = {"secrets.tok": "v"}'):
+        with _pytest.raises(ValueError, match="secret"):
+            compile_program(bad).run(t)
+
+    o, _, _, _ = compile_program(
+        '% = "s"; if .x == 1 { % = {"a": 1} }; .y = %'
+    ).run(t)
+    assert o["y"].to_pylist() == [{"a": 1}, "s"]
+
+    with _pytest.raises(ValueError, match="string"):
+        compile_program('set_secret("k", 5)').run(t)
+
+    o, _, _, _ = compile_program(
+        '%a = 1; set_secret("k","v"); del(%); .y = %; .s = get_secret("k")'
+    ).run(t)
+    assert o["y"].to_pylist() == [None, None]
+    assert o["s"].to_pylist() == ["v", "v"]

@@ -42,10 +42,15 @@ def write_sinks(
     for name, ds in sinks.items():
         # event metadata/secrets (__meta* columns, VRL %-paths /
         # set_secret) never serialize to a sink — reference codecs
-        # encode only the event payload
-        meta_cols = [c for c in ds.schema().names if c.startswith("__meta")]
-        if meta_cols:
-            ds = ds.drop_columns(meta_cols)
+        # encode only the event payload.  Per-batch strip: calling
+        # ds.schema() here would eagerly execute upstream stages just
+        # to list names (and run them again for the write)
+        def _strip_meta(b):
+            drop = [c for c in b.column_names if c.startswith("__meta")]
+            return b.drop_columns(drop) if drop else b
+
+        ds = ds.map_batches(_strip_meta, batch_format="pyarrow",
+                            batch_size=None)
         path = os.path.join(base_dir, name.lstrip("_"))
         fmt = formats.get(name, "parquet")
         if fmt == "csv":

@@ -598,6 +598,11 @@ def _meta_path(text: str) -> "PathE":
     if not text:
         return MetaRootE()
     parts = _split_path("." + text)
+    if parts[0] == "secrets" or parts[0].startswith("secrets."):
+        raise ValueError(
+            "VRL: the metadata secrets namespace is only reachable via "
+            "get_secret/set_secret/remove_secret"
+        )
     return PathE(("__meta_" + parts[0],) + tuple(parts[1:]))
 
 
@@ -1006,23 +1011,51 @@ class Program:
         )
         env.cols[name] = arr
 
+    @staticmethod
+    def _object_to_cols(data) -> "Optional[Dict[str, pa.Array]]":
+        """struct/map value → {key: column}; None for non-objects."""
+        t = data.type
+        if pa.types.is_struct(t):
+            return {f.name: pc.struct_field(data, f.name) for f in t}
+        if pa.types.is_map(t):
+            keys = set()
+            for row in data.to_pylist():
+                if row:
+                    keys.update(k for k, _ in row)
+            return {
+                k: pc.map_lookup(data, pa.scalar(k, t.key_type), "first")
+                for k in sorted(keys)
+            }
+        return None
+
     def _read_meta_root(self, env: _Env):
         """Bare `%`: one view over the metadata namespace — the scalar
         `__meta` column when root metadata was set to a non-object,
         else a struct of every `__meta_<key>` column (secrets stay
         behind get_secret, like the reference's dedicated accessors)."""
-        if "__meta" in env.cols:
-            return env.cols["__meta"]
         names = sorted(
             c for c in env.cols
             if c.startswith("__meta_")
             and not c.startswith("__meta_secrets.")
         )
+        scalar_col = env.cols.get("__meta")
+        if scalar_col is not None and not names:
+            return scalar_col
         if not names:
             return pa.nulls(env.n)
-        return pa.StructArray.from_arrays(
+        struct = pa.StructArray.from_arrays(
             [_arr(env.cols[c]) for c in names],
             names=[c[len("__meta_"):] for c in names],
+        )
+        if scalar_col is None:
+            return struct
+        # scalar and per-key metadata coexist only under partial-live
+        # masks — resolve PER ROW (scalar wins where set), via tagged
+        # JSON since the two shapes can't share one Arrow type
+        sv = _arr(scalar_col).to_pylist()
+        rows = struct.to_pylist()
+        return _scalar.mixed_json_array(
+            [m if m is not None else r for m, r in zip(sv, rows)]
         )
 
     def _assign_meta_root(self, val: Val, env: _Env, live: np.ndarray) -> None:
@@ -1031,21 +1064,17 @@ class Program:
         the root view; scalars land in the `__meta` column).  Secrets
         are not metadata-root-replaceable (use remove_secret)."""
         data = _broadcast(val, env.n)
-        t = data.type
-        new_meta: Dict[str, pa.Array] = {}
-        if pa.types.is_struct(t):
-            for f in t:
-                new_meta[f"__meta_{f.name}"] = pc.struct_field(data, f.name)
-        elif pa.types.is_map(t):
-            keys = set()
-            for row in data.to_pylist():
-                if row:
-                    keys.update(k for k, _ in row)
-            for k in sorted(keys):
-                new_meta[f"__meta_{k}"] = pc.map_lookup(
-                    data, pa.scalar(k, t.key_type), "first")
+        expanded = self._object_to_cols(data)
+        if expanded is not None:
+            for k in expanded:
+                if k == "secrets" or k.startswith("secrets."):
+                    raise ValueError(
+                        "VRL: metadata keys can't write into the secrets "
+                        "namespace — use set_secret"
+                    )
+            new_meta = {f"__meta_{k}": v for k, v in expanded.items()}
         else:
-            new_meta["__meta"] = data
+            new_meta = {"__meta": data}
         old_meta = {
             k: v for k, v in env.cols.items()
             if (k == "__meta" or k.startswith("__meta_"))
@@ -1070,17 +1099,10 @@ class Program:
         ``. = parse_json!(...)`` shapes)."""
         data = _broadcast(val, env.n)
         t = data.type
+        expanded = self._object_to_cols(data)
         new_cols: Dict[str, pa.Array] = {}
-        if pa.types.is_struct(t):
-            for f in t:
-                new_cols[f.name] = pc.struct_field(data, f.name)
-        elif pa.types.is_map(t):
-            keys = set()
-            for row in data.to_pylist():
-                if row:
-                    keys.update(k for k, _ in row)
-            for k in sorted(keys):
-                new_cols[k] = pc.map_lookup(data, pa.scalar(k, t.key_type), "first")
+        if expanded is not None:
+            new_cols.update(expanded)
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
             raise ValueError(
                 "`. = <array>` (emit-multiple, remap.rs "
@@ -1450,7 +1472,10 @@ class Program:
             right = self._eval(node.args[1], env, live)
             data = _broadcast(right, env.n)
             t = data.type
-            names = [c for c in env.cols]
+            # metadata/secrets are not event payload — same exclusion
+            # as RootE reads (a non-root assignment of the merge result
+            # must not serialize them)
+            names = [c for c in env.cols if not c.startswith("__meta")]
             arrs = [env.cols[c] for c in names]
             if pa.types.is_struct(t):
                 for f in t:
@@ -1893,6 +1918,12 @@ class Program:
         if node.name == "set_secret":
             val = self._eval(node.args[1], env, live)
             data = _broadcast(val, env.n)
+            if not (pa.types.is_string(data.type)
+                    or pa.types.is_large_string(data.type)
+                    or pa.types.is_null(data.type)):
+                # reference set_secret takes a string value; a typed
+                # crash at get time would fail the whole batch instead
+                raise ValueError("set_secret() value must be a string")
             for k in distinct:
                 col = f"__meta_secrets.{k}"
                 m = _mask_for(k)
@@ -1914,6 +1945,18 @@ class Program:
 
     def _call_del(self, node: CallE, env, live) -> Val:
         (arg,) = node.args
+        if isinstance(arg, MetaRootE):
+            # del(%) — clear the (non-secret) metadata namespace
+            old_val = Val(self._read_meta_root(env))
+            for k in list(env.cols):
+                if (k == "__meta" or k.startswith("__meta_")) and not                         k.startswith("__meta_secrets."):
+                    if live.all():
+                        del env.cols[k]
+                    else:
+                        env.cols[k] = _blend(
+                            live, pa.nulls(env.n, env.cols[k].type),
+                            env.cols[k])
+            return old_val
         if not isinstance(arg, PathE):
             raise ValueError("del() takes an event path")
         name = ".".join(arg.path)
