@@ -987,10 +987,30 @@ def _ensure_token_caches() -> None:
     regardless of driver ordering. Guarded: a failure here must never
     break the other 50 oracles."""
     try:
+        import os
+
         from vector_ray.schema import token_table_path
 
         for n in (10_000, 100_000):
             token_table_path(n)
+        # sf0.1 branch: DuckDB binds read_parquet eagerly, so the
+        # n2000000 glob must match SOMETHING even before the (query-side)
+        # 2M build runs.  A 0-row schema-only stub WITHOUT _SUCCESS is
+        # safe: token_table_path treats dirs lacking _SUCCESS as stale
+        # partial builds and replaces them wholesale.
+        big = "/tmp/vector_ray_tokens/n2000000"
+        if not os.path.exists(os.path.join(big, "_SUCCESS")) and not any(
+            f.endswith(".parquet")
+            for f in (os.listdir(big) if os.path.isdir(big) else [])
+        ):
+            import pyarrow.parquet as _pq
+
+            from vector_ray.schema import token_batch
+
+            os.makedirs(big, exist_ok=True)
+            _pq.write_table(
+                token_batch(0, 0), os.path.join(big, "part-stub.parquet")
+            )
     except Exception:
         pass
 
@@ -999,7 +1019,9 @@ def _ensure_token_caches() -> None:
 # deterministic token table (render→grok-parse inverts exactly), so the
 # oracle restates parse/enrich/route directly over the cached parquet.
 # The events row count selects the sf-matched cache (1000 rows ⇒ sf0.001
-# ⇒ 10k token rows; else the sf0.01 100k cache).
+# ⇒ 10k token rows; 10000 ⇒ sf0.01 ⇒ 100k; else sf0.1 ⇒ 2M — the 2M
+# glob binds against the stub _ensure_token_caches leaves until the
+# query side builds the real cache).
 _TOKEN_PIPELINE_SQL = """
 WITH tok AS (
   SELECT n_tok, source, CAST(substring(doc_id, 5) AS BIGINT) AS i
@@ -1008,7 +1030,11 @@ WITH tok AS (
   UNION ALL
   SELECT n_tok, source, CAST(substring(doc_id, 5) AS BIGINT) AS i
   FROM read_parquet('/tmp/vector_ray_tokens/n100000/*.parquet')
-  WHERE (SELECT count(*) FROM events) <> 1000
+  WHERE (SELECT count(*) FROM events) = 10000
+  UNION ALL
+  SELECT n_tok, source, CAST(substring(doc_id, 5) AS BIGINT) AS i
+  FROM read_parquet('/tmp/vector_ray_tokens/n2000000/*.parquet')
+  WHERE (SELECT count(*) FROM events) NOT IN (1000, 10000)
 ), parsed AS (
   SELECT n_tok,
          CASE WHEN i % 10 < 7 THEN 200 WHEN i % 10 < 9 THEN 404 ELSE 500 END AS status,

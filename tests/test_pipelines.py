@@ -510,3 +510,33 @@ def test_ivf_config_rebuilds_on_changed_corpus(tmp_path):
     corpus(p2, [1000 + i for i in range(29)], mat[1:30])
     second = build(cfg(p2))["out"].to_pandas()
     assert second.loc[second["rank"].eq(1), "vec_id"].item() >= 1000
+
+
+def test_ngram_jaccard_chunking_keeps_far_id_pairs(ray_session):
+    """sf0.1 regression: when a length bucket exceeds max_bucket, the
+    chunk split must not separate dup pairs whose ids are far apart —
+    chunks cut at locality-key (mid-document word window) runs."""
+    import numpy as np
+
+    from vector_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(2000)]
+    base_texts = [
+        " ".join(rng.choice(words, size=64, replace=False)) for _ in range(60)
+    ]
+    ids = list(range(60))
+    # duplicates with FAR ids (offset like the planted fixtures)
+    dup_ids = [100000 + i for i in range(60)]
+    dup_texts = [t.upper() for t in base_texts]  # jaccard 1.0 after fold? no —
+    # ngram sim is case-sensitive here; use exact copies instead
+    dup_texts = list(base_texts)
+    df = pd.DataFrame(
+        {"doc_id": ids + dup_ids, "text": base_texts + dup_texts}
+    )
+    # tiny max_bucket forces chunking inside the single length bucket
+    out = ngram_jaccard_dedup(
+        rd.from_pandas(df), threshold=0.8, max_bucket=16
+    )
+    got = sorted(r["doc_id"] for r in out.take_all())
+    assert got == ids  # every far-id duplicate dropped, all bases kept

@@ -624,13 +624,41 @@ def ngram_jaccard_dedup(docs, n: int = 3, threshold: float = 0.8,
                     drop.add(j)
         return g[~g.index.isin(drop)]
 
+    def _locality_key(t: str) -> str:
+        # near-dups share almost every word: a mid-document normalized
+        # word window (skipping word 0, a common mutation target) sorts
+        # a dup-group adjacently even when ids are far apart, so the
+        # max_bucket chunking below doesn't split pairs (measured: id
+        # sort missed 901 planted dups at sf0.1 once buckets chunked)
+        w = t.casefold().split()
+        return " ".join(w[1:9])
+
     def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         if len(g) < 2:
             return g.drop(columns=["lb"])
+        g = g.assign(__lk=[_locality_key(t) for t in g[text_col]])
+        g = g.sort_values(["__lk", id_col], kind="mergesort").reset_index(drop=True)
+        keys = g["__lk"].to_numpy()
+        g = g.drop(columns=["__lk"])
+        # chunk boundaries only at key changes — a run of equal keys
+        # (one candidate dup-group) never straddles two chunks
+        starts, s = [0], max_bucket
+        while s < len(g):
+            while s < len(g) and keys[s] == keys[s - 1]:
+                s += 1
+            if s < len(g):
+                starts.append(s)
+            s += max_bucket
+        bounds = starts + [len(g)]
         parts = [
-            _dedup_chunk(g.iloc[s : s + max_bucket].reset_index(drop=True))
-            for s in range(0, len(g), max_bucket)
+            # id order within the chunk restores drop-the-larger-id
+            # (i < j ⟹ id_i < id_j in _dedup_chunk's pair walk)
+            _dedup_chunk(
+                g.iloc[a:b]
+                .sort_values(id_col, kind="mergesort")
+                .reset_index(drop=True)
+            )
+            for a, b in zip(bounds, bounds[1:])
         ]
         return pd.concat(parts, ignore_index=True).drop(columns=["lb"])
 
