@@ -995,22 +995,20 @@ def _ensure_token_caches() -> None:
             token_table_path(n)
         # sf0.1 branch: DuckDB binds read_parquet eagerly, so the
         # n2000000 glob must match SOMETHING even before the (query-side)
-        # 2M build runs.  A 0-row schema-only stub WITHOUT _SUCCESS is
-        # safe: token_table_path treats dirs lacking _SUCCESS as stale
-        # partial builds and replaces them wholesale.
-        big = "/tmp/vector_ray_tokens/n2000000"
-        if not os.path.exists(os.path.join(big, "_SUCCESS")) and not any(
-            f.endswith(".parquet")
-            for f in (os.listdir(big) if os.path.isdir(big) else [])
-        ):
+        # 2M build runs.  The 0-row schema-only stub lives in its OWN
+        # sibling dir (the oracle globs n2000000*/), never inside the
+        # real cache dir — a stub written there could race
+        # token_table_path's rmtree/replace commit and clobber a fresh
+        # build.
+        stub_dir = "/tmp/vector_ray_tokens/n2000000.stub"
+        stub = os.path.join(stub_dir, "part-stub.parquet")
+        if not os.path.exists(stub):
             import pyarrow.parquet as _pq
 
             from vector_ray.schema import token_batch
 
-            os.makedirs(big, exist_ok=True)
-            _pq.write_table(
-                token_batch(0, 0), os.path.join(big, "part-stub.parquet")
-            )
+            os.makedirs(stub_dir, exist_ok=True)
+            _pq.write_table(token_batch(0, 0), stub)
     except Exception:
         pass
 
@@ -1019,9 +1017,11 @@ def _ensure_token_caches() -> None:
 # deterministic token table (render→grok-parse inverts exactly), so the
 # oracle restates parse/enrich/route directly over the cached parquet.
 # The events row count selects the sf-matched cache (1000 rows ⇒ sf0.001
-# ⇒ 10k token rows; 10000 ⇒ sf0.01 ⇒ 100k; else sf0.1 ⇒ 2M — the 2M
-# glob binds against the stub _ensure_token_caches leaves until the
-# query side builds the real cache).
+# ⇒ 10k token rows; 10000 ⇒ sf0.01 ⇒ 100k; else sf0.1 ⇒ 2M).  The 2M
+# glob (n2000000*/) always binds thanks to a 0-row stub in a SIBLING
+# dir; until the query side builds the real cache the sf0.1 oracle
+# yields 0 rows — a VISIBLE row-count failure, never a silent wrong
+# compare.  Only the three canonical sf sizes are defined.
 _TOKEN_PIPELINE_SQL = """
 WITH tok AS (
   SELECT n_tok, source, CAST(substring(doc_id, 5) AS BIGINT) AS i
@@ -1033,7 +1033,7 @@ WITH tok AS (
   WHERE (SELECT count(*) FROM events) = 10000
   UNION ALL
   SELECT n_tok, source, CAST(substring(doc_id, 5) AS BIGINT) AS i
-  FROM read_parquet('/tmp/vector_ray_tokens/n2000000/*.parquet')
+  FROM read_parquet('/tmp/vector_ray_tokens/n2000000*/*.parquet')
   WHERE (SELECT count(*) FROM events) NOT IN (1000, 10000)
 ), parsed AS (
   SELECT n_tok,

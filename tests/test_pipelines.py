@@ -528,8 +528,6 @@ def test_ngram_jaccard_chunking_keeps_far_id_pairs(ray_session):
     ids = list(range(60))
     # duplicates with FAR ids (offset like the planted fixtures)
     dup_ids = [100000 + i for i in range(60)]
-    dup_texts = [t.upper() for t in base_texts]  # jaccard 1.0 after fold? no —
-    # ngram sim is case-sensitive here; use exact copies instead
     dup_texts = list(base_texts)
     df = pd.DataFrame(
         {"doc_id": ids + dup_ids, "text": base_texts + dup_texts}

@@ -599,12 +599,19 @@ def ngram_jaccard_dedup(docs, n: int = 3, threshold: float = 0.8,
     Jaccard pairwise.  Keep min id per duplicate pair.
 
     Buckets are capped at ``max_bucket`` docs (verification is O(n²)
-    per bucket): oversized buckets verify in sorted ``max_bucket``
-    chunks — duplicates of near-equal length nearly always sort
-    adjacently, and the cap bounds worst-case task time.  For corpora
-    where whole length-classes are duplicate-heavy, run minhash first
-    and use this as the verifier it is intended to be.
+    per bucket): oversized buckets verify in chunks sorted by a
+    LOCALITY key (a mid-document normalized word window), cut only at
+    key changes so a candidate dup-group stays in one chunk even when
+    its ids are far apart.  A run of equal keys extends a chunk by at
+    most one extra ``max_bucket`` (2× worst-case task time, still
+    bounded).  The heuristic protects pairs whose locality window
+    agrees; corpora mutating inside the window at beyond-``max_bucket``
+    bucket sizes — or whole duplicate-heavy length classes — should
+    run minhash first and use this as the verifier it is intended to
+    be.
     """
+    if max_bucket <= 0:
+        raise ValueError("max_bucket must be positive")
 
     def _bucket(batch: pa.Table) -> pa.Table:
         nw = pc.count_substring_regex(batch[text_col], pattern=r"\S+")
@@ -644,7 +651,12 @@ def ngram_jaccard_dedup(docs, n: int = 3, threshold: float = 0.8,
         # (one candidate dup-group) never straddles two chunks
         starts, s = [0], max_bucket
         while s < len(g):
-            while s < len(g) and keys[s] == keys[s - 1]:
+            # extend to the end of the current key run, but never past
+            # one extra max_bucket — equal-key floods (templated logs,
+            # <2-word docs) must not collapse the whole bucket into a
+            # single O(n²) chunk
+            limit = min(len(g), s + max_bucket)
+            while s < limit and keys[s] == keys[s - 1]:
                 s += 1
             if s < len(g):
                 starts.append(s)
